@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational parity queries over the TPC-H-ish star schema (SURVEY
+  * §2.6-2.10: categories absent from the reference, supplied by Spark
+  * built-ins). Each is a declarative DataFrame program — Catalyst gets
+  * full freedom for pushdown/pruning/join selection; small dimensions are
+  * broadcast explicitly where the stats might not prove it.
+  */
+object Relational extends QuerySet {
+
+  val all: Seq[Q] = Seq(
+
+    // --- Aggregation: hash agg with partial (map-side) combine; the
+    // grouping key is low-cardinality so pre-shuffle partials shrink the
+    // exchange to ~6 rows per task regardless of input scale.
+    Q("q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "lineitem")
+          .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2).as("sum_charge"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+             |round(avg(l_quantity),4) AS avg_qty,
+             |round(avg(l_extendedprice),4) AS avg_price,
+             |round(avg(l_discount),4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // --- 3-way join + agg + top-k. Customer filter is pushed to the scan;
+    // the filtered customer side is broadcast (no shuffle of the fact
+    // tables on the customer key).
+    Q("q03_top_orders",
+      (s, d) => {
+        import s.implicits._
+        val cut = lit("1998-07-01").cast("timestamp")
+        val c = Tables.load(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = Tables.load(s, d, "orders").filter($"o_orderdate" < cut)
+        val l = Tables.load(s, d, "lineitem").filter($"l_shipdate" > cut)
+        l.join(broadcast(o.join(broadcast(c), $"o_custkey" === $"c_custkey")),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("orderdate"), $"o_orderpriority")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey".asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |AND o_orderdate < TIMESTAMP '1998-07-01'
+             |AND l_shipdate  > TIMESTAMP '1998-07-01'
+             |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // --- 6-way join through region->nation->(customer,supplier) with the
+    // same-nation constraint; all dimensions broadcast, single shuffle on
+    // the groupBy key.
+    Q("q05_region_volume",
+      (s, d) => {
+        import s.implicits._
+        val r = Tables.load(s, d, "region").filter($"r_name" === "ASIA")
+        val n = Tables.load(s, d, "nation")
+        val cJ = Tables.load(s, d, "customer")
+        val sup = Tables.load(s, d, "supplier")
+        val o = Tables.load(s, d, "orders")
+        val l = Tables.load(s, d, "lineitem")
+        l.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cJ), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin))
+  )
+}
