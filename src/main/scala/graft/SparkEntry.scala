@@ -13,7 +13,8 @@ import graft.queries._
 object SparkEntry {
 
   private val sets: Seq[QuerySet] =
-    Seq(LakeOps, Relational, Relational2, DedupOps, TextOps)
+    Seq(LakeOps, Relational, Relational2, DedupOps, TextOps,
+      SimilarityOps, EventOps)
 
   /** Flagship: end-to-end compaction semantics (scan -> mtime order ->
     * running-sum bundling -> manifest) on sf0.001; driver smoke-checks

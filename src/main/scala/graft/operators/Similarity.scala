@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the corpus, so the corpus is scanned once with no
+  * shuffle until the final per-query top-k (rank-filter window on the
+  * query key, never a global sort).
+  *
+  * Scale path: cell-partitioned search (IVF-style): corpus and queries
+  * carry a cell id (coarse quantizer / LSH bucket); the join is
+  * equi on the cell, cutting candidates by the cell fan-out. With a
+  * trained quantizer you'd probe the nearest `nprobe` cells — the
+  * plumbing is identical (explode query->probe cells, equi-join).
+  */
+object Similarity {
+
+  /** Brute-force exact top-k neighbors for each query row.
+    * `queries`/`corpus`: (id, vec). Self-matches excluded.
+    */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.toDF("query_id", "q_vec")
+    val c = corpus.toDF("vec_id", "c_vec")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  /** Cell-partitioned (IVF-style) top-k: only corpus rows sharing the
+    * query's cell are scored. `queries`/`corpus`: (id, vec, cell).
+    */
+  def knnByCell(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.toDF("query_id", "q_vec", "cell")
+    val c = corpus.toDF("vec_id", "c_vec", "cell")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cell"), col("rk"), col("vec_id"), col("cos"))
+  }
+}

@@ -3,33 +3,105 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.Dedup
 
-/** Deduplication operators (north-star contract): exact first; the
-  * MinHash/SimHash/Jaccard/embedding family follows in
-  * [[graft.operators.Dedup]].
+/** Deduplication operators (north-star contract): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine — implementations in
+  * [[graft.operators.Dedup]], oracles restate the identical md5-based
+  * hash families in DuckDB dialect (see [[graft.functions.TextFns]]
+  * scaladoc for the portable-hashing convention).
   */
 object DedupOps extends QuerySet {
+
+  /** Shared oracle CTE prefix: words and 3-gram shingles. */
+  private val shinglesCte =
+    """WITH W AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      |  FROM documents),
+      |S AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+      |  ELSE list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
+      |  FROM W),
+      |M AS (SELECT doc_id,
+      |  list_transform(range(0,16), i -> list_min(list_transform(sh, s2 -> md5(i::VARCHAR || ':' || s2)))) AS sig
+      |  FROM S),
+      |B AS (SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+      |  FROM M, (SELECT unnest(range(0,4)) AS b)),
+      |C AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
+      |  FROM B a JOIN B c ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+      |  AND a.doc_id < c.doc_id GROUP BY 1, 2)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
     // --- Exact dedup: keep the first record per key in (ts, id) order.
-    // Hash-shuffle on the key, one window pass — at scale this is the
-    // standard `row_number()=1` pattern (no driver collect, skew handled
-    // by AQE).
     Q("d01_exact_dedup",
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id", $"event_type")
-          .orderBy($"ts_ns".asc, $"event_id".asc)
-        Tables.load(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+        Dedup.exactFirst(Tables.load(s, d, "events"),
+            Seq($"user_id", $"event_type"), Seq($"ts_ns".asc, $"event_id".asc))
           .select($"user_id", $"event_type", $"event_id".as("first_event_id"))
       },
       Some("""SELECT user_id, event_type, event_id AS first_event_id
              |FROM (SELECT user_id, event_type, event_id,
              |  row_number() OVER (PARTITION BY user_id, event_type
              |                     ORDER BY ts, event_id) AS rn
-             |  FROM events) WHERE rn = 1""".stripMargin))
+             |  FROM events) WHERE rn = 1""".stripMargin)),
+
+    // --- MinHash+LSH candidate pairs (shingle 3-grams, k=16, 4 bands x
+    // 4 rows). The join is equi on the band key — linear shuffle, no
+    // cross product.
+    Q("d02_minhash_lsh",
+      (s, d) => {
+        import s.implicits._
+        Dedup.minhashCandidates(Tables.load(s, d, "documents"),
+          $"doc_id", $"text", shingleN = 3, k = 16, bands = 4)
+      },
+      Some(s"""$shinglesCte
+              |SELECT doc_a, doc_b, n_shared_bands FROM C""".stripMargin)),
+
+    // --- SimHash 32-bit fingerprint per document.
+    Q("d03_simhash",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhash(Tables.load(s, d, "documents"), $"doc_id", $"text", bits = 32)
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents)
+             |SELECT doc_id, array_to_string(list_transform(range(1,33), j ->
+             |  CASE WHEN list_sum(list_transform(words,
+             |    w -> CASE WHEN substr(md5(w), j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+             |  THEN '1' ELSE '0' END), '') AS simhash
+             |FROM W""".stripMargin)),
+
+    // --- LSH candidates refined by exact shingle-set Jaccard.
+    Q("d04_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        Dedup.jaccardPairs(Tables.load(s, d, "documents"),
+          $"doc_id", $"text", shingleN = 3, k = 16, bands = 4, minSim = 0.3)
+      },
+      Some(s"""$shinglesCte
+              |SELECT doc_a, doc_b,
+              |round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+              |    / len(list_distinct(sa.sh || sb.sh))::DOUBLE, 6) AS jaccard
+              |FROM C JOIN S sa ON sa.doc_id = doc_a JOIN S sb ON sb.doc_id = doc_b
+              |WHERE round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+              |    / len(list_distinct(sa.sh || sb.sh))::DOUBLE, 6) >= 0.3""".stripMargin)),
+
+    // --- Embedding near-dup within a blocking cell (label as the cell).
+    Q("d05_embedding_neardup",
+      (s, d) => {
+        import s.implicits._
+        Dedup.embeddingPairs(Tables.load(s, d, "embeddings"),
+          $"vec_id", $"embedding", $"label", minCos = 0.3)
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+             |p AS (SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) /
+             |    (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+             |     sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT cell, id_a, id_b, cos FROM p WHERE cos > 0.3""".stripMargin))
   )
 }

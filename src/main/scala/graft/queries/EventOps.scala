@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream operators in batch form: sessionization
+  * (lag-gap-cumsum), event-time tumbling windows, as-of join. The
+  * streaming (Structured Streaming) equivalents live in
+  * [[graft.streaming]]; these batch forms are the DuckDB-verifiable
+  * surface. All event-time arithmetic uses the exact `ts_ns` long to
+  * sidestep ns->us truncation (see [[graft.Tables]]).
+  */
+object EventOps extends QuerySet {
+
+  private val GapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min session gap
+
+  val all: Seq[Q] = Seq(
+
+    // --- Sessionization: batch lag-gap-cumsum. One shuffle on user_id;
+    // both windows share the same partitioning so Spark plans a single
+    // exchange + sort.
+    Q("e01_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns".asc, $"event_id".asc)
+        Tables.load(s, d, "events")
+          .withColumn("new_sess",
+            when(lag($"ts_ns", 1).over(byUser).isNull ||
+                 $"ts_ns" - lag($"ts_ns", 1).over(byUser) > GapNs, 1).otherwise(0))
+          .withColumn("session_id",
+            sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min($"event_id").as("first_event"),
+               round(((max($"ts_ns") - min($"ts_ns")) / lit(1e9)), 3).as("duration_secs"))
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, epoch_ns(ts) AS tn,
+             |  CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+             |       OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+             |  THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |y AS (SELECT user_id, event_id, tn,
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tn, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM x)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |min(event_id) AS first_event,
+             |round((max(tn) - min(tn)) / 1e9, 3) AS duration_secs
+             |FROM y GROUP BY user_id, session_id""".stripMargin)),
+
+    // --- Event-time tumbling window (1 h) aggregation. Bucketing by
+    // integer division of the exact ns epoch — identical on both
+    // engines; at scale this is a single hash aggregation keyed by
+    // (bucket, type) with map-side partials.
+    Q("e02_hourly_windows",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .withColumn("hour_bucket", expr("ts_ns DIV 3600000000000"))
+          .groupBy($"hour_bucket", $"event_type")
+          .agg(count(lit(1)).as("n"),
+               round(sum($"value"), 2).as("sum_value"),
+               countDistinct($"user_id").as("n_users"))
+      },
+      Some("""SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+             |count(*) AS n, round(sum(value),2) AS sum_value,
+             |count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // --- As-of join: each purchase event matched to the customer's
+    // latest order at-or-before the event time. Spark lacks a batch
+    // as-of join; the rank-filter form keeps it an equi-join on the key
+    // (user_id) plus a per-event window — no cross product, scales with
+    // the per-key order count.
+    Q("e03_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.load(s, d, "events")
+          .filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val o = Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+        val w = Window.partitionBy($"event_id")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        ev.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"event_id", $"user_id", $"o_orderkey".as("last_orderkey"),
+            round($"o_totalprice", 2).as("last_price"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |j AS (SELECT ev.event_id, ev.user_id, o.o_orderkey, o.o_totalprice,
+             |  row_number() OVER (PARTITION BY ev.event_id
+             |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM ev LEFT JOIN orders o
+             |  ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.ts)
+             |SELECT event_id, user_id, o_orderkey AS last_orderkey,
+             |round(o_totalprice, 2) AS last_price
+             |FROM j WHERE rn = 1""".stripMargin))
+  )
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity-search operators over `embeddings.embedding:
+  * array<float>`: brute-force cosine top-k (exact baseline) and the
+  * IVF-style cell-partitioned variant (scale path). See
+  * [[graft.operators.Similarity]].
+  */
+object SimilarityOps extends QuerySet {
+
+  private val cosSql =
+    """round(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+      |  (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+      |   sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // --- Exact brute-force kNN: 5 query vectors vs the whole corpus;
+    // query side broadcast, corpus scanned once, rank-filter top-k.
+    Q("s01_knn_bruteforce",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        Similarity.knnBruteForce(
+          e.filter($"vec_id" < 5).select($"vec_id", $"embedding"),
+          e.select($"vec_id", $"embedding"), k = 5)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+              |sc AS (SELECT query_id, e.vec_id, e.v AS cv, qv FROM q JOIN e ON e.vec_id <> query_id),
+              |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
+              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 5""".stripMargin)),
+
+    // --- Cell-partitioned (IVF-style) kNN: the equi-join on the cell
+    // bounds candidates to one cell's corpus per query.
+    Q("s02_knn_by_cell",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        Similarity.knnByCell(
+          e.filter($"vec_id" < 20).select($"vec_id", $"embedding", $"label"),
+          e.select($"vec_id", $"embedding", $"label"), k = 3)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 20),
+              |sc AS (SELECT query_id, e.label, e.vec_id, e.v AS cv, qv
+              |  FROM q JOIN e USING (label) WHERE e.vec_id <> query_id),
+              |r AS (SELECT query_id, label AS cell, vec_id, $cosSql AS cos FROM sc),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
+              |SELECT query_id, cell, rk, vec_id, cos FROM rk WHERE rk <= 3""".stripMargin))
+  )
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFns
 
 /** Text-analysis operators for the training-data pipeline (builder
   * contract §north-star): token counting, quality scoring, language ID,
@@ -9,6 +10,8 @@ import graft.Tables
   * `documents` table, no UDFs.
   */
 object TextOps extends QuerySet {
+
+  private val stop = Seq("the", "a", "and", "of", "to", "is")
 
   val all: Seq[Q] = Seq(
 
@@ -30,6 +33,91 @@ object TextOps extends QuerySet {
              |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
              |CAST(length(text) AS BIGINT) AS n_char,
              |round(length(text) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4) AS chars_per_tok
+             |FROM documents""".stripMargin)),
+
+    // --- Quality scoring: stopword ratio, mean token length, length
+    // saturation, composite score. Heuristics follow common LLM-corpus
+    // filters (C4-style length/stopword gates).
+    Q("t02_quality_score",
+      (s, d) => {
+        import s.implicits._
+        val words = TextFns.tokens($"text")
+        val nTok = size(words).cast("double")
+        val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
+        val meanLen = aggregate(words, lit(0), (acc, w) => acc + length(w)).cast("double") / nTok
+        val lenSat = least(lit(1.0), nTok / lit(50.0))
+        Tables.load(s, d, "documents")
+          .select(
+            $"doc_id",
+            nTok.cast("long").as("n_tok"),
+            round(stopN / nTok, 6).as("stop_ratio"),
+            round(meanLen, 4).as("mean_tok_len"),
+            round(lenSat * 0.5 + (stopN / nTok) * 0.5, 6).as("quality"))
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |  CAST(len(words) AS DOUBLE) AS n_tok,
+             |  CAST(len(list_filter(words, w -> w IN ('the','a','and','of','to','is'))) AS DOUBLE) AS stop_n,
+             |  CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mean_len,
+             |  least(1.0, CAST(len(words) AS DOUBLE) / 50.0) AS len_sat
+             |  FROM W)
+             |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             |round(stop_n / n_tok, 6) AS stop_ratio,
+             |round(mean_len, 4) AS mean_tok_len,
+             |round(len_sat * 0.5 + (stop_n / n_tok) * 0.5, 6) AS quality
+             |FROM f""".stripMargin)),
+
+    // --- Language ID: stopword-marker voting (n-gram heuristic family).
+    // Deterministic tie order: en > de > fr > es.
+    Q("t03_langid",
+      (s, d) => {
+        import s.implicits._
+        val words = TextFns.tokens($"text")
+        def hits(ms: Seq[String]) =
+          size(filter(words, w => w.isin(ms: _*))).cast("long")
+        val en = hits(Seq("the", "and", "is", "of"))
+        val de = hits(Seq("der", "und", "ist", "das"))
+        val fr = hits(Seq("le", "et", "est", "la"))
+        val es = hits(Seq("el", "y", "es", "los"))
+        Tables.load(s, d, "documents")
+          .select($"doc_id", $"lang".as("labeled_lang"),
+            en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"), es.as("es_hits"),
+            when(en >= greatest(de, fr, es), "en")
+              .when(de >= greatest(fr, es), "de")
+              .when(fr >= es, "fr")
+              .otherwise("es").as("pred_lang"))
+      },
+      Some("""WITH W AS (SELECT doc_id, lang,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |h AS (SELECT doc_id, lang AS labeled_lang,
+             |  CAST(len(list_filter(words, w -> w IN ('the','and','is','of'))) AS BIGINT) AS en_hits,
+             |  CAST(len(list_filter(words, w -> w IN ('der','und','ist','das'))) AS BIGINT) AS de_hits,
+             |  CAST(len(list_filter(words, w -> w IN ('le','et','est','la'))) AS BIGINT) AS fr_hits,
+             |  CAST(len(list_filter(words, w -> w IN ('el','y','es','los'))) AS BIGINT) AS es_hits
+             |  FROM W)
+             |SELECT doc_id, labeled_lang, en_hits, de_hits, fr_hits, es_hits,
+             |CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+             |     WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+             |     WHEN fr_hits >= es_hits THEN 'fr'
+             |     ELSE 'es' END AS pred_lang
+             |FROM h""".stripMargin)),
+
+    // --- Content fingerprinting: md5 of the normalized text + coarse
+    // length bucket (the cheap exact-near-dup key).
+    Q("t04_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select($"doc_id",
+            md5(TextFns.normalizeText($"text")).as("fingerprint"),
+            floor(length($"text") / lit(100)).cast("long").as("len_bucket"))
+      },
+      Some("""SELECT doc_id,
+             |md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+             |CAST(floor(length(text) / 100.0) AS BIGINT) AS len_bucket
              |FROM documents""".stripMargin))
   )
 }
