@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns plus typed metadata, processed per-partition the way a real
+  * decoder library would be driven on a cluster.
+  *
+  * The actual codec is STUBBED (this container ships no image/audio
+  * libs — builder contract): [[DecodeStub.decode]] derives
+  * deterministic fake features from the bytes. The Spark-side plumbing
+  * is real and load-bearing:
+  *  - binary + metadata schema that parquet stores efficiently (binary
+  *    stays columnar, metadata prunable without touching payloads);
+  *  - per-partition batched processing (`mapPartitions`) — one decoder
+  *    instance per task, amortized across the partition, the same shape
+  *    a JNI/FFI codec binding needs;
+  *  - frame sampling producing an exploded (media_id, frame_idx, frame)
+  *    table — fan-out happens in the executor, never on the driver.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
+                           width: Int, height: Int, checksum: String)
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Stand-in for a real decoder binding. Deterministic in the payload
+    * bytes so tests and re-runs are stable. A production build replaces
+    * the body with the codec call (e.g. via a JNI binding loaded once
+    * per executor in the `mapPartitions` closure below).
+    */
+  object DecodeStub {
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = r.payload.length.toLong
+      // fake-but-deterministic "dimensions" from a rolling byte hash
+      val h = r.payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+      MediaFeatures(r.media_id, r.kind, len,
+        width = (math.abs(h) % 1920).toInt + 1,
+        height = (math.abs(h / 1920) % 1080).toInt + 1,
+        checksum = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.payload).map("%02x".format(_)).mkString)
+    }
+
+    /** Sample up to k evenly spaced "frames" (byte slices — a video
+      * codec would return decoded images here).
+      */
+    def sampleFrames(r: MediaRow, k: Int, frameBytes: Int): Iterator[Frame] = {
+      val n = math.min(k, math.max(1, r.payload.length / math.max(1, frameBytes)))
+      (0 until n).iterator.map { i =>
+        val off = (r.payload.length.toLong * i / n).toInt
+        Frame(r.media_id, i,
+          r.payload.slice(off, math.min(off + frameBytes, r.payload.length)))
+      }
+    }
+  }
+
+  /** Decode features per partition — decoder state initialized once per
+    * task, rows streamed through it (never materialize a partition).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real build: init codec/JNI context here, once per task
+      rows.map(DecodeStub.decode)
+    }
+  }
+
+  /** Frame sampling with executor-side fan-out. */
+  def sampleFrames(media: Dataset[MediaRow], k: Int, frameBytes: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.flatMap(DecodeStub.sampleFrames(_, k, frameBytes)))
+  }
+
+  /** Expression-only metadata pass (no decode): byte length, magic-
+    * prefix sniff, checksum. Stays in whole-stage codegen — use this
+    * for partition pruning before the expensive decode stage.
+    */
+  def binaryStats(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("byte_len"),
+      md5(col(binCol)).as("checksum"),
+      upper(hex(substring(col(binCol), 1, 4))).as("magic"))
+}

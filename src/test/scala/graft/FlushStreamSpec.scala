@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.FlushStream
+
+/** Streaming flush stage: AvailableNow drains a directory of bundles
+  * into a partitioned lake exactly once; restart re-ships nothing
+  * (checkpoint replaces the reference's lost-forever watchdog events —
+  * SURVEY §3c).
+  */
+class FlushStreamSpec extends SparkSpec {
+
+  test("flush drains collected bundles into date-partitioned parquet, exactly once") {
+    val collected = tmpDir("collected"); val dest = tmpDir("dest")
+    val ckpt = tmpDir("ckpt")
+    (1 to 3).foreach { i =>
+      val p = Paths.get(collected.toString, s"bundle$i.collected")
+      Files.write(p, (s"record-$i\n" * 10).getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L)
+    }
+    Files.write(Paths.get(collected.toString, "empty.collected"), Array.emptyByteArray)
+
+    def runOnce(): Unit = {
+      val q = FlushStream.flushToPartitionedLake(spark, collected.toString,
+        dest.toString, ckpt.toString, Trigger.AvailableNow())
+      q.awaitTermination(60000); ()
+    }
+    runOnce()
+    val out = spark.read.parquet(dest.toString)
+    assert(out.count() == 3) // empty bundle skipped
+    // mtime-derived partition columns exist and are populated
+    // partition values come back type-inferred (year=2023 -> int)
+    assert(out.select("year").distinct().collect().map(_.get(0).toString).toSeq == Seq("2023"))
+
+    runOnce() // restart with same checkpoint: no re-shipping
+    assert(spark.read.parquet(dest.toString).count() == 3)
+
+    // new bundle after restart is picked up incrementally
+    val p = Paths.get(collected.toString, "bundle4.collected")
+    Files.write(p, "late\n".getBytes("UTF-8"))
+    p.toFile.setLastModified(1700000000000L)
+    runOnce()
+    assert(spark.read.parquet(dest.toString).count() == 4)
+  }
+
+  test("streaming sessionization emits session windows with AvailableNow") {
+    import spark.implicits._
+    val src = tmpDir("events_src"); val ckpt = tmpDir("sess_ckpt")
+    Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val q = FlushStream.sessionized(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sessions")
+    assert(got.count() > 0)
+    assert(got.columns.contains("session_start") && got.columns.contains("n_events"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
+
+class MultimodalSpec extends SparkSpec {
+
+  def media(n: Int): Seq[MediaRow] =
+    (1 to n).map { i =>
+      MediaRow(i.toLong, if (i % 2 == 0) "image" else "audio",
+        Array.tabulate(100 + i * 13)(j => ((i * 31 + j) % 256).toByte))
+    }
+
+  test("feature extraction is deterministic and partition-parallel") {
+    import spark.implicits._
+    val ds = spark.createDataset(media(20)).repartition(4)
+    val f1 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)              // stub decode is deterministic
+    assert(f1.length == 20)
+    assert(f1.forall(f => f.width >= 1 && f.width <= 1920))
+    assert(f1.forall(f => f.byte_len > 100))
+  }
+
+  test("frame sampling fans out on executors with bounded k") {
+    import spark.implicits._
+    val ds = spark.createDataset(media(6))
+    val frames = Multimodal.sampleFrames(ds, k = 4, frameBytes = 50).collect()
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(_.media_id).values.forall(_.length <= 4))
+    assert(frames.forall(_.frame_bytes.length <= 50))
+  }
+
+  test("binaryStats exposes magic prefix without decoding") {
+    import spark.implicits._
+    val df = spark.createDataset(media(3)).toDF()
+    val stats = Multimodal.binaryStats(df, "media_id", "payload").collect()
+    assert(stats.length == 3)
+    assert(stats.forall(_.getAs[String]("magic").length == 8)) // 4 bytes hex
+  }
+}
