@@ -1,0 +1,219 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash-heavy dedup operators.
+  *
+  * The declarative forms in [[graft.functions.TextFns]] are built from
+  * higher-order functions (`transform`/`aggregate`), which Catalyst
+  * evaluates with per-element lambda-variable binding — fine for small
+  * arrays, but a MinHash signature touches k x |shingles| elements and
+  * the interpreter overhead dominates the md5 itself (measured: the
+  * whole documents table minhash ran minutes single-threaded at sf0.1).
+  * These expressions compute the IDENTICAL values (same salted-md5
+  * family, same lexicographic-min, same hex case) in tight loops with
+  * one reused MessageDigest per task. Oracles are unchanged.
+  *
+  * Codegen: `CodegenFallback` — the body is already a monolithic Java
+  * loop; whole-stage fusion would only save the row-boundary boxing.
+  */
+object HashExprs {
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[expressions] def md5Hex(digest: MessageDigest, bytes: Array[Byte]): Array[Byte] = {
+    digest.reset()
+    val d = digest.digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Lexicographic compare of two ascii byte arrays (hex digests are
+    * equal-length ascii, so unsigned byte order == string order).
+    */
+  private[expressions] def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      if (a(i) != b(i)) return (a(i) & 0xff) < (b(i) & 0xff)
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+/** `minhash_sig(shingles, k)`: array of k hex strings, element i =
+  * min over shingles of md5(i + ":" + shingle). Value-identical to
+  * TextFns.minhashSignature's declarative form.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  // one digest per thread: the same expression instance can be evaluated
+  // concurrently by several local-mode task threads
+  @transient private lazy val digestTL =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  @transient private lazy val saltBytes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => s"$i:".getBytes("UTF-8"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val digest = digestTL.get()
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val shingleBytes = new Array[Array[Byte]](n)
+    var j = 0
+    while (j < n) { shingleBytes(j) = arr.getUTF8String(j).getBytes; j += 1 }
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val salt = saltBytes(i)
+      var min: Array[Byte] = null
+      j = 0
+      while (j < n) {
+        val buf = new Array[Byte](salt.length + shingleBytes(j).length)
+        System.arraycopy(salt, 0, buf, 0, salt.length)
+        System.arraycopy(shingleBytes(j), 0, buf, salt.length, shingleBytes(j).length)
+        val h = HashExprs.md5Hex(digest, buf)
+        if (min == null || HashExprs.less(h, min)) min = h
+        j += 1
+      }
+      out(i) = if (min == null) UTF8String.EMPTY_UTF8 else UTF8String.fromBytes(min)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** `simhash_bits(words, bits)`: '0'/'1' string; bit j set iff
+  * sum over words of (+1 if hex digit j of md5(word) >= '8' else -1)
+  * is positive. One md5 per word (the declarative form pays one per
+  * word PER BIT). Value-identical to TextFns.simhashBits.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 32)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val digestTL =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val digest = digestTL.get()
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](bits)
+    var j = 0
+    while (j < arr.numElements()) {
+      val h = HashExprs.md5Hex(digest, arr.getUTF8String(j).getBytes)
+      var b = 0
+      while (b < bits) {
+        // hex chars: '0'-'9','a'-'f'; ascii >= '8' == high nibble bit
+        if ((h(b) & 0xff) >= '8') counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    val out = new Array[Byte](bits)
+    var b = 0
+    while (b < bits) { out(b) = if (counts(b) > 0) '1' else '0'; b += 1 }
+    UTF8String.fromBytes(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashBits = copy(child = c)
+  override def prettyName: String = "simhash_bits"
+}
+
+/** `cosine_sim(a, b)` over two `array<float>` columns: widens each
+  * element to double and folds dot/norms strictly left-to-right in ONE
+  * pass — bit-identical to the declarative
+  * dot(a,b)/(norm(a)*norm(b)) chain in [[graft.functions.VecFns]],
+  * which traverses the arrays five times through interpreted lambdas.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // trailing elements of the longer array still count toward its norm
+    // (zip_with pads with null -> declarative dot ignores them, but the
+    // declarative norms run over FULL arrays; replicate exactly)
+    var j = n
+    while (j < a.numElements()) { val x = a.getFloat(j).toDouble; na += x * x; j += 1 }
+    j = n
+    while (j < b.numElements()) { val y = b.getFloat(j).toDouble; nb += y * y; j += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** `jaccard_sim(a, b)` over two string arrays: |distinct(a) ∩
+  * distinct(b)| / |distinct(a) ∪ distinct(b)| as double — value-
+  * identical to size(array_intersect)/size(array_union) on
+  * array_distinct'ed inputs, in one hash-set pass instead of four
+  * interpreted array traversals.
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    i = 0
+    while (i < b.numElements()) { setB.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val it = setA.iterator()
+    while (it.hasNext) { if (setB.contains(it.next())) inter += 1 }
+    val union = setA.size() + setB.size() - inter
+    if (union == 0) null else inter.toDouble / union.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sim"
+}
+
+object NativeFns {
+  def minhash_sig(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+  def simhash_bits(words: Column, bits: Int): Column =
+    ColumnBridge.column(SimHashBits(ColumnBridge.expression(words), bits))
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def jaccard_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -35,9 +35,18 @@ object TextFns {
         i => concat_ws(" ", slice(words, i, lit(n)))))
 
   /** k-permutation MinHash signature: element i is the lexicographic min
-    * of `md5(i + ":" + shingle)` over all shingles.
+    * of `md5(i + ":" + shingle)` over all shingles. Dispatches to the
+    * native expression ([[graft.expressions.MinHashSig]]) — the
+    * declarative higher-order form below computes the identical value
+    * but pays per-element lambda interpretation, k x |shingles| times.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
+    graft.expressions.NativeFns.minhash_sig(shingleCol, k)
+
+  /** Declarative (built-ins only) MinHash — kept as the cross-check
+    * reference for the native expression; see MinHashParitySpec.
+    */
+  def minhashSignatureDeclarative(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleCol,
         s => md5(concat(i.cast("string"), lit(":"), s)))))
@@ -59,7 +68,13 @@ object TextFns {
     * its high bit set else -1) is positive. Returns a `bits`-char
     * '0'/'1' string (hex digest limits bits to 32).
     */
-  def simhashBits(words: Column, bits: Int = 32): Column = {
+  def simhashBits(words: Column, bits: Int = 32): Column =
+    graft.expressions.NativeFns.simhash_bits(words, bits)
+
+  /** Declarative SimHash (cross-check reference; one md5 per word PER
+    * BIT vs the native expression's one per word).
+    */
+  def simhashBitsDeclarative(words: Column, bits: Int = 32): Column = {
     require(bits >= 1 && bits <= 32, "md5 hex digest supplies at most 32 nibbles")
     array_join(
       transform(sequence(lit(1), lit(bits)),
@@ -71,9 +86,14 @@ object TextFns {
   }
 
   /** Exact Jaccard similarity of two token/shingle arrays (set
-    * semantics).
+    * semantics). Native one-pass expression; declarative reference
+    * below.
     */
-  def jaccardSim(a: Column, b: Column): Column = {
+  def jaccardSim(a: Column, b: Column): Column =
+    graft.expressions.NativeFns.jaccard_sim(a, b)
+
+  /** Declarative Jaccard (cross-check reference). */
+  def jaccardSimDeclarative(a: Column, b: Column): Column = {
     val da = array_distinct(a)
     val db = array_distinct(b)
     size(array_intersect(da, db)).cast("double") /

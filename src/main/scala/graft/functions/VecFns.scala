@@ -19,8 +19,17 @@ object VecFns {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity of two `array<float>` columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two `array<float>` columns. Native one-pass
+    * expression ([[graft.expressions.CosineSim]]); bit-identical to the
+    * declarative chain below (same widen-then-strict-left-fold).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.NativeFns.cosine_sim(a, b)
+
+  /** Declarative cosine (cross-check reference; five interpreted array
+    * traversals per row).
+    */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     val da = toDouble(a)
     val db = toDouble(b)
     dot(da, db) / (norm(da) * norm(db))

@@ -25,24 +25,42 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** doc_id -> exploded (band_idx, band_hash) LSH keys. */
-  def lshKeys(df: DataFrame, idCol: Column, textCol: Column,
-              shingleN: Int, k: Int, bands: Int): DataFrame = {
+  /** (doc_id, shingles) table, redistributed for compute parallelism.
+    *
+    * The repartition matters: a "small" documents table often arrives as
+    * ONE parquet split (file size < maxPartitionBytes), which would run
+    * the entire hash-heavy signature computation single-threaded — the
+    * input's file layout must not dictate the compute stage's
+    * parallelism. The table is persisted because candidate generation
+    * (self-join) and Jaccard refinement both consume it; without
+    * persistence each consumer re-tokenizes and re-shingles the corpus.
+    * At cluster scale, persist to an intermediate parquet instead and
+    * drop the round-robin shuffle once inputs arrive in many splits.
+    */
+  def shingleTable(df: DataFrame, idCol: Column, textCol: Column,
+                   shingleN: Int): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(idCol.as("doc_id"), textCol.as("_text"))
+      .repartition(par)
+      .select(col("doc_id"),
+        TextFns.shingles(TextFns.tokens(col("_text")), shingleN).as("sh"))
+      .persist()
+  }
+
+  /** (doc_id, band_idx, band_hash) LSH keys from a shingle table. */
+  def lshKeysFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sig = TextFns.minhashSignature(
-      TextFns.shingles(TextFns.tokens(textCol), shingleN), k)
-    df.select(idCol.as("doc_id"),
-        explode(TextFns.lshBands(sig, bands, rows)).as("band"))
+    val sig = TextFns.minhashSignature(col("sh"), k)
+    sh.select(col("doc_id"), explode(TextFns.lshBands(sig, bands, rows)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
 
-  /** Candidate near-duplicate pairs via MinHash LSH banding: pairs of
-    * ids sharing >= 1 band. Output: (doc_a, doc_b, n_shared_bands),
-    * doc_a < doc_b.
+  /** Candidate pairs (doc_a < doc_b, n_shared_bands) from a shingle
+    * table: equi-join on the band key — linear shuffle, no cross
+    * product.
     */
-  def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
-                        shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val keys = lshKeys(df, idCol, textCol, shingleN, k, bands)
+  def candidatesFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val keys = lshKeysFromShingles(sh, k, bands)
     val a = keys.toDF("doc_a", "band_idx", "band_hash")
     val b = keys.toDF("doc_b", "band_idx", "band_hash")
     a.join(b, Seq("band_idx", "band_hash"))
@@ -51,13 +69,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** LSH candidates refined with exact shingle-set Jaccard >= minSim. */
+  /** Candidate near-duplicate pairs via MinHash LSH banding. */
+  def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    candidatesFromShingles(shingleTable(df, idCol, textCol, shingleN), k, bands)
+
+  /** LSH candidates refined with exact shingle-set Jaccard >= minSim.
+    * Tokenization/shingling happens ONCE (shared shingle table feeds
+    * both the signature and the refinement join).
+    */
   def jaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    minSim: Double = 0.3): DataFrame = {
-    val sh = df.select(idCol.as("id"),
-      TextFns.shingles(TextFns.tokens(textCol), shingleN).as("sh"))
-    val cand = minhashCandidates(df, idCol, textCol, shingleN, k, bands)
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+    val cand = candidatesFromShingles(sh, k, bands)
     cand
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
@@ -81,11 +106,16 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: Column, vecCol: Column,
                      cellCol: Column, minCos: Double): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val e = df.select(idCol.as("id"), vecCol.as("v"), cellCol.as("cell"))
     val a = e.toDF("id_a", "v_a", "cell")
     val b = e.toDF("id_b", "v_b", "cell")
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
+      // redistribute the pair table before the compute-bound cosine:
+      // with fewer cells than cores the cell-join's output partitioning
+      // would cap parallelism at |cells|
+      .repartition(par)
       .withColumn("cos", round(VecFns.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") > minCos)
       .select(col("cell"), col("id_a"), col("id_b"), col("cos"))

@@ -24,8 +24,10 @@ object Similarity {
     * `queries`/`corpus`: (id, vec). Self-matches excluded.
     */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = queries.toDF("query_id", "q_vec")
-    val c = corpus.toDF("vec_id", "c_vec")
+    // corpus often arrives as one small split; spread the per-row cosine
+    val c = corpus.toDF("vec_id", "c_vec").repartition(par)
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
     val w = Window.partitionBy(col("query_id"))

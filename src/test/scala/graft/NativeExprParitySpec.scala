@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VecFns}
+
+/** The native Catalyst expressions must be VALUE-IDENTICAL to the
+  * declarative built-in forms (the DuckDB oracles restate the
+  * declarative forms, so any divergence breaks the correctness gate).
+  */
+class NativeExprParitySpec extends SparkSpec {
+
+  test("native minhash == declarative minhash") {
+    import spark.implicits._
+    val sh = TextFns.shingles(TextFns.tokens($"text"), 3)
+    val df = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id",
+        TextFns.minhashSignature(sh, 16).as("native"),
+        TextFns.minhashSignatureDeclarative(sh, 16).as("decl"))
+    assert(df.filter(not($"native" <=> $"decl")).count() == 0)
+  }
+
+  test("native simhash == declarative simhash") {
+    import spark.implicits._
+    val w = TextFns.tokens($"text")
+    val df = Tables.load(spark, sf0001, "documents")
+      .select(TextFns.simhashBits(w, 32).as("native"),
+        TextFns.simhashBitsDeclarative(w, 32).as("decl"))
+    assert(df.filter(not($"native" <=> $"decl")).count() == 0)
+  }
+
+  test("native jaccard == declarative jaccard") {
+    import spark.implicits._
+    val sh = TextFns.shingles(TextFns.tokens($"text"), 3)
+    val docs = Tables.load(spark, sf0001, "documents").select($"doc_id", sh.as("sh"))
+    val a = docs.toDF("ida", "sha").filter($"ida" % 7 === 0)
+    val b = docs.toDF("idb", "shb").filter($"idb" % 11 === 0)
+    val pairs = a.crossJoin(b)
+      .select(TextFns.jaccardSim($"sha", $"shb").as("native"),
+        TextFns.jaccardSimDeclarative($"sha", $"shb").as("decl"))
+    assert(pairs.filter(not($"native" <=> $"decl")).count() == 0)
+  }
+
+  test("native cosine == declarative cosine (bitwise)") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"), ($"vec_id" % 10).as("m"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"), ($"vec_id" % 10).as("m"))
+    val pairs = a.join(b, "m").filter($"id_a" < $"id_b").limit(5000)
+      .select(VecFns.cosine($"va", $"vb").as("native"),
+        VecFns.cosineDeclarative($"va", $"vb").as("decl"))
+    // bitwise equality, not approx — oracles depend on it
+    assert(pairs.filter(not($"native" <=> $"decl")).count() == 0)
+  }
+}
