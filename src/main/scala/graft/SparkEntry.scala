@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] =
     Seq(LakeOps, Relational, Relational2, DedupOps, TextOps,
-      SimilarityOps, EventOps, MediaOps)
+      SimilarityOps, EventOps, MediaOps, SketchOps)
 
   /** Flagship: end-to-end compaction semantics (scan -> mtime order ->
     * running-sum bundling -> manifest) on sf0.001; driver smoke-checks

@@ -134,4 +134,26 @@ object Compactor {
       .parquet(outputDir)
     manifest(withB, col("path"))
   }
+
+  /** Text-bundle variant with optional compression (reference W2 gzip
+    * handler, `core/gzipfile_handler.py:30-114`): one directory per
+    * bundle of concatenated record text, written through the codec.
+    * The reference targets the COMPRESSED size (re-stat every ~100 KB,
+    * overshooting by one check interval); a distributed writer can't
+    * observe compressed size mid-write either, so bundles are sized on
+    * uncompressed bytes — same practical contract (bounded bundles),
+    * documented divergence (SURVEY §2 W2).
+    */
+  def compactToText(inputDir: String, outputDir: String, targetBytes: Long,
+                    codec: Option[String] = Some("gzip"),
+                    glob: Option[String] = None)
+                   (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val files = Readers.wholeTextRecords(spark, inputDir, glob)
+    val withB = withBundleId(files, col("mtime"), Seq(col("path")),
+      col("size"), targetBytes)
+    val writer = withB.select(col(BundleCol), col("content").as("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy(BundleCol)
+    codec.fold(writer)(c => writer.option("compression", c)).text(outputDir)
+    manifest(withB, col("path"))
+  }
 }

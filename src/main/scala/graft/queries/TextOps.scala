@@ -105,6 +105,25 @@ object TextOps extends QuerySet {
              |     ELSE 'es' END AS pred_lang
              |FROM h""".stripMargin)),
 
+    // --- BPE-ish subword token counting: letter runs, digit runs, and
+    // single non-alnum marks counted separately (the GPT-2 pretokenizer
+    // family, reduced to a POSIX-portable regex both engines run
+    // identically).
+    Q("t05_bpe_token_count",
+      (s, d) => {
+        import s.implicits._
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+        Tables.load(s, d, "documents")
+          .select($"doc_id",
+            size(regexp_extract_all(lower($"text"), lit(pat), lit(0)))
+              .cast("long").as("n_subtok"),
+            size(split(trim($"text"), "\\s+")).cast("long").as("n_wstok"))
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subtok,
+             |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_wstok
+             |FROM documents""".stripMargin)),
+
     // --- Content fingerprinting: md5 of the normalized text + coarse
     // length bucket (the cheap exact-near-dup key).
     Q("t04_fingerprint",

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Compactor, Lineage, Skew}
+
+class SkewLineageSpec extends SparkSpec {
+
+  test("salted equi-join equals plain join") {
+    import spark.implicits._
+    val l = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val p = Tables.load(spark, sf0001, "part").select($"p_partkey", $"p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = l.join(p, Seq("l_partkey"))
+      .groupBy($"p_brand").agg(round(sum($"l_quantity"), 2).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedEquiJoin(l, p, "l_partkey", 8, $"l_orderkey")
+      .groupBy($"p_brand").agg(round(sum($"l_quantity"), 2).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf0001, "events")
+    val direct = e.groupBy($"event_type")
+      .agg(round(sum($"value"), 2).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(e, "event_type", "value", 16, $"event_id")
+      .select($"event_type", round($"sum_value", 2).as("s"), $"n")
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("observe metrics report collected counters") {
+    import spark.implicits._
+    val df = Lineage.observed(
+      Tables.load(spark, sf0001, "documents"), "collector", "n_chars")
+    // metrics attach to THIS DataFrame's execution — count() would spawn
+    // a different QueryExecution with its own (empty) metrics
+    val rows = df.collect().length
+    val m = df.queryExecution.observedMetrics("collector")
+    assert(m.getAs[Long]("collected_records") == rows)
+    assert(m.getAs[Long]("collected_bytes") > 0)
+  }
+
+  test("flush manifest appends and reads back by run") {
+    import spark.implicits._
+    val dir = tmpDir("manifest")
+    val mf = spark.createDataFrame(Seq((0L, 10L, 1000L), (1L, 7L, 900L)))
+      .toDF("bundle_id", "n_records", "total_bytes")
+    Lineage.appendFlushManifest(mf, dir.toString, "run1", "/lake/a")
+    Lineage.appendFlushManifest(mf, dir.toString, "run2", "/lake/b")
+    val back = Lineage.flushedBundles(spark, dir.toString)
+    assert(back.count() == 4)
+    assert(back.filter($"run_id" === "run2").count() == 2)
+  }
+
+  test("gzip text bundles round-trip (W2)") {
+    implicit val s = spark
+    import java.nio.file.{Files, Paths}
+    val in = tmpDir("gz_in"); val out = tmpDir("gz_out")
+    (1 to 12).foreach { i =>
+      val p = Paths.get(in.toString, s"r$i.json")
+      Files.write(p, s"""{"i":$i}""".getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 1000L)
+    }
+    val mf = Compactor.compactToText(in.toString, out.toString, 64L, Some("gzip"))
+    assert(mf.agg(sum("n_records")).collect()(0).getLong(0) == 12)
+    // .gz part files decode transparently on read
+    val back = spark.read.text(out.toString).count()
+    assert(back == 12)
+    val gzFiles = new java.io.File(out.toString).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.getName.endsWith(".gz"))
+    assert(gzFiles.nonEmpty)
+  }
+}
