@@ -205,6 +205,53 @@ case class JaccardSim(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sim"
 }
 
+/** `hyperplane_bucket(vec, nPlanes)`: sign-LSH bucket id for an
+  * `array<float>` embedding — bit p of the result is the sign of the
+  * dot product with pseudo-random hyperplane p. Hyperplanes are
+  * derived deterministically from md5("plane:<p>:<j>") (no RNG, no
+  * seed state — same plane family on every executor and every run).
+  * The coarse quantizer for IVF-style ANN: equal vectors always share
+  * a bucket; cosine-close vectors collide with probability
+  * 1 - theta/pi per plane.
+  */
+case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nPlanes >= 1 && nPlanes <= 30)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  // planes are a pure function of (p, j): md5 first 4 bytes -> [-1, 1)
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, j) =>
+      md.reset()
+      val h = md.digest(s"plane:$p:$j".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) |
+              ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+      v / 2147483648.0
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, arr.numElements())
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planes(p)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += arr.getFloat(j) * plane(j); j += 1 }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_bucket"
+}
+
 object NativeFns {
   def minhash_sig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
@@ -216,4 +263,6 @@ object NativeFns {
   def jaccard_sim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hyperplane_bucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), nPlanes, dim))
 }

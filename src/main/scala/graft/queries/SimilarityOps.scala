@@ -55,6 +55,21 @@ object SimilarityOps extends QuerySet {
               |r AS (SELECT query_id, label AS cell, vec_id, $cosSql AS cos FROM sc),
               |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
               |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
-              |SELECT query_id, cell, rk, vec_id, cos FROM rk WHERE rk <= 3""".stripMargin))
+              |SELECT query_id, cell, rk, vec_id, cos FROM rk WHERE rk <= 3""".stripMargin)),
+
+    // --- Sign-LSH ANN with Hamming-1 multi-probe (the scale path when
+    // no natural cell exists). No oracle: the bucket function hashes
+    // float dot-product signs, not restatable in DuckDB SQL — driver
+    // records the rows-only check.
+    Q("s03_knn_lsh",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        Similarity.knnHyperplaneLSH(
+          e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
+          e.select($"vec_id", $"embedding"),
+          k = 10, nPlanes = 4, dim = 64, multiProbe = true)
+      },
+      None)
   )
 }

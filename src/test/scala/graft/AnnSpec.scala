@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Hyperplane-LSH ANN: deterministic bucketing, and recall against the
+  * exact brute-force baseline (deterministic data -> recall is a fixed
+  * number, asserted with margin below the measured value).
+  */
+class AnnSpec extends SparkSpec {
+
+  private def queriesAndCorpus = {
+    import spark.implicits._
+    val e = Tables.load(spark, sf0001, "embeddings")
+    (e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
+     e.select($"vec_id", $"embedding"))
+  }
+
+  test("LSH buckets are deterministic across runs") {
+    import graft.expressions.NativeFns.hyperplane_bucket
+    import spark.implicits._
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", hyperplane_bucket($"embedding", 4, 64).as("b"))
+    val a = e.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = e.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet.size > 1) // planes actually split the corpus
+  }
+
+  test("multi-probe LSH reaches useful recall vs brute force") {
+    val (q, c) = queriesAndCorpus
+    val exact = Similarity.knnBruteForce(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.knnHyperplaneLSH(q, c, 10, nPlanes = 4,
+      dim = 64, multiProbe = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"recall@10 = $recall")
+    // measured 0.495 on this (uniformly random, clusterless) corpus —
+    // the worst case for sign-LSH; real embedding corpora cluster and
+    // recall rises with it. Floor guards against regressions, not SOTA.
+    assert(recall >= 0.45, s"recall@10 $recall below floor")
+    // and the candidate set actually shrank: approx must not simply
+    // return the brute-force result via full scan
+    assert(approx.size <= exact.size)
+  }
+}
