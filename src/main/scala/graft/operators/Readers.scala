@@ -30,11 +30,19 @@ object Readers {
 
   /** Whole-file text records in (mtime, path) order with per-file
     * lineage columns — the compaction-path record stream.
+    *
+    * `tolerant=true` maps the reference's per-file error isolation (O1:
+    * warn-and-continue on unreadable files, `collectors/local_lake.py:
+    * 60-82`) to `ignoreCorruptFiles`/`ignoreMissingFiles` — a bad file
+    * skips, the scan survives.
     */
   def wholeTextRecords(spark: SparkSession, root: String,
-                       glob: Option[String] = None): DataFrame = {
-    val r = spark.read.option("wholetext", "true")
-    glob.fold(r)(g => r.option("pathGlobFilter", g)).text(root)
+                       glob: Option[String] = None,
+                       tolerant: Boolean = false): DataFrame = {
+    val base = spark.read.option("wholetext", "true")
+      .option("ignoreCorruptFiles", tolerant.toString)
+      .option("ignoreMissingFiles", tolerant.toString)
+    glob.fold(base)(g => base.option("pathGlobFilter", g)).text(root)
       .select(
         col("_metadata.file_path").as("path"),
         col("_metadata.file_modification_time").as("mtime"),

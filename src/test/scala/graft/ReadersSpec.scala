@@ -38,6 +38,28 @@ class ReadersSpec extends SparkSpec {
     assert(ordered.head == """{"i":1}""" && ordered.last == """{"i":5}""")
   }
 
+  test("tolerant scan skips corrupt files, strict scan fails (O1)") {
+    val in = tmpDir("corrupt_lake")
+    Files.write(Paths.get(in.toString, "ok.txt"), "good".getBytes("UTF-8"))
+    // a .gz with garbage bytes: codec selected by extension, decode fails
+    Files.write(Paths.get(in.toString, "bad.txt.gz"),
+      Array[Byte](0x1f, 0x0b, 1, 2, 3, 4))
+    val tolerant = Readers.wholeTextRecords(spark, in.toString, tolerant = true)
+    assert(tolerant.select("content").collect().map(_.getString(0)).toSeq == Seq("good"))
+    val strict = Readers.wholeTextRecords(spark, in.toString)
+    assertThrows[org.apache.spark.SparkException](strict.collect())
+  }
+
+  test("config validation rejects bad inputs at construction (O4)") {
+    import graft.operators.{CompactionConfig, FlushConfig}
+    assertThrows[IllegalArgumentException](CompactionConfig("", "/out", 100))
+    assertThrows[IllegalArgumentException](CompactionConfig("/in", "/out", 0))
+    assertThrows[IllegalArgumentException](
+      CompactionConfig("/in", "/out", 100, codec = Some("lz77")))
+    assertThrows[IllegalArgumentException](FlushConfig("/a", "/a", "/ck"))
+    assert(CompactionConfig("/in", "/out", 100, codec = Some("gzip")).targetBytes == 100)
+  }
+
   test("json lake parses typed records") {
     val in = tmpDir("jsonl_lake")
     Files.write(Paths.get(in.toString, "a.json"),
