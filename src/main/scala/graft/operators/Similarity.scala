@@ -34,7 +34,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
   }
 
   /** Sign-LSH ANN: bucket both sides with deterministic random-
@@ -64,7 +64,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
   }
 
   /** Cell-partitioned (IVF-style) top-k: only corpus rows sharing the
@@ -80,6 +80,6 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("query_id"), col("cell"), col("rk"), col("vec_id"), col("cos"))
+      .select(col("query_id"), col("cell"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
   }
 }

@@ -23,7 +23,7 @@ object Relational2 extends QuerySet {
         Tables.load(s, d, "orders")
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= 3)
-          .select($"o_custkey", $"rk", $"o_orderkey",
+          .select($"o_custkey", $"rk".cast("long").as("rk"), $"o_orderkey",
             round($"o_totalprice", 2).as("price"))
       },
       Some("""SELECT o_custkey, rk, o_orderkey, round(o_totalprice,2) AS price
@@ -173,6 +173,57 @@ object Relational2 extends QuerySet {
              |round(coalesce(lag(l_extendedprice, 1) OVER (PARTITION BY l_suppkey
              |  ORDER BY l_shipdate, l_orderkey, l_linenumber), 0.0),2) AS prev_price
              |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'""".stripMargin)),
+
+    // --- Full outer join of two aggregates (nation-level customer vs
+    // supplier presence; unmatched sides surface as zeros).
+    Q("q13_outer_join",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.load(s, d, "customer").groupBy($"c_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_customers"))
+        val sup = Tables.load(s, d, "supplier").groupBy($"s_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        c.join(sup, Seq("nk"), "full_outer")
+          .select($"nk",
+            coalesce($"n_customers", lit(0L)).as("n_customers"),
+            coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      },
+      Some("""SELECT coalesce(c.nk, s.nk) AS nk,
+             |coalesce(n_customers, 0) AS n_customers,
+             |coalesce(n_suppliers, 0) AS n_suppliers
+             |FROM (SELECT c_nationkey AS nk, count(*) AS n_customers
+             |      FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+             |      FROM supplier GROUP BY 1) s USING (nk)""".stripMargin)),
+
+    // --- RANGE window frame + analytic ranks: orders within the
+    // trailing 30 days per customer, dense_rank / percent_rank / ntile.
+    Q("q16_range_frame",
+      (s, d) => {
+        import s.implicits._
+        val withDay = Tables.load(s, d, "orders")
+          .withColumn("day", datediff($"o_orderdate", lit("1995-01-01").cast("date")))
+        val byDay = Window.partitionBy($"o_custkey").orderBy($"day")
+        val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        withDay
+          .withColumn("n_last_30d",
+            count(lit(1)).over(byDay.rangeBetween(-30, 0)))
+          .withColumn("price_rank", dense_rank().over(byPrice).cast("long"))
+          .withColumn("price_pctile", round(percent_rank().over(byPrice), 6))
+          .withColumn("quartile", ntile(4).over(byPrice).cast("long"))
+          .select($"o_orderkey", $"o_custkey", $"n_last_30d",
+            $"price_rank", $"price_pctile", $"quartile")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |count(*) OVER (PARTITION BY o_custkey ORDER BY day
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d,
+             |dense_rank() OVER wp AS price_rank,
+             |round(percent_rank() OVER wp, 6) AS price_pctile,
+             |ntile(4) OVER wp AS quartile
+             |FROM (SELECT *, datediff('day', DATE '1995-01-01',
+             |        CAST(o_orderdate AS DATE)) AS day FROM orders)
+             |WINDOW wp AS (PARTITION BY o_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)),
 
     // --- Conditional aggregation (promo revenue share) over a broadcast
     // join with the part dimension.

@@ -40,6 +40,10 @@ def main():
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
             fails += 1; continue
+        dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+              if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt:
+            print(f"WARN {name}: dtype mismatch {dt}")
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails += 1; continue
         bad = None
