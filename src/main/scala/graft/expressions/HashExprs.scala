@@ -139,6 +139,50 @@ case class SimHashBits(child: Expression, bits: Int)
   override def prettyName: String = "simhash_bits"
 }
 
+/** `word_shingles(text, n)`: lowercase, tokenize on non-[a-z0-9] runs,
+  * emit word n-gram shingles joined by single spaces; < n words ->
+  * one shingle of all words joined. Value-identical to the declarative
+  * chain `shingles(tokens(text), n)` (split-regex `[^a-z0-9]+` + filter
+  * empties + slice/concat_ws), fused into one pass — the declarative
+  * form allocates a slice array and interpreted concat per shingle.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val lower = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val words = new scala.collection.mutable.ArrayBuffer[String]()
+    val len = lower.length
+    var i = 0
+    while (i < len) {
+      while (i < len && !isTok(lower.charAt(i))) i += 1
+      val start = i
+      while (i < len && isTok(lower.charAt(i))) i += 1
+      if (i > start) words += lower.substring(start, i)
+    }
+    val out: Array[Any] =
+      if (words.length < n) Array(UTF8String.fromString(words.mkString(" ")))
+      else Array.tabulate(words.length - n + 1) { j =>
+        val sb = new java.lang.StringBuilder()
+        var t = 0
+        while (t < n) {
+          if (t > 0) sb.append(' ')
+          sb.append(words(j + t)); t += 1
+        }
+        UTF8String.fromString(sb.toString): Any
+      }
+    new GenericArrayData(out)
+  }
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 /** `cosine_sim(a, b)` over two `array<float>` columns: widens each
   * element to double and folds dot/norms strictly left-to-right in ONE
   * pass — bit-identical to the declarative
@@ -265,4 +309,6 @@ object NativeFns {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def hyperplane_bucket(vec: Column, nPlanes: Int, dim: Int): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), nPlanes, dim))
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 }

@@ -43,7 +43,7 @@ object Dedup {
     df.select(idCol.as("doc_id"), textCol.as("_text"))
       .repartition(par)
       .select(col("doc_id"),
-        TextFns.shingles(TextFns.tokens(col("_text")), shingleN).as("sh"))
+        graft.expressions.NativeFns.word_shingles(col("_text"), shingleN).as("sh"))
       .persist()
   }
 
@@ -60,7 +60,9 @@ object Dedup {
     * product.
     */
   def candidatesFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
-    val keys = lshKeysFromShingles(sh, k, bands)
+    // persist the band keys: the self-join consumes them twice, and
+    // without the cache each side recomputes the full minhash pass
+    val keys = lshKeysFromShingles(sh, k, bands).persist()
     val a = keys.toDF("doc_a", "band_idx", "band_hash")
     val b = keys.toDF("doc_b", "band_idx", "band_hash")
     a.join(b, Seq("band_idx", "band_hash"))

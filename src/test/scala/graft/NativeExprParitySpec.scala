@@ -28,6 +28,21 @@ class NativeExprParitySpec extends SparkSpec {
     assert(df.filter(not($"native" <=> $"decl")).count() == 0)
   }
 
+  test("native word_shingles == declarative tokens+shingles") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    val df = Tables.load(spark, sf0001, "documents")
+      .select(NativeFns.word_shingles($"text", 3).as("native"),
+        TextFns.shingles(TextFns.tokens($"text"), 3).as("decl"))
+    assert(df.filter(not($"native" <=> $"decl")).count() == 0)
+    // edge shapes: empty, short, separator-heavy
+    val edge = Seq("", "one", "one two", "  --a__b   c-d  ", "ALL CAPS 42")
+      .toDF("text")
+      .select(NativeFns.word_shingles($"text", 3).as("native"),
+        TextFns.shingles(TextFns.tokens($"text"), 3).as("decl"))
+    assert(edge.filter(not($"native" <=> $"decl")).count() == 0)
+  }
+
   test("native jaccard == declarative jaccard") {
     import spark.implicits._
     val sh = TextFns.shingles(TextFns.tokens($"text"), 3)
