@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   private val sets: Seq[QuerySet] =
-    Seq(LakeOps, Relational, Relational2, DedupOps, TextOps,
+    Seq(LakeOps, Relational, Relational2, Relational3, DedupOps, TextOps,
       SimilarityOps, EventOps, MediaOps, SketchOps)
 
   /** Flagship: end-to-end compaction semantics (scan -> mtime order ->

@@ -56,6 +56,24 @@ class SkewLineageSpec extends SparkSpec {
     assert(back.filter($"run_id" === "run2").count() == 2)
   }
 
+  test("binned range join equals plain non-equi join") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val base = lit("1995-01-01").cast("date")
+    val o = Tables.load(spark, sf0001, "orders")
+    val pts = o.select($"o_orderkey".as("pk"),
+      datediff($"o_orderdate", base).cast("long").as("pday"))
+    val ivs = o.select($"o_orderkey".as("ik"),
+      (datediff($"o_orderdate", base).cast("long") - 15).as("lo"),
+      datediff($"o_orderdate", base).cast("long").as("hi"))
+    val binned = RangeJoin.pointInInterval(pts, ivs, col("pday"), col("lo"), col("hi"), 7L)
+      .select($"pk", $"ik").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pts.join(ivs, $"pday" >= $"lo" && $"pday" <= $"hi")
+      .select($"pk", $"ik").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == plain)
+    assert(binned.nonEmpty)
+  }
+
   test("gzip text bundles round-trip (W2)") {
     implicit val s = spark
     import java.nio.file.{Files, Paths}
