@@ -55,9 +55,15 @@ object Compactor {
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
+    // Persisted: three phases (quantile sketch, bucket totals, final
+    // window) each consume this projection; without the persist each
+    // phase re-scans the source. The projection is narrow (order key +
+    // size + tie-breakers) — at 100M files that's a few GB cluster-wide,
+    // far cheaper than three source scans.
     val ordered = df
       .withColumn("_ord", primaryOrder.cast("double"))
       .withColumn("_sz", coalesce(sizeCol.cast("long"), lit(0L)))
+      .persist()
 
     // Phase 1: deterministic range boundaries (one scan, driver gets b-1 doubles).
     val probes = (1 until b).map(_.toDouble / b).toArray
