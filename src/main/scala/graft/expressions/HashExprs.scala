@@ -296,6 +296,42 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int)
   override def prettyName: String = "hyperplane_bucket"
 }
 
+/** `nearest_centroid(vec)`: index of the centroid (rows of `centroids`)
+  * with maximal cosine similarity to the `array<float>` input; ties
+  * break to the lowest index. Centroids ride inside the expression
+  * (plan-serialized to every task — k x dim doubles, a few KB).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val norms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(cen.length, arr.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += arr.getFloat(j) * cen(j); j += 1 }
+      val score = if (norms(c) == 0.0) Double.NegativeInfinity else dot / norms(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid"
+}
+
 object NativeFns {
   def minhash_sig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
@@ -311,4 +347,6 @@ object NativeFns {
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), nPlanes, dim))
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
 }

@@ -67,6 +67,75 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
   }
 
+  /** Deterministic IVF training (k-means-lite): seeds are the k
+    * lowest-id vectors; `iters` Lloyd rounds of assign-by-max-cosine +
+    * per-dimension mean. Centroids are rounded to 6 decimals each round
+    * so parallel-summation ulp noise can't flip near-tie assignments
+    * between runs. Per round: one pass over the corpus for assignment
+    * (NearestCentroid rides in the plan, no join) and one
+    * posexplode+groupBy for means (|corpus| x dim rows, keyed by
+    * (cell, dim) — fully parallel). Returns the trained centroids.
+    */
+  def trainIvfCentroids(corpus: DataFrame, k: Int, iters: Int,
+                        dim: Int): Array[Array[Double]] = {
+    import graft.expressions.NativeFns.nearest_centroid
+    val c = corpus.toDF("vec_id", "vec")
+    var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val assigned = c.withColumn("cell", nearest_centroid(col("vec"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect()
+      val next = Array.tabulate(k, dim)((cell, d) => 0.0)
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      // empty cells keep their previous centroid (standard Lloyd fix)
+      val gotRows = means.map(_.getInt(0)).toSet
+      (0 until k).filterNot(gotRows).foreach(cell => next(cell) = centroids(cell))
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF search: train (or take) centroids, assign corpus cells once,
+    * probe each query's `nprobe` nearest cells.
+    */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+             nCells: Int = 16, iters: Int = 2, dim: Int = 64,
+             nprobe: Int = 2,
+             trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.expressions.NativeFns.nearest_centroid
+    val centroids = trained.getOrElse(trainIvfCentroids(corpus, nCells, iters, dim))
+    val c = corpus.toDF("vec_id", "c_vec")
+      .withColumn("cell", nearest_centroid(col("c_vec"), centroids))
+    // nprobe probe cells per query: rank all centroids by cosine on the
+    // driver-free path — reuse NearestCentroid per probe by masking is
+    // awkward; with k<=64 cells just explode scores via a small join
+    val cents = corpus.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    ).toDF("cell", "cent")
+    val q0 = queries.toDF("query_id", "q_vec")
+    val probes = q0.crossJoin(broadcast(cents))
+      .withColumn("score", VecFns.cosine(col("q_vec"),
+        transform(col("cent"), x => x.cast("float"))))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cell").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
+  }
+
   /** Cell-partitioned (IVF-style) top-k: only corpus rows sharing the
     * query's cell are scored. `queries`/`corpus`: (id, vec, cell).
     */

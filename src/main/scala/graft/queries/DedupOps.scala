@@ -88,6 +88,30 @@ object DedupOps extends QuerySet {
               |WHERE round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
               |    / len(list_distinct(sa.sh || sb.sh))::DOUBLE, 6) >= 0.3""".stripMargin)),
 
+    // --- Edit-distance refinement of LSH candidates: levenshtein over
+    // normalized 80-char prefixes (bounded DP cost per pair; the
+    // candidate set keeps the pair count linear).
+    Q("d06_edit_distance",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TextFns
+        val docs = Tables.load(s, d, "documents")
+        val norm = docs.select($"doc_id",
+          substring(TextFns.normalizeText($"text"), 1, 80).as("prefix"))
+        Dedup.minhashCandidates(docs, $"doc_id", $"text")
+          .join(norm.toDF("doc_a", "pref_a"), "doc_a")
+          .join(norm.toDF("doc_b", "pref_b"), "doc_b")
+          .select($"doc_a", $"doc_b",
+            levenshtein($"pref_a", $"pref_b").cast("long").as("edit_dist"))
+      },
+      Some(s"""$shinglesCte,
+              |N AS (SELECT doc_id,
+              |  substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 80) AS prefix
+              |  FROM documents)
+              |SELECT doc_a, doc_b,
+              |CAST(levenshtein(na.prefix, nb.prefix) AS BIGINT) AS edit_dist
+              |FROM C JOIN N na ON na.doc_id = doc_a JOIN N nb ON nb.doc_id = doc_b""".stripMargin)),
+
     // --- Embedding near-dup within a blocking cell (label as the cell).
     Q("d05_embedding_neardup",
       (s, d) => {

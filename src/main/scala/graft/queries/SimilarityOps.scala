@@ -61,6 +61,17 @@ object SimilarityOps extends QuerySet {
     // no natural cell exists). No oracle: the bucket function hashes
     // float dot-product signs, not restatable in DuckDB SQL — driver
     // records the rows-only check.
+    Q("s04_knn_ivf",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        Similarity.knnIvf(
+          e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
+          e.select($"vec_id", $"embedding"),
+          k = 10, nCells = 16, iters = 2, dim = 64, nprobe = 3)
+      },
+      None),
+
     Q("s03_knn_lsh",
       (s, d) => {
         import s.implicits._

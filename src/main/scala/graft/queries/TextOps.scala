@@ -124,6 +124,27 @@ object TextOps extends QuerySet {
              |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_wstok
              |FROM documents""".stripMargin)),
 
+    // --- Array-function coverage: sorted distinct vocabulary slice per
+    // document (array_distinct/array_sort/slice/array_join vs DuckDB
+    // list_distinct/list_sort/slice/array_to_string).
+    Q("t07_vocab_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val words = TextFns.tokens($"text")
+        Tables.load(s, d, "documents")
+          .select($"doc_id",
+            size(array_distinct(words)).cast("long").as("vocab_size"),
+            array_join(slice(array_sort(array_distinct(words)), 1, 5), " ")
+              .as("first_vocab"))
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents)
+             |SELECT doc_id,
+             |CAST(len(list_distinct(words)) AS BIGINT) AS vocab_size,
+             |array_to_string(list_sort(list_distinct(words))[1:5], ' ') AS first_vocab
+             |FROM W""".stripMargin)),
+
     // --- Content fingerprinting: md5 of the normalized text + coarse
     // length bucket (the cheap exact-near-dup key).
     Q("t04_fingerprint",

@@ -27,6 +27,25 @@ class AnnSpec extends SparkSpec {
     assert(a.values.toSet.size > 1) // planes actually split the corpus
   }
 
+  test("trained IVF with nprobe reaches useful recall vs brute force") {
+    val (q, c) = queriesAndCorpus
+    val exact = Similarity.knnBruteForce(q, c, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnIvf(q, c, 10, nCells = 16, iters = 2,
+      dim = 64, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall")
+    assert(recall >= 0.3, s"IVF recall@10 $recall below floor")
+  }
+
+  test("IVF training is deterministic") {
+    val (_, c) = queriesAndCorpus
+    val a = Similarity.trainIvfCentroids(c, 8, 2, 64)
+    val b = Similarity.trainIvfCentroids(c, 8, 2, 64)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("multi-probe LSH reaches useful recall vs brute force") {
     val (q, c) = queriesAndCorpus
     val exact = Similarity.knnBruteForce(q, c, 10).collect()
