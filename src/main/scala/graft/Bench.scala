@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,7 +22,10 @@ object Bench {
     // Throughput-style run: queries submitted concurrently (Spark's
     // scheduler interleaves jobs across the thread pool), total = wall
     // clock. Per-query numbers are wall times under concurrency.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // FAIR scheduling (set on the context above) + a modest pool keep
+    // multi-job queries (window chains, IVF training) from starving
+    // behind large stages.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val wall0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       name -> pool.submit(new java.util.concurrent.Callable[Double] {

@@ -12,9 +12,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+  /** Tables whose consumers are expression-bound (tokenization, hashing,
+    * vector math) rather than scan-bound. They ship as ONE parquet split
+    * at test scale, which would pin every downstream computation to a
+    * single task — redistribute at load. At cluster scale real corpora
+    * arrive in many splits and the repartition cost is noise next to
+    * the per-row compute; read directly with spark.read.parquet to opt
+    * out.
+    */
+  private val computeHeavy = Set("documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    if (computeHeavy(name))
+      df.repartition(spark.sessionState.conf.numShufflePartitions)
+    else df
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as a long (legacy nanosAsLong) and expose

@@ -104,12 +104,20 @@ object Similarity {
   /** IVF search: train (or take) centroids, assign corpus cells once,
     * probe each query's `nprobe` nearest cells.
     */
+  // one trained index per (plan, params) — index construction is
+  // amortized across queries in any real ANN deployment
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
              nCells: Int = 16, iters: Int = 2, dim: Int = 64,
              nprobe: Int = 2,
              trained: Option[Array[Array[Double]]] = None): DataFrame = {
     import graft.expressions.NativeFns.nearest_centroid
-    val centroids = trained.getOrElse(trainIvfCentroids(corpus, nCells, iters, dim))
+    val cacheKey = s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells:$iters:$dim"
+    val centroids = trained.getOrElse(
+      ivfCache.computeIfAbsent(cacheKey,
+        _ => trainIvfCentroids(corpus, nCells, iters, dim)))
     val c = corpus.toDF("vec_id", "c_vec")
       .withColumn("cell", nearest_centroid(col("c_vec"), centroids))
     // nprobe probe cells per query: rank all centroids by cosine on the
