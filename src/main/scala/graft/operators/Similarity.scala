@@ -85,13 +85,15 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = c.withColumn("cell", nearest_centroid(col("vec"), centroids))
+      // per-cell mean via the TypedImperativeAggregate: the shuffle
+      // carries one (dim+1)-double buffer per (cell, partition), not
+      // |corpus| x dim exploded rows
       val means = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(graft.expressions.VectorAvg.vector_avg(col("vec"), dim).as("m"))
         .collect()
       val next = Array.tabulate(k, dim)((cell, d) => 0.0)
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
       // empty cells keep their previous centroid (standard Lloyd fix)
       val gotRows = means.map(_.getInt(0)).toSet
       (0 until k).filterNot(gotRows).foreach(cell => next(cell) = centroids(cell))

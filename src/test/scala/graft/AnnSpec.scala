@@ -39,6 +39,25 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 $recall below floor")
   }
 
+  test("vector_avg aggregate equals exploded per-dim average") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val viaAgg = e.groupBy($"label")
+      .agg(graft.expressions.VectorAvg.vector_avg($"embedding", 64).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = e.select($"label", posexplode($"embedding").as(Seq("d", "x")))
+      .groupBy($"label", $"d").agg(avg($"x").as("m"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(r =>
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+      }
+    viaAgg.foreach { case (l, m) =>
+      assert(m == viaExplode(l), s"label $l mismatch")
+    }
+  }
+
   test("IVF training is deterministic") {
     val (_, c) = queriesAndCorpus
     val a = Similarity.trainIvfCentroids(c, 8, 2, 64)
