@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{Compactor, Lineage}
+import graft.streaming.FlushStream
+
+/** Full pipeline e2e (reference `tests/flushers/test_local_lake.py`
+  * shape): many small files -> compacted text bundles -> streaming
+  * flush into a partitioned lake -> lineage manifest. Asserts no
+  * record is lost across the whole chain and lineage covers every
+  * bundle.
+  */
+class PipelineE2ESpec extends SparkSpec {
+
+  test("compact -> flush -> lineage end to end, no records lost") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = tmpDir("e2e_lake"); val collected = tmpDir("e2e_collected")
+    val dest = tmpDir("e2e_dest"); val ckpt = tmpDir("e2e_ckpt")
+    val manifestDir = tmpDir("e2e_manifest")
+
+    // 1. a lake of 80 small json files with increasing mtimes
+    val bodies = (1 to 80).map { i =>
+      val body = s"""{"i":$i,"pad":"${"y" * (i % 53)}"}"""
+      val p = Paths.get(lake.toString, f"part$i%03d.json")
+      Files.write(p, body.getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 500L)
+      body
+    }
+
+    // 2. collector stage: size-bundled text output ("collected" dir)
+    val manifest = Compactor.compactToText(
+      lake.toString, collected.toString, targetBytes = 600L, codec = None)
+    val nBundles = manifest.count()
+    assert(nBundles > 1, "expected multiple bundles")
+    assert(manifest.agg(sum($"n_records")).collect()(0).getLong(0) == 80)
+
+    // 3. flusher stage: stream the collected bundles to the lake
+    val q = FlushStream.flushToPartitionedLake(
+      spark, collected.toString, dest.toString, ckpt.toString,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    // 4. lineage: record the manifest for this run, read it back
+    Lineage.appendFlushManifest(manifest, manifestDir.toString, "e2e-run", dest.toString)
+    val lineage = Lineage.flushedBundles(spark, manifestDir.toString)
+    assert(lineage.count() == nBundles)
+
+    // 5. chain invariant: every source record text survives to the dest
+    val shipped = spark.read.parquet(dest.toString)
+      .select($"content").as[String].collect().flatMap(_.split("\n")).toSet
+    assert(bodies.toSet.subsetOf(shipped), "records lost in flight")
+  }
+}
