@@ -6,8 +6,12 @@ import graft.Tables
 /** Relational parity queries over the TPC-H-ish star schema (SURVEY
   * §2.6-2.10: categories absent from the reference, supplied by Spark
   * built-ins). Each is a declarative DataFrame program — Catalyst gets
-  * full freedom for pushdown/pruning/join selection; small dimensions are
-  * broadcast explicitly where the stats might not prove it.
+  * full freedom for pushdown/pruning/join selection. Broadcast policy:
+  * explicit hints ONLY for fixed-cardinality dimensions (region: 5
+  * rows, nation: 25 — size-independent of SF); every table that scales
+  * with the data (customer, supplier, part, orders) is left to
+  * AQE/CBO, which broadcasts when runtime stats allow and falls back
+  * to shuffle joins at 100 TB where a forced hint would OOM.
   */
 object Relational extends QuerySet {
 
@@ -44,9 +48,9 @@ object Relational extends QuerySet {
              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
-    // --- 3-way join + agg + top-k. Customer filter is pushed to the scan;
-    // the filtered customer side is broadcast (no shuffle of the fact
-    // tables on the customer key).
+    // --- 3-way join + agg + top-k. Customer filter is pushed to the
+    // scan; join strategies left to AQE (the filtered sides broadcast
+    // at small SF, shuffle at scale).
     Q("q03_top_orders",
       (s, d) => {
         import s.implicits._
@@ -54,7 +58,7 @@ object Relational extends QuerySet {
         val c = Tables.load(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
         val o = Tables.load(s, d, "orders").filter($"o_orderdate" < cut)
         val l = Tables.load(s, d, "lineitem").filter($"l_shipdate" > cut)
-        l.join(broadcast(o.join(broadcast(c), $"o_custkey" === $"c_custkey")),
+        l.join(o.join(c, $"o_custkey" === $"c_custkey"),
             $"l_orderkey" === $"o_orderkey")
           .groupBy($"l_orderkey", $"o_orderdate".cast("date").as("orderdate"), $"o_orderpriority")
           .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
@@ -71,9 +75,9 @@ object Relational extends QuerySet {
              |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
              |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
 
-    // --- 6-way join through region->nation->(customer,supplier) with the
-    // same-nation constraint; all dimensions broadcast, single shuffle on
-    // the groupBy key.
+    // --- 6-way join through region->nation->(customer,supplier) with
+    // the same-nation constraint; fixed-size dims (nation/region)
+    // broadcast-hinted, scaling tables AQE-decided.
     Q("q05_region_volume",
       (s, d) => {
         import s.implicits._
@@ -83,9 +87,9 @@ object Relational extends QuerySet {
         val sup = Tables.load(s, d, "supplier")
         val o = Tables.load(s, d, "orders")
         val l = Tables.load(s, d, "lineitem")
-        l.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        l.join(sup, $"l_suppkey" === $"s_suppkey")
           .join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(cJ), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+          .join(cJ, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
           .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .groupBy($"n_name")

@@ -232,7 +232,7 @@ object Relational2 extends QuerySet {
         import s.implicits._
         val l = Tables.load(s, d, "lineitem")
         val p = Tables.load(s, d, "part")
-        l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        l.join(p, $"l_partkey" === $"p_partkey")
           .agg(round(
             sum(when($"p_type" === "PROMO", $"l_extendedprice" * (lit(1) - $"l_discount"))
               .otherwise(0.0)) * 100.0 /
@@ -250,7 +250,7 @@ object Relational2 extends QuerySet {
         import s.implicits._
         val l = Tables.load(s, d, "lineitem")
         val p = Tables.load(s, d, "part")
-        l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        l.join(p, $"l_partkey" === $"p_partkey")
           .groupBy($"p_brand")
           .agg(countDistinct($"l_suppkey").as("n_suppliers"),
                countDistinct($"l_orderkey").as("n_orders"))
@@ -270,7 +270,7 @@ object Relational2 extends QuerySet {
         val l = Tables.load(s, d, "lineitem")
         val avgQ = l.groupBy($"l_partkey".as("ap_partkey"))
           .agg(avg($"l_quantity").as("avg_qty"))
-        l.join(broadcast(avgQ), $"l_partkey" === $"ap_partkey")
+        l.join(avgQ, $"l_partkey" === $"ap_partkey")
           .filter($"l_quantity" < $"avg_qty" * 0.5)
           .agg(round(sum($"l_extendedprice"), 2).as("small_qty_revenue"),
                count(lit(1)).as("n_lines"))
