@@ -74,6 +74,19 @@ object FlushStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("first_event"))
 
+  /** Streaming exact dedup by key with bounded state — the streaming
+    * twin of batch `d01_exact_dedup` and the first stage of a streaming
+    * training-data pipeline. `dropDuplicatesWithinWatermark` keeps
+    * per-key state only until the watermark passes, so state size is
+    * bounded by the key arrival rate x watermark window (an unbounded
+    * `dropDuplicates` would leak state forever on a 100 TB stream).
+    */
+  def dedupedStream(events: DataFrame, keys: Seq[String],
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming hourly tumbling-window counts (twin of e02). */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

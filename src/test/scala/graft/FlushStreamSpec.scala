@@ -10,6 +10,8 @@ import graft.streaming.FlushStream
   * (checkpoint replaces the reference's lost-forever watchdog events —
   * SURVEY §3c).
   */
+case class Ev(user_id: Long, value: Double)
+
 class FlushStreamSpec extends SparkSpec {
 
   test("flush drains collected bundles into date-partitioned parquet, exactly once") {
@@ -64,6 +66,43 @@ class FlushStreamSpec extends SparkSpec {
     assert(got.count() > 0)
     // totals across closed windows match the batch count for those hours
     assert(got.agg(org.apache.spark.sql.functions.sum($"n")).collect()(0).getLong(0) > 0)
+  }
+
+  test("streaming dedup drops in-watermark duplicate keys") {
+    import spark.implicits._
+    val src = tmpDir("events_src3"); val ckpt = tmpDir("dd_ckpt")
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+    // duplicate every event -> stream should restore original count
+    ev.union(ev).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val q = graft.streaming.FlushStream
+      .dedupedStream(stream, Seq("event_id"), watermark = "10 days")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup").count() == ev.count())
+  }
+
+  test("typed Aggregator summarizes a Dataset field") {
+    import spark.implicits._
+    import graft.functions.TypedAggs
+    val ds = Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"value").as[Ev]
+    val agg = new TypedAggs.Summarize[Ev](_.value).toColumn
+    val got = ds.select(agg).collect()(0)
+    val expected = ds.agg(
+      org.apache.spark.sql.functions.count($"value"),
+      org.apache.spark.sql.functions.round(org.apache.spark.sql.functions.sum($"value"), 6),
+      org.apache.spark.sql.functions.min($"value"),
+      org.apache.spark.sql.functions.max($"value")).collect()(0)
+    assert(got.n == expected.getLong(0))
+    assert(math.abs(got.sum - expected.getDouble(1)) < 1e-4)
+    assert(got.min == expected.getDouble(2) && got.max == expected.getDouble(3))
   }
 
   test("streaming sessionization emits session windows with AvailableNow") {
