@@ -145,6 +145,29 @@ object TextOps extends QuerySet {
              |array_to_string(list_sort(list_distinct(words))[1:5], ' ') AS first_vocab
              |FROM W""".stripMargin)),
 
+    // --- Rolling-hash winnowing fingerprint: the 3 smallest md5s over
+    // all char 8-grams of the normalized text — robust to local edits
+    // (winnowing-lite / k-min sketch of the rolling window family).
+    Q("t08_winnow_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val norm = TextFns.normalizeText($"text")
+        val grams = transform(
+          sequence(lit(1), greatest(length(norm) - 7, lit(1))),
+          i => md5(norm.substr(i, lit(8))))
+        Tables.load(s, d, "documents")
+          .select($"doc_id",
+            array_join(slice(array_sort(grams), 1, 3), ",").as("winnow_fp"))
+      },
+      Some("""WITH N AS (SELECT doc_id,
+             |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+             |  FROM documents)
+             |SELECT doc_id,
+             |array_to_string(list_sort(list_transform(
+             |  range(1, greatest(length(norm) - 7, 1) + 1),
+             |  i -> md5(norm[i:i+7])))[1:3], ',') AS winnow_fp
+             |FROM N""".stripMargin)),
+
     // --- Content fingerprinting: md5 of the normalized text + coarse
     // length bucket (the cheap exact-near-dup key).
     Q("t04_fingerprint",
