@@ -46,6 +46,38 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions registers the rule on a session built with withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    // force a NEW session on the shared context so extensions apply
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extSpark = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      assert(extSpark ne prior, "expected a fresh session")
+      import extSpark.implicits._
+      val base = lit("1995-01-01").cast("date")
+      val o = extSpark.read.parquet(s"$sf0001/orders.parquet")
+      val pts = o.select($"o_orderkey".as("pk"),
+        datediff($"o_orderdate", base).cast("long").as("pday"))
+      val ivs = o.select($"o_orderkey".as("ik"),
+        (datediff($"o_orderdate", base).cast("long") - 15).as("lo"),
+        datediff($"o_orderdate", base).cast("long").as("hi"))
+      val df = pts.join(ivs, $"pday" >= $"lo" && $"pday" <= $"hi").select($"pk", $"ik")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"extension rule did not fire:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
+
   test("joins with an existing equi key are left untouched") {
     import spark.implicits._
     val (pts, ivs) = pointsAndIntervals
