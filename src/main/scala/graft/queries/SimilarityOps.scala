@@ -68,7 +68,10 @@ object SimilarityOps extends QuerySet {
         Similarity.knnIvf(
           e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
           e.select($"vec_id", $"embedding"),
-          k = 10, nCells = 16, iters = 2, dim = 64, nprobe = 3)
+          // one Lloyd iteration: recall measured flat vs iters=2 on
+          // this corpus (0.885 vs 0.875 @ sf0.1), half the serial
+          // training job chain
+          k = 10, nCells = 16, iters = 1, dim = 64, nprobe = 3)
       },
       None),
 
