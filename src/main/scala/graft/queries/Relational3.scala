@@ -44,6 +44,48 @@ object Relational3 extends QuerySet {
              |  FROM documents)
              |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin)),
 
+    // --- Correlated scalar subquery (SQL surface): Catalyst
+    // decorrelates it into the aggregate-join q17 builds by hand.
+    Q("q23_correlated_subquery",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT round(sum(l_extendedprice), 2) AS small_qty_revenue,
+                |count(*) AS n_lines
+                |FROM lineitem l1
+                |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                |                    FROM lineitem l2
+                |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+      },
+      Some("""SELECT round(sum(l_extendedprice), 2) AS small_qty_revenue,
+             |count(*) AS n_lines
+             |FROM lineitem l1
+             |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+             |                    FROM lineitem l2
+             |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)),
+
+    // --- first_value/last_value over a full-partition frame.
+    Q("q24_first_last_order",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.load(s, d, "orders")
+          .select($"o_custkey",
+            first($"o_orderkey").over(w).as("first_order"),
+            last($"o_orderkey").over(w).as("last_order"),
+            round(first($"o_totalprice").over(w), 2).as("first_price"))
+          .distinct()
+      },
+      Some("""SELECT DISTINCT o_custkey,
+             |first_value(o_orderkey) OVER w AS first_order,
+             |last_value(o_orderkey) OVER w AS last_order,
+             |round(first_value(o_totalprice) OVER w, 2) AS first_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)),
+
     // --- Binned range join: orders of the same customer within 30 days
     // before each order (point-in-interval containment restored to an
     // equi join on day bins; see RangeJoin scaladoc).
