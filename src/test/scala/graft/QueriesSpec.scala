@@ -10,12 +10,15 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query with an oracle is registered and runnable") {
+  test("every query is registered, runnable, and non-degenerate") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
     qs.foreach { case (name, fn) =>
+      // an empty result passes any oracle while testing nothing — a
+      // degenerate filter (it happened: q10's first draft matched every
+      // customer) must fail loudly here
       val n = fn(spark, sf0001).count()
-      assert(n >= 0, s"$name failed")
+      assert(n >= 1, s"$name returned 0 rows — degenerate query")
     }
   }
 
