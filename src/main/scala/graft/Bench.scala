@@ -28,20 +28,26 @@ object Bench {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val wall0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> pool.submit(new java.util.concurrent.Callable[Double] {
-        def call(): Double = {
+      name -> pool.submit(new java.util.concurrent.Callable[(Double, Option[String])] {
+        def call(): (Double, Option[String]) = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          val err = try { fn(spark, sfDir).count(); None }
+                    catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+          ((System.nanoTime() - t0) / 1e9, err)
         }
       })
     }
     val results = futures.map { case (n, f) => n -> f.get() }
     pool.shutdown()
     val total = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries report negative elapsed (sentinel) + an errors map,
+    // so a broken query can never masquerade as a fast one
+    val qs = results.map { case (k, (v, err)) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) v else -v)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, Some(e))) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

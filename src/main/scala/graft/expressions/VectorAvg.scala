@@ -58,8 +58,12 @@ case class VectorAvgAgg(
       val out = new Array[Any](dim)
       var j = 0
       while (j < dim) {
-        out(j) = BigDecimal(buf(j) / n).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble
+        val m = buf(j) / n
+        // BigDecimal(NaN/Inf) throws; pass non-finite means through raw —
+        // they carry no ulp noise for the rounding to absorb anyway
+        out(j) = if (java.lang.Double.isFinite(m))
+          BigDecimal(m).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else m
         j += 1
       }
       new GenericArrayData(out)

@@ -51,6 +51,17 @@ object Compactor {
     */
   def withBundleId(df: DataFrame, primaryOrder: Column, tieBreakers: Seq[Column],
                    sizeCol: Column, targetBytes: Long, buckets: Int = 0): DataFrame = {
+    val (res, cached) = bundleIdPhases(df, primaryOrder, tieBreakers, sizeCol,
+      targetBytes, buckets)
+    // registered, not leaked: Caches.release() is the cleanup hook for
+    // long-lived sessions (the end-to-end paths below release per-call)
+    Caches.track(cached)
+    res
+  }
+
+  private def bundleIdPhases(df: DataFrame, primaryOrder: Column,
+                             tieBreakers: Seq[Column], sizeCol: Column,
+                             targetBytes: Long, buckets: Int): (DataFrame, DataFrame) = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
@@ -93,12 +104,13 @@ object Compactor {
     val w = Window.partitionBy(col("_bucket"))
       .orderBy((primaryOrder +: tieBreakers): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
+    val res = bucketed
       .join(broadcast(offsetsDf), "_bucket")
       .withColumn("_prefix", coalesce(sum(col("_sz")).over(w), lit(0L)) + col("_offset"))
       .withColumn(BundleCol, floor(col("_prefix") / lit(targetBytes)))
       .drop("_ord", "_bucket", "_offset", "_prefix")
       .withColumnRenamed("_sz", "record_bytes")
+    (res, ordered)
   }
 
   /** Bundle manifest — the queryable replacement for the reference's
@@ -130,15 +142,22 @@ object Compactor {
     val files = glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(inputDir)
       .select(col("path"), col("modificationTime"), col("length"), col("content"))
       .filter(col("length") > 0)
-    val withB = withBundleId(files, col("modificationTime"), Seq(col("path")),
-      col("length"), targetBytes)
+    val (withB, cached) = bundleIdPhases(files, col("modificationTime"),
+      Seq(col("path")), col("length"), targetBytes, 0)
     withB
       .select(col(BundleCol), col("path"), col("modificationTime"),
         col("record_bytes"), col("content"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(BundleCol)
       .parquet(outputDir)
-    manifest(withB, col("path"))
+    // phase 3 has executed; release the projection cache now and compute
+    // the manifest from the WRITTEN bundles (no input rescan, and the
+    // manifest then describes exactly what landed on disk).
+    cached.unpersist(false)
+    val written = spark.read.parquet(outputDir)
+      .select(col(BundleCol).cast("long").as(BundleCol), col("path"),
+        col("record_bytes"))
+    manifest(written, col("path"))
   }
 
   /** Text-bundle variant with optional compression (reference W2 gzip
@@ -155,11 +174,15 @@ object Compactor {
                     glob: Option[String] = None)
                    (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val files = Readers.wholeTextRecords(spark, inputDir, glob)
-    val withB = withBundleId(files, col("mtime"), Seq(col("path")),
-      col("size"), targetBytes)
+    val (withB, cached) = bundleIdPhases(files, col("mtime"), Seq(col("path")),
+      col("size"), targetBytes, 0)
     val writer = withB.select(col(BundleCol), col("content").as("value"))
       .write.mode(SaveMode.Overwrite).partitionBy(BundleCol)
     codec.fold(writer)(c => writer.option("compression", c)).text(outputDir)
+    // text bundles carry no metadata columns, so the manifest still reads
+    // through `withB`; release the cache now — a manifest consumed later
+    // recomputes with one extra source scan instead of pinning memory.
+    cached.unpersist(false)
     manifest(withB, col("path"))
   }
 }

@@ -40,11 +40,11 @@ object Dedup {
   def shingleTable(df: DataFrame, idCol: Column, textCol: Column,
                    shingleN: Int): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.select(idCol.as("doc_id"), textCol.as("_text"))
-      .repartition(par)
-      .select(col("doc_id"),
-        graft.expressions.NativeFns.word_shingles(col("_text"), shingleN).as("sh"))
-      .persist()
+    Caches.track(
+      df.select(idCol.as("doc_id"), textCol.as("_text"))
+        .repartition(par)
+        .select(col("doc_id"),
+          graft.expressions.NativeFns.word_shingles(col("_text"), shingleN).as("sh")))
   }
 
   /** (doc_id, band_idx, band_hash) LSH keys from a shingle table. */
@@ -61,8 +61,9 @@ object Dedup {
     */
   def candidatesFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     // persist the band keys: the self-join consumes them twice, and
-    // without the cache each side recomputes the full minhash pass
-    val keys = lshKeysFromShingles(sh, k, bands).persist()
+    // without the cache each side recomputes the full minhash pass.
+    // Registered with Caches so long-lived sessions can release.
+    val keys = Caches.track(lshKeysFromShingles(sh, k, bands))
     val a = keys.toDF("doc_a", "band_idx", "band_hash")
     val b = keys.toDF("doc_b", "band_idx", "band_hash")
     a.join(b, Seq("band_idx", "band_hash"))

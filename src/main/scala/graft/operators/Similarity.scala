@@ -82,6 +82,9 @@ object Similarity {
     val c = corpus.toDF("vec_id", "vec")
     var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    // corpora smaller than k seed fewer centroids; size everything by
+    // the actual seed count or the empty-cell loop walks off the array
+    val k2 = centroids.length
     var it = 0
     while (it < iters) {
       val assigned = c.withColumn("cell", nearest_centroid(col("vec"), centroids))
@@ -92,11 +95,11 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(graft.expressions.VectorAvg.vector_avg(col("vec"), dim).as("m"))
         .collect()
-      val next = Array.tabulate(k, dim)((cell, d) => 0.0)
+      val next = Array.tabulate(k2, dim)((cell, d) => 0.0)
       means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
       // empty cells keep their previous centroid (standard Lloyd fix)
       val gotRows = means.map(_.getInt(0)).toSet
-      (0 until k).filterNot(gotRows).foreach(cell => next(cell) = centroids(cell))
+      (0 until k2).filterNot(gotRows).foreach(cell => next(cell) = centroids(cell))
       centroids = next
       it += 1
     }

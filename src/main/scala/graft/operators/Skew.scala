@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Null salt sources map to salt 0 — a null would propagate through
+    * pmod and the inner join on (key, _salt) would drop rows a plain
+    * equi-join on `key` keeps.
+    */
+  private def saltExpr(saltSource: Column, salts: Int): Column =
+    coalesce(pmod(saltSource.cast("long"), lit(salts)), lit(0)).cast("int")
+
   /** Equi-join `fact` with `dim` on `key`, salting the key n ways.
     * Result equals a plain inner equi-join on `key`.
     */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
                      salts: Int, saltSource: Column): DataFrame = {
     require(salts >= 1)
-    val f = fact.withColumn("_salt", pmod(saltSource.cast("long"), lit(salts)).cast("int"))
+    val f = fact.withColumn("_salt", saltExpr(saltSource, salts))
     val d = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     f.join(d, Seq(key, "_salt")).drop("_salt")
@@ -35,7 +42,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
                      salts: Int, saltSource: Column): DataFrame = {
     val partial = df
-      .withColumn("_salt", pmod(saltSource.cast("long"), lit(salts)).cast("int"))
+      .withColumn("_salt", saltExpr(saltSource, salts))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_s"), count(lit(1)).as("_c"))
     partial.groupBy(col(key))

@@ -65,6 +65,27 @@ class AnnSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("IVF training with fewer corpus vectors than k clamps to seed count") {
+    import spark.implicits._
+    val (_, c) = queriesAndCorpus
+    val tiny = c.filter($"vec_id" < 5) // 5 vectors, ask for 8 centroids
+    val cents = Similarity.trainIvfCentroids(tiny, 8, 2, 64)
+    assert(cents.length == 5)
+    assert(cents.forall(_.length == 64))
+  }
+
+  test("vector_avg passes non-finite means through without throwing") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Array(Float.NaN, 1.0f)),
+      (1, Array(2.0f, 3.0f))).toDF("g", "v")
+    val out = df.groupBy($"g")
+      .agg(graft.expressions.VectorAvg.vector_avg($"v", 2).as("m"))
+      .collect()(0).getSeq[Double](1)
+    assert(out(0).isNaN)
+    assert(out(1) == 2.0)
+  }
+
   test("multi-probe LSH reaches useful recall vs brute force") {
     val (q, c) = queriesAndCorpus
     val exact = Similarity.knnBruteForce(q, c, 10).collect()

@@ -20,6 +20,17 @@ class SkewLineageSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted equi-join keeps rows whose salt source is null") {
+    import spark.implicits._
+    val fact = Seq((1, Some(10L)), (1, None), (2, Some(20L)), (2, None))
+      .toDF("k", "src")
+    val dim = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val plain = fact.join(dim, Seq("k")).count()
+    val salted = Skew.saltedEquiJoin(fact, dim, "k", 8, $"src").count()
+    assert(salted == plain)
+    assert(salted == 4)
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val e = Tables.load(spark, sf0001, "events")
@@ -72,6 +83,20 @@ class SkewLineageSpec extends SparkSpec {
       .select($"pk", $"ik").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(binned == plain)
     assert(binned.nonEmpty)
+  }
+
+  test("Caches.release drains operator intermediates; results still recompute") {
+    import spark.implicits._
+    import graft.operators.{Caches, Dedup}
+    Caches.release()
+    val docs = Tables.load(spark, sf0001, "documents")
+    val pairs = Dedup.jaccardPairs(docs, $"doc_id", $"text")
+    val before = pairs.count()
+    assert(Caches.liveCount > 0, "operators should register their persists")
+    Caches.release()
+    assert(Caches.liveCount == 0)
+    // unpersisted plan recomputes to the same answer
+    assert(pairs.count() == before)
   }
 
   test("gzip text bundles round-trip (W2)") {
