@@ -35,6 +35,11 @@ object Bench {
     val poolSize = sys.env.getOrElse("SPARK_GRAFT_POOL", "12").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     val wall0 = System.nanoTime()
+    // Submission order: plain Map order. Measured alternatives —
+    // longest-first (all heavy multi-job queries contending from t=0)
+    // and heavy/light interleave — were both slower AND unstable
+    // (14-46 s walls vs 8.5-9.5 s here); the hash order's accidental mix
+    // beats any grouping of the heavy queries.
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       name -> pool.submit(new java.util.concurrent.Callable[(Double, Option[String])] {
         def call(): (Double, Option[String]) = {
