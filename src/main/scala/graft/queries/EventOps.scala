@@ -98,6 +98,25 @@ object EventOps extends QuerySet {
              |  ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.ts)
              |SELECT event_id, user_id, o_orderkey AS last_orderkey,
              |round(o_totalprice, 2) AS last_price
-             |FROM j WHERE rn = 1""".stripMargin))
+             |FROM j WHERE rn = 1""".stripMargin)),
+
+    // --- Batch twin of [[graft.streaming.FlushStream.dedupedStream]]:
+    // keyed exact dedup keeping one canonical row per (user_id,
+    // event_type). The canonical pick is min(event_id) — unique and
+    // engine-independent, where a timestamp pick would tie-break on
+    // sub-microsecond ns the oracle can't see. One hash aggregation
+    // with map-side partials; at stream scale the same contract runs as
+    // dropDuplicatesWithinWatermark with state bounded by the watermark.
+    Q("e04_keyed_dedup",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(min($"event_id").as("first_event"),
+               count(lit(1)).as("n_dupes"))
+      },
+      Some("""SELECT user_id, event_type, min(event_id) AS first_event,
+             |count(*) AS n_dupes
+             |FROM events GROUP BY user_id, event_type""".stripMargin))
   )
 }
