@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming flush stage (reference Flusher, SURVEY §3c) as Structured
   * Streaming: watch a directory of collected bundles, ship each new one
@@ -86,6 +86,55 @@ object FlushStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** One record headed for a bundle: collector key, a unique id, exact
+    * event-time ns, payload size.
+    */
+  case class BundleRec(key: String, event_id: Long, ts_ns: Long, size: Long)
+  private[graft] case class BundleAcc(seq: Long, bytes: Long, n: Long, firstId: Long)
+  /** One CLOSED bundle (the in-progress one stays in state). */
+  case class BundleEmit(key: String, bundle_seq: Long, n_records: Long,
+                        total_bytes: Long, first_event: Long)
+
+  /** The reference's size-rotation (W1, `core/file_handler.py:43-59`:
+    * roll when `current_size + len(next) >= max_bytes`; the triggering
+    * record opens the NEXT bundle) as CUSTOM STREAMING STATE —
+    * `flatMapGroupsWithState` keeping one running (seq, bytes, n)
+    * accumulator per collector key. Closed bundles are emitted
+    * downstream (append mode); the open bundle survives in state across
+    * micro-batches, exactly like the reference's in-progress file
+    * survives across poll ticks.
+    *
+    * State size: one accumulator per key — bounded by key cardinality,
+    * independent of throughput. Per key per micro-batch the records are
+    * sorted (ts_ns, event_id) so emission is deterministic; a group's
+    * batch slice must fit in task memory (inherent to the
+    * mapGroupsWithState API, same bound the hash aggregate needs).
+    * The batch equivalent of this whole operator is
+    * [[graft.operators.Compactor.withBundleId]] (oracle-checked as
+    * `c01_bundle_assign`).
+    */
+  def sizeRotatedBundles(recs: Dataset[BundleRec],
+                         targetBytes: Long): Dataset[BundleEmit] = {
+    import recs.sparkSession.implicits._
+    require(targetBytes >= 1)
+    recs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[BundleRec], state: GroupState[BundleAcc]) => {
+          var acc = state.getOption.getOrElse(BundleAcc(0L, 0L, 0L, Long.MaxValue))
+          val out = scala.collection.mutable.ArrayBuffer[BundleEmit]()
+          rows.toSeq.sortBy(r => (r.ts_ns, r.event_id)).foreach { r =>
+            if (acc.n > 0 && acc.bytes + r.size >= targetBytes) {
+              out += BundleEmit(key, acc.seq, acc.n, acc.bytes, acc.firstId)
+              acc = BundleAcc(acc.seq + 1, 0L, 0L, Long.MaxValue)
+            }
+            acc = BundleAcc(acc.seq, acc.bytes + r.size, acc.n + 1,
+              math.min(acc.firstId, r.event_id))
+          }
+          state.update(acc)
+          out.iterator
+        })
+  }
 
   /** Streaming hourly tumbling-window counts (twin of e02). */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -88,6 +88,78 @@ class FlushStreamSpec extends SparkSpec {
     assert(spark.table("dedup").count() == ev.count())
   }
 
+  test("stateful size-rotation emits the same bundles as a direct fold") {
+    import spark.implicits._
+    import graft.streaming.FlushStream.{BundleRec, BundleEmit}
+    val src = tmpDir("rot_src"); val ckpt = tmpDir("rot_ckpt")
+    val target = 256L // ~1.8KB of props per key at sf0.001 -> ~7 bundles each
+    val recs = Tables.load(spark, sf0001, "events")
+      .select($"event_type".as("key"), $"event_id", $"ts_ns",
+        length($"props").cast("long").as("size"))
+    recs.coalesce(1).write.mode("overwrite").parquet(src.toString)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString).as[BundleRec]
+    val q = graft.streaming.FlushStream.sizeRotatedBundles(stream, target)
+      .writeStream.format("memory").queryName("bundles")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bundles").as[BundleEmit].collect()
+      .map(b => (b.key, b.bundle_seq) -> (b.n_records, b.total_bytes, b.first_event))
+      .toMap
+
+    // reference fold (W1): rotate when current + next >= target
+    val expected = recs.as[BundleRec].collect()
+      .groupBy(_.key).flatMap { case (k, rs) =>
+        var seq = 0L; var bytes = 0L; var n = 0L; var first = Long.MaxValue
+        val closed = scala.collection.mutable.ArrayBuffer[((String, Long), (Long, Long, Long))]()
+        rs.sortBy(r => (r.ts_ns, r.event_id)).foreach { r =>
+          if (n > 0 && bytes + r.size >= target) {
+            closed += ((k, seq) -> ((n, bytes, first)))
+            seq += 1; bytes = 0; n = 0; first = Long.MaxValue
+          }
+          bytes += r.size; n += 1; first = math.min(first, r.event_id)
+        }
+        closed // open bundle stays in state, not emitted
+      }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("size-rotation state carries the open bundle across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.FlushStream.BundleRec
+    val src = tmpDir("rot_src2"); val ckpt = tmpDir("rot_ckpt2")
+    // one key, sizes chosen so a bundle closes only once batch 2 arrives:
+    // batch1 = 3x100 bytes (stays open), batch2 = 1x100 -> closes at 400>=350
+    def write(name: String, ids: Seq[Long]): Unit =
+      ids.map(i => BundleRec("k", i, i, 100L)).toDS()
+        .coalesce(1).write.parquet(s"$src/$name")
+    write("b1", Seq(1L, 2L, 3L))
+    write("b2", Seq(4L))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[BundleRec]].schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(s"$src/*").as[BundleRec]
+    val q = graft.streaming.FlushStream.sizeRotatedBundles(stream, 350L)
+      .writeStream.format("memory").queryName("bundles2")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("bundles2").collect()
+    // the closed bundle spans both micro-batches: 3 records, 300 bytes,
+    // closed by record 4 which opened bundle 1 in state
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_records") == 3L)
+    assert(r.getAs[Long]("total_bytes") == 300L)
+    assert(r.getAs[Long]("first_event") == 1L)
+  }
+
   test("typed Aggregator summarizes a Dataset field") {
     import spark.implicits._
     import graft.functions.TypedAggs
