@@ -136,6 +136,27 @@ object FlushStream {
         })
   }
 
+  /** Streaming training-data cleaning: the first two stages of the
+    * batch `p01_clean_corpus` pipeline as an incremental stream —
+    * quality gate (token floor) then exact dedup on the normalized-text
+    * fingerprint, with per-fingerprint state bounded by the watermark
+    * (an arriving duplicate beyond the watermark re-admits; that is the
+    * documented streaming-vs-batch divergence, same trade every
+    * bounded-state dedup makes). Near-dup LSH stays batch: its
+    * candidate self-join needs the full corpus on both sides.
+    */
+  def cleanCorpusStream(docs: DataFrame, minTokens: Int = 20,
+                        watermark: String = "1 hour"): DataFrame = {
+    val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      (w: org.apache.spark.sql.Column) => w =!= "")
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .filter(col("n_tok") >= minTokens)
+      .withColumn("fp", md5(graft.functions.TextFns.normalizeText(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+  }
+
   /** Streaming hourly tumbling-window counts (twin of e02). */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

@@ -160,6 +160,34 @@ class FlushStreamSpec extends SparkSpec {
     assert(r.getAs[Long]("first_event") == 1L)
   }
 
+  test("streaming clean-corpus equals the batch quality-gate + exact-dedup count") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val src = tmpDir("docs_src"); val ckpt = tmpDir("cc_ckpt")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text",
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+    // duplicate the corpus: stream dedup should collapse it back
+    docs.union(docs).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val q = graft.streaming.FlushStream
+      .cleanCorpusStream(stream, minTokens = 20, watermark = "10 days")
+      .writeStream.format("memory").queryName("cleaned")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val expected = docs
+      .withColumn("n_tok", size(filter(
+        split(lower($"text"), "[^a-z0-9]+"), w => w =!= "")))
+      .filter($"n_tok" >= 20)
+      .select(md5(TextFns.normalizeText($"text"))).distinct().count()
+    assert(spark.table("cleaned").count() == expected)
+    assert(expected > 0)
+  }
+
   test("typed Aggregator summarizes a Dataset field") {
     import spark.implicits._
     import graft.functions.TypedAggs

@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // managed tables (bucketing tests) land in tmp, not the repo
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
     .getOrCreate()
 
   def tmpDir(prefix: String): java.io.File = {
