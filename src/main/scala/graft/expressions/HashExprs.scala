@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -22,8 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * family, same lexicographic-min, same hex case) in tight loops with
   * one reused MessageDigest per task. Oracles are unchanged.
   *
-  * Codegen: `CodegenFallback` — the body is already a monolithic Java
-  * loop; whole-stage fusion would only save the row-boundary boxing.
+  * Codegen: [[GraftUnaryDelegateCodegen]]/[[GraftBinaryDelegateCodegen]]
+  * — each expression stays INSIDE
+  * whole-stage codegen by emitting a direct call on its
+  * already-evaluated child values (plain CodegenFallback would instead
+  * materialize a full InternalRow per call and fence off fusion). The
+  * loop bodies themselves are monolithic Java either way.
   */
 object HashExprs {
 
@@ -53,6 +57,58 @@ object HashExprs {
     }
     a.length < b.length
   }
+
+  /** Java cast/unbox for a `compute` result of the given Catalyst type. */
+  private[expressions] def javaCast(dt: DataType, obj: String): String = dt match {
+    case DoubleType  => s"((java.lang.Double)$obj).doubleValue()"
+    case IntegerType => s"((java.lang.Integer)$obj).intValue()"
+    case LongType    => s"((java.lang.Long)$obj).longValue()"
+    case StringType  => s"(org.apache.spark.unsafe.types.UTF8String)$obj"
+    case _: ArrayType => s"(org.apache.spark.sql.catalyst.util.ArrayData)$obj"
+    case other => throw new IllegalArgumentException(s"no cast for $other")
+  }
+}
+
+/** Whole-stage-codegen participation by delegation: the generated stage
+  * calls `compute` on the plan-serialized expression instance with the
+  * ALREADY-EVALUATED child value — input null checks stay in generated
+  * code and no InternalRow is materialized (plain CodegenFallback
+  * rebuilds a row per call and fences the stage). A null RESULT on
+  * non-null input (e.g. Jaccard of two empty shingle sets) sets isNull,
+  * so implementors returning null must keep `nullable=true`.
+  */
+trait GraftUnaryDelegateCodegen extends UnaryExpression {
+  /** Public bridge to the interpreted kernel for generated code. */
+  def compute(input: Any): Any = nullSafeEval(input)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this,
+      classOf[GraftUnaryDelegateCodegen].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("graftRes")
+      s"""
+         |Object $tmp = $ref.compute($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${HashExprs.javaCast(dataType, tmp)}; }
+       """.stripMargin
+    })
+  }
+}
+
+/** Binary twin of [[GraftUnaryDelegateCodegen]]. */
+trait GraftBinaryDelegateCodegen extends BinaryExpression {
+  def compute(l: Any, r: Any): Any = nullSafeEval(l, r)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this,
+      classOf[GraftBinaryDelegateCodegen].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftRes")
+      s"""
+         |Object $tmp = $ref.compute($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${HashExprs.javaCast(dataType, tmp)}; }
+       """.stripMargin
+    })
+  }
 }
 
 /** `minhash_sig(shingles, k)`: array of k hex strings, element i =
@@ -60,7 +116,7 @@ object HashExprs {
   * TextFns.minhashSignature's declarative form.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
@@ -107,7 +163,7 @@ case class MinHashSig(child: Expression, k: Int)
   * word PER BIT). Value-identical to TextFns.simhashBits.
   */
 case class SimHashBits(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
   require(bits >= 1 && bits <= 32)
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -147,7 +203,7 @@ case class SimHashBits(child: Expression, bits: Int)
   * form allocates a slice array and interpreted concat per shingle.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -190,7 +246,7 @@ case class WordShingles(child: Expression, n: Int)
   * which traverses the arrays five times through interpreted lambdas.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with GraftBinaryDelegateCodegen {
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -226,8 +282,10 @@ case class CosineSim(left: Expression, right: Expression)
   * interpreted array traversals.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with GraftBinaryDelegateCodegen {
   override def dataType: DataType = DoubleType
+  // empty-union inputs produce a null RESULT even for non-null children
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -259,7 +317,7 @@ case class JaccardSim(left: Expression, right: Expression)
   * 1 - theta/pi per plane.
   */
 case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
   require(nPlanes >= 1 && nPlanes <= 30)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
@@ -302,7 +360,7 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int, dim: Int)
   * (plan-serialized to every task — k x dim doubles, a few KB).
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
   require(centroids.nonEmpty)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
