@@ -178,6 +178,31 @@ object Relational4 extends QuerySet {
              |  round(cume_dist() OVER w, 6) AS cume
              |FROM customer
              |WINDOW w AS (PARTITION BY c_mktsegment
-             |  ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin))
+             |  ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin)),
+
+    // --- JSON scalar functions (§2 scalar-function family): extract a
+    // typed field from the events.props JSON payload and aggregate.
+    // get_json_object is codegen'd path extraction — no UDF, no
+    // whole-document parse.
+    Q("q31_json_extract",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .select($"event_type",
+            get_json_object($"props", "$.k").cast("long").as("k"))
+          .groupBy($"event_type")
+          .agg(count($"k").as("n_with_k"),
+               sum($"k").as("sum_k"),
+               round(avg($"k"), 4).as("avg_k"),
+               min($"k").as("min_k"),
+               max($"k").as("max_k"))
+      },
+      Some("""SELECT event_type,
+             |  count(CAST(props ->> '$.k' AS BIGINT)) AS n_with_k,
+             |  CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |  round(avg(CAST(props ->> '$.k' AS BIGINT)), 4) AS avg_k,
+             |  min(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+             |  max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }
