@@ -57,10 +57,10 @@ object SimilarityOps extends QuerySet {
               |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
               |SELECT query_id, cell, rk, vec_id, cos FROM rk WHERE rk <= 3""".stripMargin)),
 
-    // --- Sign-LSH ANN with Hamming-1 multi-probe (the scale path when
-    // no natural cell exists). No oracle: the bucket function hashes
-    // float dot-product signs, not restatable in DuckDB SQL — driver
-    // records the rows-only check.
+    // --- Trained-IVF ANN. No oracle: the Lloyd training loop
+    // (driver-side iteration over distributed rounds) is not
+    // restatable as one SQL statement — driver records the rows-only
+    // check; AnnSpec pins recall + determinism.
     Q("s04_knn_ivf",
       (s, d) => {
         import s.implicits._
@@ -75,6 +75,12 @@ object SimilarityOps extends QuerySet {
       },
       None),
 
+    // --- Sign-LSH ANN with Hamming-1 multi-probe (the scale path when
+    // no natural cell exists). The hyperplanes are a pure function of
+    // md5("plane:<p>:<j>") (no RNG — HyperplaneBucket scaladoc), so the
+    // ENTIRE approximate index is restated in the oracle: hex->signed
+    // int32 plane weights, per-plane sign bits -> bucket, Hamming-1
+    // probe fan-out, in-bucket cosine top-k.
     Q("s03_knn_lsh",
       (s, d) => {
         import s.implicits._
@@ -84,6 +90,33 @@ object SimilarityOps extends QuerySet {
           e.select($"vec_id", $"embedding"),
           k = 10, nPlanes = 4, dim = 64, multiProbe = true)
       },
-      None)
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |  FROM embeddings),
+              |hx AS (SELECT p, j, md5('plane:' || p || ':' || j) AS h
+              |  FROM (SELECT unnest(range(0,4)) AS p)
+              |  CROSS JOIN (SELECT unnest(range(0,64)) AS j)),
+              |pw AS (SELECT p, j,
+              |  CAST(list_sum(list_transform(range(1,9),
+              |    pos -> (strpos('0123456789abcdef', substr(h, CAST(pos AS INTEGER), 1)) - 1)
+              |           * power(16, 8 - pos))) AS BIGINT) AS raw FROM hx),
+              |pl AS (SELECT p, list((CASE WHEN raw >= 2147483648
+              |    THEN raw - 4294967296 ELSE raw END) / 2147483648.0
+              |  ORDER BY j) AS wv FROM pw GROUP BY p),
+              |dots AS (SELECT vec_id, p,
+              |  list_sum(list_transform(range(1,65), i -> v[i] * wv[i])) AS dot
+              |  FROM e CROSS JOIN pl),
+              |cells AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0
+              |    THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS INTEGER) AS cell
+              |  FROM dots GROUP BY vec_id),
+              |ec AS (SELECT e.vec_id, v, cell FROM e JOIN cells USING (vec_id)),
+              |q AS (SELECT vec_id AS query_id, v AS qv, cell FROM ec WHERE vec_id < 20),
+              |probes AS (SELECT query_id, qv, unnest([cell, xor(cell,1), xor(cell,2),
+              |  xor(cell,4), xor(cell,8)]) AS cell FROM q),
+              |sc AS (SELECT query_id, ec.vec_id, ec.v AS cv, qv
+              |  FROM probes JOIN ec USING (cell) WHERE ec.vec_id <> query_id),
+              |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
+              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 10""".stripMargin))
   )
 }
