@@ -57,10 +57,13 @@ object SimilarityOps extends QuerySet {
               |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
               |SELECT query_id, cell, rk, vec_id, cos FROM rk WHERE rk <= 3""".stripMargin)),
 
-    // --- Trained-IVF ANN. No oracle: the Lloyd training loop
-    // (driver-side iteration over distributed rounds) is not
-    // restatable as one SQL statement — driver records the rows-only
-    // check; AnnSpec pins recall + determinism.
+    // --- Trained-IVF ANN. With iters=1 the whole index build IS one
+    // SQL statement, so the oracle restates it end to end: seed
+    // centroids (16 lowest ids) -> cosine argmax assignment (ties to
+    // the lowest cell, matching NearestCentroid) -> per-dim means
+    // rounded to 6 (vector_avg parity; empty cells keep their seed) ->
+    // nprobe=3 probe ranking against FLOAT-cast centroids (knnIvf casts
+    // before probe scoring) -> in-cell cosine top-k.
     Q("s04_knn_ivf",
       (s, d) => {
         import s.implicits._
@@ -73,7 +76,57 @@ object SimilarityOps extends QuerySet {
           // training job chain
           k = 10, nCells = 16, iters = 1, dim = 64, nprobe = 3)
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |  FROM embeddings),
+              |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+              |snorm AS (SELECT cell, sv,
+              |  sqrt(list_sum(list_transform(sv, x -> x*x))) AS nrm FROM seeds),
+              |assign AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, s.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (list_sum(list_transform(range(1,65),
+              |          i -> v[i] * sv[i])) / nrm) DESC, s.cell ASC) AS rn
+              |    FROM e CROSS JOIN snorm s) WHERE rn = 1),
+              |dimsum AS (
+              |  SELECT a.cell, dim,
+              |    round(sum(v[CAST(dim AS INTEGER)]) / count(*), 6) AS m
+              |  FROM assign a JOIN e USING (vec_id)
+              |  CROSS JOIN (SELECT unnest(range(1,65)) AS dim)
+              |  GROUP BY a.cell, dim),
+              |means AS (SELECT cell, list(m ORDER BY dim) AS cv FROM dimsum GROUP BY cell),
+              |cents AS (
+              |  SELECT c.cell, coalesce(m.cv, s.sv) AS cv
+              |  FROM (SELECT unnest(range(0,16)) AS cell) c
+              |  LEFT JOIN means m USING (cell) JOIN seeds s USING (cell)),
+              |cnorm AS (SELECT cell, cv,
+              |  sqrt(list_sum(list_transform(cv, x -> x*x))) AS nrm FROM cents),
+              |cassign AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (list_sum(list_transform(range(1,65),
+              |          i -> v[i] * cv[i])) / nrm) DESC, c.cell ASC) AS rn
+              |    FROM e CROSS JOIN cnorm c) WHERE rn = 1),
+              |ec AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
+              |qp AS (
+              |  SELECT query_id, qv, cell FROM (
+              |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |        (list_sum(list_transform(range(1,65), i -> q.v[i] * fcv[i])) /
+              |         (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
+              |          sqrt(list_sum(list_transform(fcv, x -> x*x))))) DESC,
+              |        c.cell ASC) AS pr
+              |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
+              |    CROSS JOIN (SELECT cell,
+              |      list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS fcv
+              |      FROM cents) c) WHERE pr <= 3),
+              |sc AS (SELECT query_id, ec.vec_id, ec.v AS cv, qv
+              |  FROM qp JOIN ec USING (cell) WHERE ec.vec_id <> query_id),
+              |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
+              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 10""".stripMargin)),
 
     // --- Sign-LSH ANN with Hamming-1 multi-probe (the scale path when
     // no natural cell exists). The hyperplanes are a pure function of
