@@ -51,66 +51,62 @@ object Compactor {
     */
   def withBundleId(df: DataFrame, primaryOrder: Column, tieBreakers: Seq[Column],
                    sizeCol: Column, targetBytes: Long, buckets: Int = 0): DataFrame = {
-    val (res, cached) = bundleIdPhases(df, primaryOrder, tieBreakers, sizeCol,
-      targetBytes, buckets)
-    // registered, not leaked: Caches.release() is the cleanup hook for
-    // long-lived sessions (the end-to-end paths below release per-call)
-    Caches.track(cached)
-    res
-  }
-
-  private def bundleIdPhases(df: DataFrame, primaryOrder: Column,
-                             tieBreakers: Seq[Column], sizeCol: Column,
-                             targetBytes: Long, buckets: Int): (DataFrame, DataFrame) = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
-    // Persisted: three phases (quantile sketch, bucket totals, final
-    // window) each consume this projection; without the persist each
-    // phase re-scans the source. The projection is narrow (order key +
-    // size + tie-breakers) — at 100M files that's a few GB cluster-wide,
-    // far cheaper than three source scans.
-    val ordered = df
-      .withColumn("_ord", primaryOrder.cast("double"))
-      .withColumn("_sz", coalesce(sizeCol.cast("long"), lit(0L)))
+
+    // Phases 1-2 run on a NARROW projection (order key + size ONLY —
+    // never the payload: caching record content is exactly what cannot
+    // work at 100 TB, and columnar sources prune the payload read).
+    // Cached just for the two eager passes below, released before
+    // returning — nothing stays pinned.
+    val narrow = df
+      .select(primaryOrder.cast("double").as("_ord"),
+        coalesce(sizeCol.cast("long"), lit(0L)).as("_sz"))
       .persist()
 
-    // Phase 1: deterministic range boundaries (one scan, driver gets b-1 doubles).
+    // Phase 1: deterministic range boundaries (one pass, driver gets b-1
+    // doubles; Greenwald-Khanna sketch — RangePartitioner sampling could
+    // differ between jobs and desynchronize phases 2/3).
     val probes = (1 until b).map(_.toDouble / b).toArray
     val bounds: Array[Double] =
       if (b <= 1) Array.empty
-      else ordered.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted
+      else narrow.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted
 
     // Bucket index = number of boundaries <= key. Depends only on the key,
     // so equal keys share a bucket and buckets tile the key space in order.
-    val bucketCol = bounds.foldLeft(lit(0)) { (acc, bound) =>
-      acc + when(col("_ord") >= lit(bound), 1).otherwise(0)
+    def bucketOf(ord: Column): Column = bounds.foldLeft(lit(0)) { (acc, bound) =>
+      acc + when(ord >= lit(bound), 1).otherwise(0)
     }
-    val bucketed = ordered.withColumn("_bucket", bucketCol)
 
     // Phase 2: per-bucket totals -> exclusive offsets (tiny; broadcast back).
-    val totals = bucketed.groupBy("_bucket").agg(sum("_sz").as("_total"))
+    val totals = narrow.withColumn("_bucket", bucketOf(col("_ord")))
+      .groupBy("_bucket").agg(sum("_sz").as("_total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    narrow.unpersist(false) // both eager passes done
     val exclusive = totals.map(_._2).scanLeft(0L)(_ + _) // len = totals.len + 1
     val offsetsDf = spark.createDataFrame(totals.map(_._1).zip(exclusive).toSeq)
       .toDF("_bucket", "_offset")
 
-    // Phase 3: within-bucket exclusive running sum + broadcast offset.
-    // Order by the ORIGINAL key, not the double `_ord`: casting a timestamp
-    // to double can collapse nearby microsecond values, and the tie-breaker
-    // would then reorder rows vs. an exact-key sort. `_ord` is monotone
-    // (non-strictly) in the key, so buckets still tile the exact order.
+    // Phase 3 (lazy, computed when the caller materializes): ONE fresh
+    // pass over the full source — bucket + within-bucket running sum +
+    // broadcast offset. Order by the ORIGINAL key, not the double
+    // `_ord`: casting a timestamp to double can collapse nearby
+    // microsecond values, and the tie-breaker would then reorder rows
+    // vs. an exact-key sort. `_ord` is monotone (non-strictly) in the
+    // key, so buckets still tile the exact order.
     val w = Window.partitionBy(col("_bucket"))
       .orderBy((primaryOrder +: tieBreakers): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val res = bucketed
+    df
+      .withColumn("_sz", coalesce(sizeCol.cast("long"), lit(0L)))
+      .withColumn("_bucket", bucketOf(primaryOrder.cast("double")))
       .join(broadcast(offsetsDf), "_bucket")
       .withColumn("_prefix", coalesce(sum(col("_sz")).over(w), lit(0L)) + col("_offset"))
       .withColumn(BundleCol, floor(col("_prefix") / lit(targetBytes)))
-      .drop("_ord", "_bucket", "_offset", "_prefix")
+      .drop("_bucket", "_offset", "_prefix")
       .withColumnRenamed("_sz", "record_bytes")
-    (res, ordered)
   }
 
   /** Bundle manifest — the queryable replacement for the reference's
@@ -140,24 +136,33 @@ object Compactor {
                       (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val reader = spark.read.format("binaryFile")
     val files = glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(inputDir)
-      .select(col("path"), col("modificationTime"), col("length"), col("content"))
+    // Bundle assignment runs on the LISTING ONLY (path, mtime, size come
+    // from file status — the pruned binaryFile scan never opens a file),
+    // so the prefix-sum window shuffles a few dozen bytes per file, not
+    // payloads. Content is then read once and shuffled once (the
+    // per-bundle co-location below); payload bytes never pass through a
+    // sort. The tiny assignment table is cached (Caches.release() hook)
+    // because the join and the manifest both consume it.
+    val listing = files.select(col("path"), col("modificationTime"), col("length"))
       .filter(col("length") > 0)
-    val (withB, cached) = bundleIdPhases(files, col("modificationTime"),
-      Seq(col("path")), col("length"), targetBytes, 0)
-    withB
+    val assign = Caches.track(withBundleId(listing, col("modificationTime"),
+      Seq(col("path")), col("length"), targetBytes))
+    val content = files.select(col("path"), col("content"))
+    content
+      // no broadcast hint: AQE broadcasts the assignment while it fits
+      // (≲10M files) and falls back to a shuffle join beyond — both keep
+      // the single content shuffle.
+      .join(assign, "path")
       .select(col(BundleCol), col("path"), col("modificationTime"),
         col("record_bytes"), col("content"))
+      // co-locate each bundle in one task: one parquet file per bundle
+      // (the reference's one-file-per-bundle contract) instead of
+      // |tasks| x |bundles| commit-protocol fragments
+      .repartition(col(BundleCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(BundleCol)
       .parquet(outputDir)
-    // phase 3 has executed; release the projection cache now and compute
-    // the manifest from the WRITTEN bundles (no input rescan, and the
-    // manifest then describes exactly what landed on disk).
-    cached.unpersist(false)
-    val written = spark.read.parquet(outputDir)
-      .select(col(BundleCol).cast("long").as(BundleCol), col("path"),
-        col("record_bytes"))
-    manifest(written, col("path"))
+    manifest(assign, col("path"))
   }
 
   /** Text-bundle variant with optional compression (reference W2 gzip
@@ -174,15 +179,17 @@ object Compactor {
                     glob: Option[String] = None)
                    (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val files = Readers.wholeTextRecords(spark, inputDir, glob)
-    val (withB, cached) = bundleIdPhases(files, col("mtime"), Seq(col("path")),
-      col("size"), targetBytes, 0)
-    val writer = withB.select(col(BundleCol), col("content").as("value"))
+    // same listing-only assignment as compactDirectory: the window never
+    // sees payload bytes
+    val listing = files.select(col("path"), col("mtime"), col("size"))
+    val assign = Caches.track(withBundleId(listing, col("mtime"),
+      Seq(col("path")), col("size"), targetBytes))
+    val writer = files.select(col("path"), col("content"))
+      .join(assign, "path")
+      .select(col(BundleCol), col("content").as("value"))
+      .repartition(col(BundleCol)) // one text file per bundle
       .write.mode(SaveMode.Overwrite).partitionBy(BundleCol)
     codec.fold(writer)(c => writer.option("compression", c)).text(outputDir)
-    // text bundles carry no metadata columns, so the manifest still reads
-    // through `withB`; release the cache now — a manifest consumed later
-    // recomputes with one extra source scan instead of pinning memory.
-    cached.unpersist(false)
-    manifest(withB, col("path"))
+    manifest(assign, col("path"))
   }
 }
