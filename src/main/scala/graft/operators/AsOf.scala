@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** As-of (backward) join as a cogrouped merge — the scale-correct form.
+  *
+  * Semantics: for each left row, attach the single right row with the
+  * same key and the greatest right-time <= left-time (ties on
+  * right-time broken by the greatest tiebreaker column, matching the
+  * `row_number() over (order by t desc, tiebreak desc) = 1` contract of
+  * the declarative form in `e03_asof_join`). Left rows with no match
+  * keep nulls (left-outer).
+  *
+  * Why not the join-then-rank form: `left.join(right, key && rt <= lt)`
+  * materializes EVERY (left, earlier-right) pair before the rank filter
+  * — quadratic per key. A 100 TB events-x-orders as-of with thousands
+  * of orders per customer explodes 1000x before collapsing back. This
+  * operator shuffles each side ONCE on the key (map-side partial
+  * nothing — it's a partitioning, not an agg), sorts within each
+  * cogroup, and merges with two pointers: O(n log n) per key in the
+  * group sort, zero pair blowup, output exactly |left|.
+  *
+  * Memory: one key's rows must fit in a task (same bound as any
+  * cogroup/window); skewed hot keys would need the salting in [[Skew]].
+  */
+object AsOf {
+
+  /** Backward as-of join. `leftTime`/`rightTime`/`tiebreak` must be
+    * numeric-orderable (cast times to epoch longs first). Output =
+    * left columns ++ right columns (right side nullable).
+    *
+    * @param key       equi-join key column name, present on both sides
+    *                  (Long-typed)
+    * @param leftTime  left event-time column name (Long)
+    * @param rightTime right event-time column name (Long)
+    * @param tiebreak  right column breaking right-time ties (Long,
+    *                  greatest wins)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               tiebreak: String): DataFrame = {
+    val spark = left.sparkSession
+    val lSchema = left.schema
+    val rSchema = right.schema
+    val lKey = lSchema.fieldIndex(key)
+    val rKey = rSchema.fieldIndex(key)
+    val lT = lSchema.fieldIndex(leftTime)
+    val rT = rSchema.fieldIndex(rightTime)
+    val rTie = rSchema.fieldIndex(tiebreak)
+    // right key column is redundant in the output (equals the left's)
+    val rKeep = rSchema.fields.indices.filterNot(_ == rKey)
+    val outSchema = StructType(lSchema.fields ++
+      rKeep.map(i => StructField(rSchema(i).name, rSchema(i).dataType,
+        nullable = true)))
+
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.row(outSchema)
+    val lg = left.groupByKey(r => r.getLong(lKey))(keyEnc)
+    val rg = right.groupByKey(r => r.getLong(rKey))(keyEnc)
+    lg.cogroup(rg) { (_, ls, rs) =>
+      // sort each side once; walk both with two pointers
+      val lRows = ls.toArray.sortBy(_.getLong(lT))
+      // right ordered by (t, tiebreak): the LAST entry with t <= lt is
+      // the rank-1 row of the DESC,DESC window
+      val rRows = rs.toArray.sortBy(r => (r.getLong(rT), r.getLong(rTie)))
+      var j = 0
+      var best: Row = null
+      lRows.iterator.map { l =>
+        val lt = l.getLong(lT)
+        while (j < rRows.length && rRows(j).getLong(rT) <= lt) {
+          best = rRows(j); j += 1
+        }
+        val rVals: Seq[Any] =
+          if (best == null) Seq.fill[Any](rKeep.length)(null)
+          else rKeep.map(best.get)
+        Row.fromSeq(l.toSeq ++ rVals)
+      }
+    }(rowEnc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Convenience: epoch-long projection helper for timestamp columns. */
+  def epochMicros(c: Column): Column = unix_micros(c)
+}

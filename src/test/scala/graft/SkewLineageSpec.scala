@@ -67,6 +67,33 @@ class SkewLineageSpec extends SparkSpec {
     assert(back.filter($"run_id" === "run2").count() == 2)
   }
 
+  test("merge as-of join equals the join-then-rank form") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sf0001, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("lt"))
+    val o = Tables.load(spark, sf0001, "orders")
+      .select($"o_custkey".as("user_id"), $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("rt"), $"o_totalprice")
+    val merged = AsOf.backward(ev, o, "user_id", "lt", "rt", "o_orderkey")
+      .select($"event_id", $"o_orderkey")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val w = Window.partitionBy($"event_id").orderBy($"rt".desc, $"o_orderkey".desc)
+    val ranked = ev.join(o, Seq("user_id"), "left")
+      .filter($"rt".isNull || $"rt" <= $"lt")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    // rank form drops left rows whose ONLY candidates were filtered out;
+    // recover the left-outer contract with a final left join
+    val rankMap = ev.select($"event_id")
+      .join(ranked.select($"event_id", $"o_orderkey"), Seq("event_id"), "left")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(merged == rankMap)
+    assert(merged.nonEmpty)
+    assert(merged.values.exists(_.isDefined))
+  }
+
   test("binned range join equals plain non-equi join") {
     import spark.implicits._
     import graft.operators.RangeJoin
