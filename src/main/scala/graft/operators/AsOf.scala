@@ -82,4 +82,34 @@ object AsOf {
 
   /** Convenience: epoch-long projection helper for timestamp columns. */
   def epochMicros(c: Column): Column = unix_micros(c)
+
+  /** The PLANNED form: same backward as-of semantics through the custom
+    * Catalyst operator ([[graft.plans.AsOfJoinPlan]] ->
+    * [[graft.plans.AsOfJoinExec]]), so EnsureRequirements places the
+    * exchanges/sorts — a pre-partitioned or bucketed input plans no
+    * shuffle at all, and the per-partition merge streams with spillable
+    * sorts instead of the cogroup's in-memory groups. Key/time/tie
+    * columns must be LongType; sides may use different column names.
+    */
+  def backwardPlanned(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    DatasetBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      attr(rPlan, tiebreak)))
+  }
 }

@@ -84,5 +84,6 @@ case class BinnedRangeJoinRule(binWidth: Long = 1024L) extends Rule[LogicalPlan]
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BinnedRangeJoinRule())
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -130,6 +130,36 @@ object EventOps extends QuerySet {
              |round(o_totalprice, 2) AS last_price
              |FROM j WHERE rn = 1""".stripMargin)),
 
+    // --- As-of join, PLANNED form: the custom Catalyst operator
+    // ([[graft.plans.AsOfJoinPlan]] -> strategy -> streaming
+    // [[graft.plans.AsOfJoinExec]]); EnsureRequirements inserts the
+    // exchanges and spillable sorts. Same oracle as e03/e05 — three
+    // implementations, one contract.
+    Q("e06_asof_planned",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.AsOf
+        val ev = Tables.load(s, d, "events")
+          .filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("lt"))
+        val o = Tables.load(s, d, "orders")
+          .select($"o_custkey", $"o_orderkey",
+            unix_micros($"o_orderdate".cast("timestamp")).as("rt"), $"o_totalprice")
+        AsOf.backwardPlanned(ev, o, "user_id", "o_custkey", "lt", "rt", "o_orderkey")
+          .select($"event_id", $"user_id", $"o_orderkey".as("last_orderkey"),
+            round($"o_totalprice", 2).as("last_price"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'purchase'),
+             |j AS (SELECT ev.event_id, ev.user_id, o.o_orderkey, o.o_totalprice,
+             |  row_number() OVER (PARTITION BY ev.event_id
+             |    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             |  FROM ev LEFT JOIN orders o
+             |  ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.ts)
+             |SELECT event_id, user_id, o_orderkey AS last_orderkey,
+             |round(o_totalprice, 2) AS last_price
+             |FROM j WHERE rn = 1""".stripMargin)),
+
     // --- Batch twin of [[graft.streaming.FlushStream.dedupedStream]]:
     // keyed exact dedup keeping one canonical row per (user_id,
     // event_type). The canonical pick is min(event_id) — unique and

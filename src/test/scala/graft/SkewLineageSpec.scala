@@ -94,6 +94,32 @@ class SkewLineageSpec extends SparkSpec {
     assert(merged.values.exists(_.isDefined))
   }
 
+  test("planned as-of join (custom SparkPlan) equals the cogroup merge form") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val ev = Tables.load(spark, sf0001, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("lt"))
+    val o = Tables.load(spark, sf0001, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("rt"), $"o_totalprice")
+    val planned = AsOf.backwardPlanned(ev, o,
+      "user_id", "o_custkey", "lt", "rt", "o_orderkey")
+    // the custom operator actually plans, with Spark-inserted sort/exchange
+    val planStr = planned.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$planStr")
+    assert(planStr.contains("Sort"), "EnsureRequirements should insert sorts")
+    val got = planned.select($"event_id", $"o_orderkey")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val viaCogroup = AsOf.backward(ev,
+      o.withColumnRenamed("o_custkey", "user_id"),
+      "user_id", "lt", "rt", "o_orderkey")
+      .select($"event_id", $"o_orderkey")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == viaCogroup)
+    assert(got.nonEmpty && got.values.exists(_.isDefined))
+  }
+
   test("binned range join equals plain non-equi join") {
     import spark.implicits._
     import graft.operators.RangeJoin
