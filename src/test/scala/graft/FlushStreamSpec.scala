@@ -39,6 +39,14 @@ class FlushStreamSpec extends SparkSpec {
     runOnce() // restart with same checkpoint: no re-shipping
     assert(spark.read.parquet(dest.toString).count() == 3)
 
+    // the date partition columns actually PRUNE: a year filter must show
+    // up as a PartitionFilter on the scan, not a post-scan Filter
+    val pruned = spark.read.parquet(dest.toString).filter(col("year") === 2023)
+    pruned.collect()
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("year"),
+      s"expected partition pruning on year in:\n$scanPlan")
+
     // new bundle after restart is picked up incrementally
     val p = Paths.get(collected.toString, "bundle4.collected")
     Files.write(p, "late\n".getBytes("UTF-8"))
