@@ -43,6 +43,19 @@ final class LakeCollector(spark: SparkSession, config: CompactionConfig) {
           config.targetBytes, config.glob)
     }
   }
+
+  /** Incremental pass (parquet bundles only): bundle just the files not
+    * yet in the lake, appending bundle ids. Rerun on a schedule for the
+    * reference's continuous-collector behavior with exactly-once
+    * bundling per file ([[Compactor.compactDirectoryIncremental]]).
+    */
+  def collectIncremental(): DataFrame = {
+    implicit val s: SparkSession = spark
+    require(config.codec.forall(_ == "none"),
+      "incremental collection writes parquet bundles (path-tracked)")
+    Compactor.compactDirectoryIncremental(config.inputDir, config.outputDir,
+      config.targetBytes, config.glob)
+  }
 }
 
 final class LakeFlusher(spark: SparkSession, config: FlushConfig) {

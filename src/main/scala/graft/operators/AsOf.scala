@@ -27,6 +27,17 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsOf {
 
+  /** Stream-static enrichment: left-join a STREAMING fact to a static
+    * dimension. No watermark or state — the static side is re-read per
+    * micro-batch (picking up dimension updates) and broadcast when
+    * small. The streaming counterpart of the e03/e05/e06 enrichment
+    * family for the common "decorate events with the latest dimension
+    * snapshot" case; a true streaming as-of (versioned dimension) is
+    * [[backward]] run per micro-batch via foreachBatch.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   /** Backward as-of join. `leftTime`/`rightTime`/`tiebreak` must be
     * numeric-orderable (cast times to epoch longs first). Output =
     * left columns ++ right columns (right side nullable).

@@ -165,6 +165,68 @@ object Compactor {
     manifest(assign, col("path"))
   }
 
+  /** Incremental compaction pass: bundle only files not already present
+    * in the output lake (the written bundles carry their source `path`
+    * column — the lake IS the processed-set), appending new bundles
+    * with ids after the existing maximum. The reference re-reads the
+    * whole tree every `start()` and dedups nothing (its SQLite
+    * metastore is dead code — SURVEY §1); rerunning THIS pass on a
+    * schedule gives the continuous-collector behavior with exactly-once
+    * bundling per file. Returns the manifest of the NEW bundles only
+    * (empty when nothing new).
+    *
+    * Scale: the anti-join is listing-vs-path-column — both narrow; the
+    * processed-set read prunes to the `path` column only.
+    */
+  def compactDirectoryIncremental(inputDir: String, outputDir: String,
+                                  targetBytes: Long, glob: Option[String] = None)
+                                 (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val prev =
+      try {
+        val p = spark.read.parquet(outputDir)
+        if (p.columns.contains("path")) Some(p) else None
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    prev match {
+      case None => compactDirectory(inputDir, outputDir, targetBytes, glob)
+      case Some(p) =>
+        val reader = spark.read.format("binaryFile")
+        val files = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+          .load(inputDir)
+        val done = p.select(col("path"))
+        val nextBundle = p.agg(max(col(BundleCol).cast("long"))).collect()(0)
+          .getLong(0) + 1
+        val listing = files
+          .select(col("path"), col("modificationTime"), col("length"))
+          .filter(col("length") > 0)
+          .join(done, Seq("path"), "left_anti")
+        if (listing.isEmpty) {
+          // nothing new: empty manifest with the standard schema
+          manifest(listing
+            .withColumn(BundleCol, lit(0L))
+            .withColumn("record_bytes", lit(0L)), col("path"))
+        } else {
+          // localCheckpoint (eager, narrow rows only): the assignment's
+          // lineage reads outputDir through the anti-join, so the append
+          // below would invalidate a mere cache and the recompute would
+          // see its own output — anti-joining away every new file.
+          // Checkpointing pins the PRE-write assignment.
+          val assign = withBundleId(listing, col("modificationTime"),
+            Seq(col("path")), col("length"), targetBytes)
+            .withColumn(BundleCol, col(BundleCol) + nextBundle)
+            .localCheckpoint()
+          files.select(col("path"), col("content"))
+            .join(assign, "path")
+            .select(col(BundleCol), col("path"), col("modificationTime"),
+              col("record_bytes"), col("content"))
+            .repartition(col(BundleCol))
+            .write.mode(SaveMode.Append)
+            .partitionBy(BundleCol)
+            .parquet(outputDir)
+          manifest(assign, col("path"))
+        }
+    }
+  }
+
   /** Text-bundle variant with optional compression (reference W2 gzip
     * handler, `core/gzipfile_handler.py:30-114`): one directory per
     * bundle of concatenated record text, written through the codec.

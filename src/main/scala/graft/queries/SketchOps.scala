@@ -26,6 +26,29 @@ object SketchOps extends QuerySet {
             percentile_approx($"value", lit(0.5), lit(1000)).as("median_value"),
             count(lit(1)).as("n"))
       },
-      None)
+      None),
+
+    // Exact twins of the x01 sketches, per event type — fully
+    // oracle-checkable (exact distinct count; exact continuous
+    // percentile, which Spark's `percentile` and DuckDB's
+    // `quantile_cont` both define by linear interpolation; rounding
+    // absorbs interpolation ulp).
+    Q("x02_exact_quantiles",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .groupBy($"event_type")
+          .agg(
+            countDistinct($"user_id").as("nd_users"),
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT user_id) AS nd_users,
+             |  round(quantile_cont(value, 0.5), 4) AS p50,
+             |  round(quantile_cont(value, 0.95), 4) AS p95,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }

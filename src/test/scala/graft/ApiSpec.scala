@@ -29,6 +29,36 @@ class ApiSpec extends SparkSpec {
     assert(back.columns.contains("bundle_id"))
   }
 
+  test("incremental compaction bundles only new files, appending bundle ids") {
+    implicit val s = spark
+    import graft.operators.Compactor
+    val in = tmpDir("inc_in"); val out = tmpDir("inc_out")
+    def addFiles(from: Int, to: Int): Unit = (from to to).foreach { i =>
+      val p = Paths.get(in.toString, s"f$i.json")
+      Files.write(p, (s"""{"i":$i,"pad":"${"y" * 40}"}""").getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 1000L)
+    }
+    addFiles(1, 10)
+    val m1 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+    val bundles1 = m1.select("bundle_id").collect().map(_.getLong(0)).toSet
+    assert(m1.agg(sum("n_records")).collect()(0).getLong(0) == 10)
+
+    // second pass, nothing new -> empty manifest, lake unchanged
+    val m2 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+    assert(m2.count() == 0)
+    assert(spark.read.parquet(out.toString).count() == 10)
+
+    // add files -> only they are bundled, with ids past the old maximum
+    addFiles(11, 15)
+    val m3 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+    assert(m3.agg(sum("n_records")).collect()(0).getLong(0) == 5)
+    val bundles3 = m3.select("bundle_id").collect().map(_.getLong(0)).toSet
+    assert(bundles3.forall(_ > bundles1.max))
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 15)
+    assert(back.select("path").distinct().count() == 15) // no re-bundling
+  }
+
   test("LakeFlusher lifecycle: start/drain/stop, restart ships nothing twice") {
     val collected = tmpDir("api_coll"); val dest = tmpDir("api_dest")
     val ckpt = tmpDir("api_ckpt")

@@ -196,6 +196,29 @@ class FlushStreamSpec extends SparkSpec {
     assert(expected > 0)
   }
 
+  test("stream-static enrichment joins each micro-batch to the dimension") {
+    import spark.implicits._
+    val src = tmpDir("enrich_src"); val ckpt = tmpDir("enrich_ckpt")
+    Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"event_type")
+      .write.mode("overwrite").parquet(src.toString)
+    val dim = Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val q = graft.operators.AsOf.enrichStream(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched")
+    assert(got.count() == Tables.load(spark, sf0001, "events").count())
+    // events with a known customer got a segment attached
+    assert(got.filter($"c_mktsegment".isNotNull).count() > 0)
+  }
+
   test("typed Aggregator summarizes a Dataset field") {
     import spark.implicits._
     import graft.functions.TypedAggs
