@@ -22,6 +22,22 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("no query silently plans a nested-loop/cartesian join") {
+    // BNLJ/cartesian means a missing equi key — quadratic at scale. The
+    // allowlist is the set where the nested loop IS the algorithm:
+    //   q27: one-row global-threshold broadcast
+    //   s01: brute-force kNN, the exact baseline (scan x broadcast queries)
+    //   s04: nprobe ranking against 16 broadcast centroids
+    val allow = Set("q27_important_parts", "s01_knn_bruteforce", "s04_knn_ivf")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val bad = plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct")
+      assert(allow(name) || !bad,
+        s"$name plans a nested-loop/cartesian join:\n$plan")
+    }
+  }
+
   test("dedup/minhash operators are deterministic across runs") {
     val a = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
     val b = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
