@@ -203,6 +203,22 @@ object Relational4 extends QuerySet {
              |  round(avg(CAST(props ->> '$.k' AS BIGINT)), 4) AS avg_k,
              |  min(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
              |  max(CAST(props ->> '$.k' AS BIGINT)) AS max_k
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // --- Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    // (top-2 orders per customer). Catalyst decorrelates the lateral
+    // into a rank-filtered join; the SQL surface is what's exercised.
+    Q("q32_lateral_topn",
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT c_custkey, o.o_orderkey, o.top_price FROM customer,
+                |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS top_price
+                |         FROM orders WHERE o_custkey = c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o.o_orderkey, o.top_price FROM customer,
+             |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS top_price
+             |         FROM orders WHERE o_custkey = c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o""".stripMargin))
   )
 }
