@@ -84,12 +84,15 @@ case class AsOfJoinExec(
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val nRight = right.output.length
     val outAttrs = output
-    val allAttrs = left.output ++ right.output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(nRight)
-      val proj = UnsafeProjection.create(outAttrs, allAttrs)
+      // bind against the NULLABLE output attrs, not the children's:
+      // the right child declares non-nullable columns, and a projection
+      // bound to those elides the null checks — the all-null unmatched
+      // row would render as zeros instead of nulls
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
       var curKey = Long.MinValue
       var haveKey = false
       var best: InternalRow = null
