@@ -35,7 +35,21 @@ object HashExprs {
 
   private[expressions] def md5Hex(digest: MessageDigest, bytes: Array[Byte]): Array[Byte] = {
     digest.reset()
-    val d = digest.digest(bytes)
+    toHex(digest.digest(bytes))
+  }
+
+  /** md5 of `prefix ++ body` without materializing the concatenation
+    * (MessageDigest streams updates; same digest, no copy).
+    */
+  private[expressions] def md5Hex2(digest: MessageDigest, prefix: Array[Byte],
+                                   body: Array[Byte]): Array[Byte] = {
+    digest.reset()
+    digest.update(prefix)
+    digest.update(body)
+    toHex(digest.digest())
+  }
+
+  private def toHex(d: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](32)
     var i = 0
     while (i < 16) {
@@ -141,10 +155,7 @@ case class MinHashSig(child: Expression, k: Int)
       var min: Array[Byte] = null
       j = 0
       while (j < n) {
-        val buf = new Array[Byte](salt.length + shingleBytes(j).length)
-        System.arraycopy(salt, 0, buf, 0, salt.length)
-        System.arraycopy(shingleBytes(j), 0, buf, salt.length, shingleBytes(j).length)
-        val h = HashExprs.md5Hex(digest, buf)
+        val h = HashExprs.md5Hex2(digest, salt, shingleBytes(j))
         if (min == null || HashExprs.less(h, min)) min = h
         j += 1
       }
