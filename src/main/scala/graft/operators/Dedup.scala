@@ -102,6 +102,47 @@ object Dedup {
     df.select(idCol.as("doc_id"),
       TextFns.simhashBits(TextFns.tokens(textCol), bits).as("simhash"))
 
+  /** Cluster formation over a near-dup pair graph — the step that turns
+    * verified pairs into one-representative-per-group: connected
+    * components by min-label propagation, where each vertex's label
+    * converges to the minimum doc id in its component (the canonical
+    * representative "keep" doc; everything else is the drop-set).
+    *
+    * Scale shape: per round ONE equi-join (edges x labels) + ONE
+    * aggregation; rounds ≈ component diameter (near-dup clusters are
+    * shallow — a handful of rounds). Label/edge frames are
+    * localCheckpointed so lineage doesn't grow with rounds. This is the
+    * standard large-graph CC recipe (label propagation, cf. the
+    * small-star/large-star refinement for adversarial diameters).
+    * Returns (doc_id, cluster_rep) for every vertex in the pair graph.
+    */
+  def clusters(pairs: DataFrame, aCol: Column, bCol: Column,
+               maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
+      .union(pairs.select(bCol.as("src"), aCol.as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("v").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val newLabels = labels
+        .join(neighborMin.select(col("src").as("v"), col("nmin")), Seq("v"), "left")
+        .select(col("v"), least(col("label"),
+          coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = newLabels
+        .join(labels.select(col("v"), col("label").as("old")), "v")
+        .filter(col("label") =!= col("old")).count()
+      labels = newLabels
+      rounds += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Embedding near-dup: pairs within the same blocking cell whose
     * cosine exceeds `minCos`. Blocking (here: a caller-supplied cell
     * column, e.g. an IVF/LSH bucket or a label) keeps the join from

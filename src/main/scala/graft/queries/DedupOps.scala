@@ -126,6 +126,33 @@ object DedupOps extends QuerySet {
              |    (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
              |     sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-             |SELECT cell, id_a, id_b, cos FROM p WHERE cos > 0.3""".stripMargin))
+             |SELECT cell, id_a, id_b, cos FROM p WHERE cos > 0.3""".stripMargin)),
+
+    // --- Cluster formation: connected components over the verified
+    // Jaccard pair graph (d04's pairs at >= 0.3) — each doc mapped to
+    // the minimum id of its component, the canonical representative.
+    // Spark: iterative min-label propagation (one join + one agg per
+    // round, rounds ~ diameter). Oracle: recursive-CTE transitive
+    // closure + min — same fixpoint, stated declaratively.
+    Q("d07_dedup_clusters",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Dedup.jaccardPairs(Tables.load(s, d, "documents"),
+          $"doc_id", $"text", shingleN = 3, k = 16, bands = 4, minSim = 0.3)
+        Dedup.clusters(pairs, $"doc_a", $"doc_b")
+      },
+      Some(s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |P AS (SELECT doc_a, doc_b
+              |  FROM C JOIN S sa ON sa.doc_id = doc_a JOIN S sb ON sb.doc_id = doc_b
+              |  WHERE round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+              |      / len(list_distinct(sa.sh || sb.sh))::DOUBLE, 6) >= 0.3),
+              |E AS (SELECT doc_a AS src, doc_b AS dst FROM P
+              |  UNION SELECT doc_b, doc_a FROM P),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM E
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN E e ON r.dst = e.src)
+              |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+              |FROM reach GROUP BY src""".stripMargin))
   )
 }

@@ -138,6 +138,19 @@ class SkewLineageSpec extends SparkSpec {
     assert(binned.nonEmpty)
   }
 
+  test("dedup clusters: min-label CC on chain, triangle, and pair") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // components: chain 1-2-3-4 (rep 1), triangle 10-11-12 (rep 10),
+    // pair 20-21 (rep 20); a long chain forces >1 propagation round
+    val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(10L,11L),(11L,12L),(10L,12L),(20L,21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs, $"doc_a", $"doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
+      10L->10L, 11L->10L, 12L->10L, 20L->20L, 21L->20L))
+  }
+
   test("Caches.release drains operator intermediates; results still recompute") {
     import spark.implicits._
     import graft.operators.{Caches, Dedup}
