@@ -129,15 +129,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("v").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val newLabels = labels
+      // carry the previous label through the checkpoint: the
+      // convergence check is then a filter-count over materialized
+      // blocks, not a per-round join against the old frame
+      val staged = labels.select(col("v"), col("label").as("_old"))
         .join(neighborMin.select(col("src").as("v"), col("nmin")), Seq("v"), "left")
-        .select(col("v"), least(col("label"),
-          coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("v"), least(col("_old"),
+          coalesce(col("nmin"), col("_old"))).as("label"), col("_old"))
         .localCheckpoint()
-      changed = newLabels
-        .join(labels.select(col("v"), col("label").as("old")), "v")
-        .filter(col("label") =!= col("old")).count()
-      labels = newLabels
+      changed = staged.filter(col("label") =!= col("_old")).count()
+      labels = staged.drop("_old")
       rounds += 1
     }
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
