@@ -27,6 +27,30 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 object AsOf {
 
+  /** Streaming backward as-of against a VERSIONED dimension: each
+    * micro-batch runs the full [[backward]] merge (batch semantics,
+    * exactly the e05/e06 contract) and hands the enriched batch to
+    * `sink`. Use when the match must respect the dimension's OWN
+    * event time (an updated dimension row must not apply to earlier
+    * facts) — the plain stream-static join ([[enrichStream]]) always
+    * matches the latest snapshot. The dimension is re-read per batch,
+    * so slowly-growing dimensions are picked up without restart.
+    */
+  def backwardStream(stream: DataFrame, dim: DataFrame, key: String,
+                     leftTime: String, rightTime: String, tiebreak: String,
+                     checkpointDir: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger =
+                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(backward(batch.toDF(), dim, key, leftTime, rightTime, tiebreak), id)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Stream-static enrichment: left-join a STREAMING fact to a static
     * dimension. No watermark or state — the static side is re-read per
     * micro-batch (picking up dimension updates) and broadcast when

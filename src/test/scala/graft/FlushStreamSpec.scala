@@ -196,6 +196,35 @@ class FlushStreamSpec extends SparkSpec {
     assert(expected > 0)
   }
 
+  test("streaming as-of via foreachBatch matches the batch merge") {
+    import spark.implicits._
+    import graft.operators.AsOf
+    val src = tmpDir("asof_src"); val ckpt = tmpDir("asof_ckpt")
+    val ev = Tables.load(spark, sf0001, "events")
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("lt"))
+    val dim = Tables.load(spark, sf0001, "orders")
+      .select($"o_custkey".as("user_id"), $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("rt"), $"o_totalprice")
+    ev.write.mode("overwrite").parquet(src.toString)
+    val acc = new java.util.concurrent.ConcurrentHashMap[Long, Option[Long]]()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val q = AsOf.backwardStream(stream, dim, "user_id", "lt", "rt",
+      "o_orderkey", ckpt.toString) { (batch, _) =>
+      batch.select($"event_id", $"o_orderkey").collect()
+        .foreach(r => acc.put(r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    }
+    q.awaitTermination(120000)
+    val batchResult = AsOf.backward(ev, dim, "user_id", "lt", "rt", "o_orderkey")
+      .select($"event_id", $"o_orderkey").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    import scala.jdk.CollectionConverters._
+    assert(acc.asScala.toMap == batchResult)
+    assert(batchResult.nonEmpty)
+  }
+
   test("stream-static enrichment joins each micro-batch to the dimension") {
     import spark.implicits._
     val src = tmpDir("enrich_src"); val ckpt = tmpDir("enrich_ckpt")
