@@ -90,16 +90,26 @@ object AsOf {
       rKeep.map(i => StructField(rSchema(i).name, rSchema(i).dataType,
         nullable = true)))
 
+    // "nulls never match" (same contract as the rank and planned forms):
+    // left rows with a null key/time go straight to the null-padded
+    // output; right rows with a null key/time can never be anyone's
+    // match and are dropped before the shuffle. Both filters are narrow.
+    val lClean = left.filter(col(key).isNotNull && col(leftTime).isNotNull)
+    val lNullish = left.filter(col(key).isNull || col(leftTime).isNull)
+    val rClean = right.filter(col(key).isNotNull && col(rightTime).isNotNull)
+
     implicit val keyEnc = Encoders.scalaLong
     implicit val rowEnc = Encoders.row(outSchema)
-    val lg = left.groupByKey(r => r.getLong(lKey))(keyEnc)
-    val rg = right.groupByKey(r => r.getLong(rKey))(keyEnc)
-    lg.cogroup(rg) { (_, ls, rs) =>
+    val lg = lClean.groupByKey(r => r.getLong(lKey))(keyEnc)
+    val rg = rClean.groupByKey(r => r.getLong(rKey))(keyEnc)
+    val merged = lg.cogroup(rg) { (_, ls, rs) =>
       // sort each side once; walk both with two pointers
       val lRows = ls.toArray.sortBy(_.getLong(lT))
       // right ordered by (t, tiebreak): the LAST entry with t <= lt is
-      // the rank-1 row of the DESC,DESC window
-      val rRows = rs.toArray.sortBy(r => (r.getLong(rT), r.getLong(rTie)))
+      // the rank-1 row of the DESC,DESC window. A null tiebreak sorts
+      // first (= loses every tie), matching desc-nulls-last rank form.
+      val rRows = rs.toArray.sortBy(r => (r.getLong(rT),
+        if (r.isNullAt(rTie)) Long.MinValue else r.getLong(rTie)))
       var j = 0
       var best: Row = null
       lRows.iterator.map { l =>
@@ -113,6 +123,11 @@ object AsOf {
         Row.fromSeq(l.toSeq ++ rVals)
       }
     }(rowEnc).toDF(outSchema.fieldNames.toIndexedSeq: _*)
+    val padded = lNullish.select(
+      lSchema.fieldNames.map(col).toIndexedSeq ++
+      rKeep.map(i => lit(null).cast(rSchema(i).dataType)
+        .as(rSchema(i).name)): _*)
+    merged.union(padded)
   }
 
   /** Convenience: epoch-long projection helper for timestamp columns. */
@@ -133,9 +148,14 @@ object AsOf {
     import org.apache.spark.sql.graftbridge.DatasetBridge
     import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // check-then-append on session-global state: serialize concurrent
+    // first-time callers (the bench submits 12 queries at once) so a
+    // racing pair can't lose or double-add the strategy
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,

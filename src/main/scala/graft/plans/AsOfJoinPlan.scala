@@ -119,7 +119,11 @@ case class AsOfJoinExec(
             val rk = rKeyB.eval(h)
             if (rk != null && rk.asInstanceOf[Long] == k) {
               val rt = rTimeB.eval(h)
-              if (rt != null && rt.asInstanceOf[Long] <= lt) {
+              if (rt == null) {
+                // null times sort FIRST (Ascending nulls-first): skip
+                // them, or they'd block every valid row behind them
+                rBuf.next(); ()
+              } else if (rt.asInstanceOf[Long] <= lt) {
                 best = rBuf.next().copy() // iterator reuses rows
               } else consume = false
             } else consume = false

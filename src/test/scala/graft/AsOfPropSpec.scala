@@ -59,4 +59,75 @@ class AsOfPropSpec extends SparkSpec {
       assert(viaPlanned == expected, s"planned diverged, trial $trial")
     }
   }
+
+  /** Null contract (ADVICE r2): null keys or times never match — and
+    * never BLOCK. A null right time sorts first in the planned exec's
+    * Ascending nulls-first ordering; before the fix it froze the merge
+    * pointer and poisoned every valid right row behind it for that key.
+    * The cogroup form previously threw on any null at all.
+    */
+  test("null keys/times never match and never block (both forms)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("k", LongType, nullable = true),
+      StructField("t", LongType, nullable = true)))
+    val rSchema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("rt", LongType, nullable = true),
+      StructField("tie", LongType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val cellGen: Gen[Option[Long]] = Gen.frequency(
+      4 -> Gen.choose(0L, 5L).map(Some(_)), 1 -> Gen.const(None))
+    val timeGen: Gen[Option[Long]] = Gen.frequency(
+      4 -> Gen.choose(0L, 40L).map(Some(_)), 1 -> Gen.const(None))
+    val trialGen = for {
+      nl <- Gen.choose(1, 50)
+      nr <- Gen.choose(0, 50)
+      ls <- Gen.listOfN(nl, Gen.zip(cellGen, timeGen))
+      rs <- Gen.listOfN(nr, Gen.zip(cellGen, timeGen))
+    } yield (ls, rs)
+
+    (1 to 8).foreach { trial =>
+      val (ls, rs) = trialGen(Gen.Parameters.default, Seed(900L + trial))
+        .getOrElse(fail(s"gen failed for trial $trial"))
+      val lRows = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      // tie: mostly unique, some null; at most one null-tie per (k, rt)
+      // so the winner stays well-defined
+      val seenNullTie = scala.collection.mutable.Set.empty[(Option[Long], Option[Long])]
+      val rRows = rs.zipWithIndex.map { case ((k, t), i) =>
+        val tie: Option[Long] = if (i % 5 == 0) None else Some(1000L + i)
+        (k, t, tie, i.toLong)
+      }.filter { case (k, t, tie, _) => tie.isDefined || seenNullTie.add((k, t)) }
+
+      val expected: Map[Long, Option[Long]] = lRows.map { case (id, kOpt, tOpt) =>
+        id -> (for {
+          lk <- kOpt; lt <- tOpt
+          best <- rRows.filter { case (rk, rt, _, _) =>
+              rk.contains(lk) && rt.exists(_ <= lt) }
+            .sortBy { case (_, rt, tie, _) =>
+              (rt.get, tie.getOrElse(Long.MinValue)) }
+            .lastOption
+        } yield best._4)
+      }.toMap
+
+      val lDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          lRows.map { case (id, k, t) => Row(id, k.orNull, t.orNull) }, 4),
+        lSchema)
+      val rDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rRows.map { case (k, t, tie, v) => Row(k.orNull, t.orNull, tie.orNull, v) }, 4),
+        rSchema)
+      def toMapOf(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+        df.select("id", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val viaCogroup = toMapOf(AsOf.backward(lDf, rDf, "k", "t", "rt", "tie"))
+      val viaPlanned = toMapOf(AsOf.backwardPlanned(
+        lDf, rDf.withColumnRenamed("k", "rk"), "k", "rk", "t", "rt", "tie"))
+      assert(viaCogroup == expected, s"cogroup diverged on nulls, trial $trial")
+      assert(viaPlanned == expected, s"planned diverged on nulls, trial $trial")
+    }
+  }
 }
