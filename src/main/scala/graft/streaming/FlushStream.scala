@@ -91,50 +91,138 @@ object FlushStream {
     * event-time ns, payload size.
     */
   case class BundleRec(key: String, event_id: Long, ts_ns: Long, size: Long)
-  private[graft] case class BundleAcc(seq: Long, bytes: Long, n: Long, firstId: Long)
+  private[graft] case class BundleAcc(seq: Long, bytes: Long, n: Long,
+                                      firstId: Long, openedAt: Long)
   /** One CLOSED bundle (the in-progress one stays in state). */
   case class BundleEmit(key: String, bundle_seq: Long, n_records: Long,
                         total_bytes: Long, first_event: Long)
 
-  /** The reference's size-rotation (W1, `core/file_handler.py:43-59`:
-    * roll when `current_size + len(next) >= max_bytes`; the triggering
-    * record opens the NEXT bundle) as CUSTOM STREAMING STATE —
-    * `flatMapGroupsWithState` keeping one running (seq, bytes, n)
-    * accumulator per collector key. Closed bundles are emitted
-    * downstream (append mode); the open bundle survives in state across
-    * micro-batches, exactly like the reference's in-progress file
-    * survives across poll ticks.
+  /** The reference's rotation contract (W1): roll when size OR age
+    * exceeds its limit, whichever first — size per
+    * `core/file_handler.py:43-59` (`current_size + len(next) >=
+    * max_bytes`; the triggering record opens the NEXT bundle), age per
+    * `core/collector.py:62-71` (roll when `now - created_at` passes the
+    * limit, measured from bundle OPEN, not last append; tested at
+    * `tests/core/test_collector.py:112-135`) — as CUSTOM STREAMING
+    * STATE: `flatMapGroupsWithState` keeping one running (seq, bytes,
+    * n, openedAt) accumulator per collector key. Closed bundles are
+    * emitted downstream (append mode); the open bundle survives in
+    * state across micro-batches, exactly like the reference's
+    * in-progress file survives across poll ticks.
+    *
+    * The age half uses `ProcessingTimeTimeout`: each batch arms the
+    * timeout for the open bundle's REMAINING age, so an under-target
+    * bundle with no new records still closes on time — the micro-batch
+    * engine schedules timeout-only batches for this. With
+    * `maxAgeMs = None` the operator is pure size rotation (NoTimeout),
+    * bitwise-deterministic, and the exact streaming twin of
+    * [[graft.operators.Compactor.withBundleId]] (oracle-checked as
+    * `c01_bundle_assign`); with an age limit, WHICH bundle a record
+    * lands in necessarily depends on wall clock, same as the reference.
     *
     * State size: one accumulator per key — bounded by key cardinality,
     * independent of throughput. Per key per micro-batch the records are
     * sorted (ts_ns, event_id) so emission is deterministic; a group's
     * batch slice must fit in task memory (inherent to the
     * mapGroupsWithState API, same bound the hash aggregate needs).
-    * The batch equivalent of this whole operator is
-    * [[graft.operators.Compactor.withBundleId]] (oracle-checked as
-    * `c01_bundle_assign`).
     */
-  def sizeRotatedBundles(recs: Dataset[BundleRec],
-                         targetBytes: Long): Dataset[BundleEmit] = {
+  def sizeRotatedBundles(recs: Dataset[BundleRec], targetBytes: Long,
+                         maxAgeMs: Option[Long] = None): Dataset[BundleEmit] = {
+    import recs.sparkSession.implicits._
+    require(targetBytes >= 1)
+    require(maxAgeMs.forall(_ >= 1))
+    val timeoutConf =
+      if (maxAgeMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    recs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: String, rows: Iterator[BundleRec], state: GroupState[BundleAcc]) => {
+          var acc = state.getOption.getOrElse(
+            BundleAcc(0L, 0L, 0L, Long.MaxValue, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[BundleEmit]()
+          def close(): Unit = {
+            out += BundleEmit(key, acc.seq, acc.n, acc.bytes, acc.firstId)
+            acc = BundleAcc(acc.seq + 1, 0L, 0L, Long.MaxValue, -1L)
+          }
+          val now = maxAgeMs.map(_ => state.getCurrentProcessingTimeMs())
+          // age half: close an expired open bundle FIRST, whether this
+          // wake-up is a timeout (no rows) or new data racing the clock
+          if (state.hasTimedOut && acc.n > 0) close()
+          else for (limit <- maxAgeMs; t <- now)
+            if (acc.n > 0 && acc.openedAt >= 0 && t - acc.openedAt >= limit) close()
+          rows.toSeq.sortBy(r => (r.ts_ns, r.event_id)).foreach { r =>
+            if (acc.n > 0 && acc.bytes + r.size >= targetBytes) close()
+            val opened = if (acc.n == 0) now.getOrElse(-1L) else acc.openedAt
+            acc = BundleAcc(acc.seq, acc.bytes + r.size, acc.n + 1,
+              math.min(acc.firstId, r.event_id), opened)
+          }
+          state.update(acc)
+          // arm the clock for the open bundle's remaining age; an empty
+          // accumulator has no age and sets no timer
+          for (limit <- maxAgeMs; t <- now)
+            if (acc.n > 0)
+              state.setTimeoutDuration(math.max(1L, acc.openedAt + limit - t))
+          out.iterator
+        })
+  }
+
+  /** One payload-bearing record headed for a bundle FILE. */
+  case class PayloadRec(key: String, event_id: Long, ts_ns: Long,
+                        size: Long, payload: String)
+  /** A record stamped with its assigned bundle. */
+  case class BundledRec(key: String, bundle_seq: Long, event_id: Long,
+                        ts_ns: Long, payload: String)
+
+  /** Per-record bundle ASSIGNMENT as streaming state: the same
+    * size-rotation fold as [[sizeRotatedBundles]], but emitting every
+    * record immediately, stamped with the bundle it belongs to, instead
+    * of a manifest row per closed bundle. This is what a payload sink
+    * needs — records flow to files as they arrive; the accumulator (one
+    * per key) carries (seq, bytes) across micro-batches so assignment
+    * is identical to the reference's single-writer fold.
+    */
+  def bundleAssignedRecords(recs: Dataset[PayloadRec],
+                            targetBytes: Long): Dataset[BundledRec] = {
     import recs.sparkSession.implicits._
     require(targetBytes >= 1)
     recs.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (key: String, rows: Iterator[BundleRec], state: GroupState[BundleAcc]) => {
-          var acc = state.getOption.getOrElse(BundleAcc(0L, 0L, 0L, Long.MaxValue))
-          val out = scala.collection.mutable.ArrayBuffer[BundleEmit]()
+        (key: String, rows: Iterator[PayloadRec], state: GroupState[BundleAcc]) => {
+          var acc = state.getOption.getOrElse(
+            BundleAcc(0L, 0L, 0L, Long.MaxValue, -1L))
+          val out = scala.collection.mutable.ArrayBuffer[BundledRec]()
           rows.toSeq.sortBy(r => (r.ts_ns, r.event_id)).foreach { r =>
-            if (acc.n > 0 && acc.bytes + r.size >= targetBytes) {
-              out += BundleEmit(key, acc.seq, acc.n, acc.bytes, acc.firstId)
-              acc = BundleAcc(acc.seq + 1, 0L, 0L, Long.MaxValue)
-            }
+            if (acc.n > 0 && acc.bytes + r.size >= targetBytes)
+              acc = BundleAcc(acc.seq + 1, 0L, 0L, Long.MaxValue, -1L)
             acc = BundleAcc(acc.seq, acc.bytes + r.size, acc.n + 1,
-              math.min(acc.firstId, r.event_id))
+              math.min(acc.firstId, r.event_id), acc.openedAt)
+            out += BundledRec(key, acc.seq, r.event_id, r.ts_ns, r.payload)
           }
           state.update(acc)
           out.iterator
         })
   }
+
+  /** End-to-end streaming collector (W1+K2 payload path): records in,
+    * BUNDLE FILES out. Each bundle is the partition directory
+    * `key=<k>/bundle_seq=<n>` of a parquet file-sink write — the
+    * built-in sink's `_spark_metadata` manifest makes file emission
+    * exactly-once across restarts (the reference's crash contract loses
+    * the in-progress file; here the checkpoint replays it). A bundle's
+    * records may span micro-batches; its directory accretes part files
+    * until rotation moves the key to the next seq, and downstream reads
+    * prune on (key, bundle_seq) like any partitioned table.
+    */
+  def bundleFileSink(recs: Dataset[PayloadRec], targetBytes: Long,
+                     bundleDir: String, checkpointDir: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    bundleAssignedRecords(recs, targetBytes).writeStream
+      .format("parquet")
+      .option("path", bundleDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("key", "bundle_seq")
+      .trigger(trigger)
+      .start()
 
   /** Streaming training-data cleaning: the first two stages of the
     * batch `p01_clean_corpus` pipeline as an incremental stream —

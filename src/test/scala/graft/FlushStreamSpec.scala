@@ -168,6 +168,43 @@ class FlushStreamSpec extends SparkSpec {
     assert(r.getAs[Long]("first_event") == 1L)
   }
 
+  test("time half of W1: under-sized bundles close after maxAge with no new data") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.FlushStream.BundleRec
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[BundleRec]
+    // target is unreachable: only the age clock can close a bundle here
+    val q = FlushStream.sizeRotatedBundles(mem.toDS(), targetBytes = 1000000L,
+        maxAgeMs = Some(1500L))
+      .writeStream.format("memory").queryName("aged")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      def awaitRows(n: Int): Array[org.apache.spark.sql.Row] = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (spark.table("aged").count() < n &&
+               System.currentTimeMillis() < deadline) Thread.sleep(200)
+        spark.table("aged").orderBy("bundle_seq").collect()
+      }
+      mem.addData(BundleRec("k", 1L, 10L, 100L))
+      val first = awaitRows(1)
+      assert(first.length == 1, "aged-out bundle never closed")
+      assert(first(0).getAs[Long]("bundle_seq") == 0L)
+      assert(first(0).getAs[Long]("n_records") == 1L)
+      assert(first(0).getAs[Long]("total_bytes") == 100L)
+      // a later record opens bundle 1 — sequence numbering survives the
+      // timeout close — and ages out in turn
+      mem.addData(BundleRec("k", 2L, 20L, 150L))
+      val second = awaitRows(2)
+      assert(second.length == 2, "second aged-out bundle never closed")
+      assert(second(1).getAs[Long]("bundle_seq") == 1L)
+      assert(second(1).getAs[Long]("n_records") == 1L)
+      assert(second(1).getAs[Long]("total_bytes") == 150L)
+    } finally q.stop()
+  }
+
   test("streaming clean-corpus equals the batch quality-gate + exact-dedup count") {
     import spark.implicits._
     import graft.functions.TextFns
