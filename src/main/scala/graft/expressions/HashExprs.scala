@@ -401,6 +401,43 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `range_bucket(v)`: number of sorted boundaries <= v — the bucket
+  * index of a range partitioning — by binary search. The chained-when
+  * fold this replaces generates O(boundaries) comparisons per row:
+  * invisible at 32 buckets, but past a few thousand the generated
+  * method outgrows the JIT/codegen limits and the whole stage falls
+  * back to interpreted evaluation. Here the generated stage is
+  * CONSTANT-size for any bucket count and each row costs O(log B);
+  * boundaries ride plan-serialized inside the expression (8 bytes per
+  * bucket — a 16k-bucket config is 128 KB, broadcast once with the
+  * plan, not per row).
+  *
+  * NaN counts above every boundary, matching Spark's NaN-greatest
+  * comparison semantics that the `when(ord >= bound)` fold exhibited.
+  */
+case class RangeBucket(child: Expression, bounds: Array[Double])
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    if (java.lang.Double.isNaN(v)) bounds.length
+    else {
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v >= bounds(mid)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): RangeBucket =
+    copy(child = c)
+  override def prettyName: String = "range_bucket"
+}
+
 object NativeFns {
   def minhash_sig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
@@ -418,4 +455,6 @@ object NativeFns {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+  def range_bucket(v: Column, bounds: Array[Double]): Column =
+    ColumnBridge.column(RangeBucket(ColumnBridge.expression(v), bounds))
 }

@@ -76,9 +76,14 @@ object Compactor {
 
     // Bucket index = number of boundaries <= key. Depends only on the key,
     // so equal keys share a bucket and buckets tile the key space in order.
-    def bucketOf(ord: Column): Column = bounds.foldLeft(lit(0)) { (acc, bound) =>
-      acc + when(ord >= lit(bound), 1).otherwise(0)
-    }
+    // Binary search, not a chained-when fold: the fold's generated code
+    // grows with the bucket count and falls out of whole-stage codegen
+    // at the thousands-of-buckets configs a 100x scale-up needs.
+    // A null key lands in bucket 0, same as the fold it replaced.
+    def bucketOf(ord: Column): Column =
+      if (bounds.isEmpty) lit(0)
+      else coalesce(
+        graft.expressions.NativeFns.range_bucket(ord, bounds), lit(0))
 
     // Phase 2: per-bucket totals -> exclusive offsets (tiny; broadcast back).
     val totals = narrow.withColumn("_bucket", bucketOf(col("_ord")))

@@ -83,5 +83,14 @@ class CompactorSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(assign(1) == assign(7))
     assert(assign(7) == assign(32))
+    // a 100x-scale bucket config must neither change assignment nor
+    // fall out of whole-stage codegen (the old chained-when bucketOf
+    // generated O(buckets) comparisons per row and blew the JIT limit)
+    assert(assign(32) == assign(4096))
+    val wide = Compactor.withBundleId(
+      df, $"ts_ns", Seq($"event_id"), $"sz", 2048L, 4096)
+    wide.collect() // finalize the adaptive plan
+    assert(wide.queryExecution.executedPlan.toString.linesIterator.exists(
+      l => l.contains("range_bucket") && l.contains("*(")))
   }
 }

@@ -55,6 +55,43 @@ class NativeExprParitySpec extends SparkSpec {
     assert(pairs.filter(not($"native" <=> $"decl")).count() == 0)
   }
 
+  test("native range_bucket == chained-when fold, including boundary hits") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    val bounds = Array(-3.5, 0.0, 1.0, 2.25, 7.0, 100.5)
+    def foldForm(ord: org.apache.spark.sql.Column) =
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(ord >= lit(b), 1).otherwise(0) }
+    // exact boundary values, between-values, extremes, null
+    val probes = (bounds ++ bounds.map(_ - 1e-9) ++ bounds.map(_ + 1e-9) ++
+      Array(Double.MinValue, Double.MaxValue, -1e300, 1e300))
+      .map(Option(_)).toSeq :+ Option.empty[Double]
+    val df = probes.toDF("v")
+      .select($"v", NativeFns.range_bucket($"v", bounds).as("native"),
+        foldForm($"v").as("fold"))
+    assert(df.filter(not($"native" <=> $"fold") &&
+      $"v".isNotNull).count() == 0)
+    // the engine maps null -> 0 via coalesce, matching the fold's 0
+    assert(df.filter($"v".isNull).select(coalesce($"native", lit(0)))
+      .head().getInt(0) == 0)
+    // scale probe: 4096 buckets stays inside whole-stage codegen —
+    // the chained-when fold at this width would fall back to
+    // interpreted eval (generated method past the JIT limit)
+    val wide = (1 until 4096).map(_.toDouble).toArray
+    val probe = spark.range(0, 100000).select(($"id" % 5000).cast("double").as("v"))
+      .select($"v", NativeFns.range_bucket($"v", wide).as("b"))
+    val expected = probe.selectExpr("v", "b",
+      "least(greatest(cast(floor(v) as int), 0), 4095) as ref")
+      .filter($"v" >= 1 && $"v" < 4096)
+    assert(expected.filter($"b" =!= $"ref").count() == 0)
+    // '*(n)' is the whole-stage-codegen marker; the projection holding
+    // range_bucket must carry it
+    val codegenSpans = probe.queryExecution.executedPlan.toString
+    assert(codegenSpans.linesIterator.exists(l =>
+        l.contains("range_bucket") && l.contains("*(")),
+      s"range_bucket fell out of codegen:\n$codegenSpans")
+  }
+
   test("native cosine == declarative cosine (bitwise)") {
     import spark.implicits._
     val e = Tables.load(spark, sf0001, "embeddings")
