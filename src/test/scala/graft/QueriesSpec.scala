@@ -38,6 +38,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("x01 sketches stay within error bounds of the exact twin x02") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // x01 is rows-only at the oracle gate (HLL++/quantile sketches are
+    // not SQL-expressible in DuckDB) — THIS is its machine-checkable
+    // contract: per group, the sketch answers sit inside the algorithms'
+    // published error bounds of the exact answers.
+    val approx = SparkEntry.queries("x01_sketch_aggregates")(spark, sf0001)
+    // exact distinct count + the exact percentile BAND for the sketch's
+    // rank guarantee: percentile_approx(accuracy=1000) returns a true
+    // percentile within rank 0.5 +- 1/1000; probe a 10x-wider band
+    val exact = Tables.load(spark, sf0001, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("nd_users"),
+        expr("percentile(value, 0.49)").as("p_lo"),
+        expr("percentile(value, 0.51)").as("p_hi"))
+    val joined = approx.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val approxU = r.getAs[Long]("approx_users").toDouble
+      val exactU = r.getAs[Long]("nd_users").toDouble
+      // rsd 0.01 requested -> 5 sigma tolerance
+      assert(math.abs(approxU - exactU) / exactU <= 0.05,
+        s"HLL count off >5%: $r")
+      val med = r.getAs[Double]("median_value")
+      assert(med >= r.getAs[Double]("p_lo") && med <= r.getAs[Double]("p_hi"),
+        s"approx median outside exact [p49, p51] band: $r")
+    }
+  }
+
   test("dedup/minhash operators are deterministic across runs") {
     val a = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
     val b = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
