@@ -129,18 +129,35 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("v").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      // carry the previous label through the checkpoint: the
-      // convergence check is then a filter-count over materialized
-      // blocks, not a per-round join against the old frame
-      val staged = labels.select(col("v"), col("label").as("_old"))
+      // min over self + neighbor labels...
+      val hopped = labels.select(col("v"), col("label").as("_old"))
         .join(neighborMin.select(col("src").as("v"), col("nmin")), Seq("v"), "left")
         .select(col("v"), least(col("_old"),
-          coalesce(col("nmin"), col("_old"))).as("label"), col("_old"))
+          coalesce(col("nmin"), col("_old"))).as("_hop"), col("_old"))
+      // ...then POINTER JUMP: label := label(label(v)). Plain min
+      // propagation needs diameter rounds (a 10k-link chain = 10k
+      // rounds); halving the pointer tree each round makes convergence
+      // logarithmic in component size — the reason large-graph CC
+      // recipes (large-star/small-star and friends) all compress paths.
+      // label values are themselves vertex ids, so the self-join below
+      // always finds its target. The previous label rides along so the
+      // convergence check is a filter-count over materialized blocks.
+      val staged = hopped
+        .join(labels.select(col("v").as("_hop"), col("label").as("_jump")),
+          Seq("_hop"), "left")
+        .select(col("v"), least(col("_hop"),
+          coalesce(col("_jump"), col("_hop"))).as("label"), col("_old"))
         .localCheckpoint()
       changed = staged.filter(col("label") =!= col("_old")).count()
       labels = staged.drop("_old")
       rounds += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected-components did not converge in $maxRounds rounds " +
+        s"($changed labels still moving) — raise maxRounds; a component " +
+        "this deep in a NEAR-DUP graph usually means the pair threshold " +
+        "is admitting everything")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
   }
 
@@ -148,21 +165,55 @@ object Dedup {
     * cosine exceeds `minCos`. Blocking (here: a caller-supplied cell
     * column, e.g. an IVF/LSH bucket or a label) keeps the join from
     * going quadratic at scale.
+    *
+    * == Skew guard ==
+    * A single hot cell used to degenerate to one task computing |cell|²
+    * pairs. Cells larger than `cellCap` are now split into `g =
+    * ceil(n/cellCap)` hash sub-groups and the self-join runs
+    * TRIANGLE-BLOCKED: the left side replicates each row to the keys
+    * `(own_group .. g-1)`, the right side to `(0 .. own_group)`, and
+    * the equi-join on `(cell, lo, hi)` meets every unordered pair
+    * EXACTLY ONCE — same-group pairs under `(i,i)` (deduped by id
+    * order), cross-group pairs under `(min_g, max_g)`. Semantics are
+    * identical to the unguarded join; per join key at most ~2·cellCap
+    * rows enter and ~cellCap² pairs leave, and a hot cell fans out to
+    * g(g+1)/2 keys instead of one task. Cells within the cap take the
+    * g=1 path, which IS the old plan. Replication cost is g/2 ≈
+    * n/(2·cellCap) copies of the hot cell's rows — the price of exact
+    * all-pairs semantics; cap it by raising cellCap or pre-thinning the
+    * cell.
     */
   def embeddingPairs(df: DataFrame, idCol: Column, vecCol: Column,
-                     cellCol: Column, minCos: Double): DataFrame = {
+                     cellCol: Column, minCos: Double,
+                     cellCap: Int = 4096): DataFrame = {
+    require(cellCap >= 1)
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val e = df.select(idCol.as("id"), vecCol.as("v"), cellCol.as("cell"))
-    val a = e.toDF("id_a", "v_a", "cell")
-    val b = e.toDF("id_b", "v_b", "cell")
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val sized = e.join(
+      e.groupBy("cell").agg(count(lit(1)).as("_n")), "cell")
+      .withColumn("_g", greatest(lit(1L),
+        ceil(col("_n") / lit(cellCap.toDouble))).cast("int"))
+      .withColumn("_my", pmod(xxhash64(col("id")), col("_g")).cast("int"))
+    val a = sized.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"),
+      col("_my").as("_lo_a"),
+      explode(sequence(col("_my"), col("_g") - 1)).as("_hi"))
+      .withColumnRenamed("_lo_a", "_lo")
+    val b = sized.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
+      col("_my").as("_hi_b"),
+      explode(sequence(lit(0), col("_my"))).as("_lo"))
+      .withColumnRenamed("_hi_b", "_hi")
+    a.join(b, Seq("cell", "_lo", "_hi"))
+      // same-group keys (i,i) see both orientations plus self-pairs:
+      // keep one; cross-group keys see each pair once already
+      .filter(col("_lo") =!= col("_hi") || col("id_a") < col("id_b"))
       // redistribute the pair table before the compute-bound cosine:
       // with fewer cells than cores the cell-join's output partitioning
       // would cap parallelism at |cells|
       .repartition(par)
       .withColumn("cos", round(VecFns.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") > minCos)
-      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
+      .select(col("cell"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
   }
 }

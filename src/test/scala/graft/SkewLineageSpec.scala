@@ -151,6 +151,49 @@ class SkewLineageSpec extends SparkSpec {
       10L->10L, 11L->10L, 12L->10L, 20L->20L, 21L->20L))
   }
 
+  test("dedup clusters: deep chains converge in log rounds, or fail loudly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a 400-link path has diameter 399: pure min propagation would need
+    // ~400 rounds, far past the default cap of 50 — converging under the
+    // default proves the pointer jump compresses paths logarithmically
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain, $"doc_a", $"doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 400 && got.values.forall(_ == 0L))
+    // non-convergence must THROW, not return wrong labels silently
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("embeddingPairs: hot-cell split preserves the exact pair set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // ONE degenerate cell holding every vector — the worst case the
+    // skew guard exists for
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding", lit(0).as("cell"))
+      .limit(300)
+    def run(cap: Int) =
+      Dedup.embeddingPairs(e, $"vec_id", $"embedding", $"cell",
+          minCos = -1.0, cellCap = cap) // keep ALL pairs: exactness check
+        .select($"id_a", $"id_b", $"cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unguarded = run(Int.MaxValue) // g=1: the original single-task plan
+    val guarded = run(40)             // 300 rows -> 8 hash sub-groups
+    assert(guarded == unguarded)
+    assert(guarded.nonEmpty)
+    assert(guarded.forall { case (a, b, _) => a < b })
+    // the split actually bounds per-key input: no hash sub-group of the
+    // hot cell holds more than ~2x the cap
+    val maxGroup = e.select(pmod(xxhash64($"vec_id"), lit(8)).as("g"))
+      .groupBy($"g").count().agg(max($"count")).collect()(0).getLong(0)
+    assert(maxGroup <= 80, s"hash groups badly unbalanced: $maxGroup")
+  }
+
   test("Caches.release drains operator intermediates; results still recompute") {
     import spark.implicits._
     import graft.operators.{Caches, Dedup}
