@@ -25,10 +25,13 @@ class QueriesSpec extends SparkSpec {
   test("no query silently plans a nested-loop/cartesian join") {
     // BNLJ/cartesian means a missing equi key — quadratic at scale. The
     // allowlist is the set where the nested loop IS the algorithm:
-    //   q27: one-row global-threshold broadcast
+    //   q27, q37: one-row global-threshold broadcast (Catalyst constant-
+    //             folds the dummy equi key away — the one-row nested
+    //             loop IS the right plan)
     //   s01: brute-force kNN, the exact baseline (scan x broadcast queries)
     //   s04: nprobe ranking against 16 broadcast centroids
-    val allow = Set("q27_important_parts", "s01_knn_bruteforce", "s04_knn_ivf")
+    val allow = Set("q27_important_parts", "q37_global_sales_opportunity",
+      "s01_knn_bruteforce", "s04_knn_ivf")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") ||
