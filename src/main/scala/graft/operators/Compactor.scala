@@ -235,22 +235,50 @@ object Compactor {
   /** Text-bundle variant with optional compression (reference W2 gzip
     * handler, `core/gzipfile_handler.py:30-114`): one directory per
     * bundle of concatenated record text, written through the codec.
+    *
     * The reference targets the COMPRESSED size (re-stat every ~100 KB,
-    * overshooting by one check interval); a distributed writer can't
-    * observe compressed size mid-write either, so bundles are sized on
-    * uncompressed bytes — same practical contract (bounded bundles),
-    * documented divergence (SURVEY §2 W2).
+    * overshooting by one check interval); a distributed writer cannot
+    * observe compressed size mid-write. With `targetCompressed=false`
+    * bundles are sized on uncompressed bytes (bounded bundles, the same
+    * practical contract — documented divergence, SURVEY §2 W2). With
+    * `targetCompressed=true` the divergence narrows: a BOUNDED sample
+    * of the corpus (first files in mtime order, truncated — ≲2 MB to
+    * the driver, metadata-scale like the bucket totals) is deflated
+    * once to estimate the compression ratio, and the uncompressed
+    * budget becomes `targetBytes / ratio`, so written `.gz` bundles
+    * land near the compressed target whenever the corpus compresses
+    * homogeneously — the same assumption the reference's check
+    * interval makes WITHIN a file, applied per run.
     */
   def compactToText(inputDir: String, outputDir: String, targetBytes: Long,
                     codec: Option[String] = Some("gzip"),
-                    glob: Option[String] = None)
+                    glob: Option[String] = None,
+                    targetCompressed: Boolean = false)
                    (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val files = Readers.wholeTextRecords(spark, inputDir, glob)
+    val effectiveTarget =
+      if (!targetCompressed || codec.forall(_ == "none")) targetBytes
+      else {
+        val sample = files.orderBy(col("mtime"), col("path"))
+          .select(substring(col("content"), 1, 65536).as("c"))
+          .limit(32).collect().map(_.getString(0)).mkString("\n")
+          .getBytes("UTF-8")
+        val ratio =
+          if (sample.isEmpty) 1.0
+          else {
+            val out = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(out)
+            gz.write(sample); gz.close()
+            // clamp: never inflate the budget past 50x or below 1x
+            math.min(1.0, math.max(0.02, out.size.toDouble / sample.length))
+          }
+        math.max(1L, math.round(targetBytes / ratio))
+      }
     // same listing-only assignment as compactDirectory: the window never
     // sees payload bytes
     val listing = files.select(col("path"), col("mtime"), col("size"))
     val assign = Caches.track(withBundleId(listing, col("mtime"),
-      Seq(col("path")), col("size"), targetBytes))
+      Seq(col("path")), col("size"), effectiveTarget))
     val writer = files.select(col("path"), col("content"))
       .join(assign, "path")
       .select(col(BundleCol), col("content").as("value"))

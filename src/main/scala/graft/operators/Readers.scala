@@ -69,4 +69,15 @@ object Readers {
     val withSchema = schema.fold(base)(base.schema)
     glob.fold(withSchema)(g => withSchema.option("pathGlobFilter", g)).json(root)
   }
+
+  /** Columnar ORC lake read (beyond-reference source breadth: the
+    * reference reads JSON/CSV only). Self-describing like parquet, with
+    * predicate pushdown and column pruning through the native reader.
+    */
+  def orcLake(spark: SparkSession, root: String, schema: Option[StructType] = None,
+              glob: Option[String] = None): DataFrame = {
+    val base = spark.read
+    val withSchema = schema.fold(base)(base.schema)
+    glob.fold(withSchema)(g => withSchema.option("pathGlobFilter", g)).orc(root)
+  }
 }

@@ -226,4 +226,55 @@ class SkewLineageSpec extends SparkSpec {
       .filter(_.isDirectory).flatMap(_.listFiles()).filter(_.getName.endsWith(".gz"))
     assert(gzFiles.nonEmpty)
   }
+
+  test("W2 compressed-size targeting sizes bundles by estimated ratio") {
+    implicit val s = spark
+    import java.nio.file.{Files, Paths}
+    val in = tmpDir("gzt_in"); val outU = tmpDir("gzt_outU"); val outC = tmpDir("gzt_outC")
+    // compressible-but-realistic corpus (~2.5 KB per file, gzips ~10x;
+    // per-line counters keep it inside the estimator's 50x clamp)
+    (1 to 40).foreach { i =>
+      val p = Paths.get(in.toString, f"r$i%02d.txt")
+      val body = s"record $i: " +
+        (1 to 160).map(j => s"lorem ipsum $j").mkString(" ")
+      Files.write(p, body.getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 1000L)
+    }
+    val target = 2048L
+    val mfU = Compactor.compactToText(in.toString, outU.toString, target,
+      Some("gzip"))
+    val mfC = Compactor.compactToText(in.toString, outC.toString, target,
+      Some("gzip"), targetCompressed = true)
+    // uncompressed targeting: ~1 file per 2 KB bundle -> ~40 bundles of
+    // ~100-byte gz files. Compressed targeting must pack FAR more
+    // uncompressed bytes per bundle (the ratio estimate applied)
+    val bundlesU = mfU.count(); val bundlesC = mfC.count()
+    assert(bundlesC * 4 <= bundlesU,
+      s"ratio not applied: $bundlesC vs $bundlesU bundles")
+    // and the written .gz parts actually land near the compressed target
+    val gzSizes = new java.io.File(outC.toString).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".gz")).map(_.length())
+    assert(gzSizes.nonEmpty)
+    // all but the (possibly tiny) last bundle within a loose factor of
+    // the target — compression estimation is approximate by nature
+    val full = gzSizes.sorted.reverse.dropRight(1)
+    full.foreach(sz => assert(sz >= target / 4 && sz <= target * 4,
+      s"gz bundle size $sz far from compressed target $target " +
+      s"(all: ${gzSizes.mkString(",")})"))
+  }
+
+  test("ORC lake reads back with pushdown (source breadth)") {
+    import spark.implicits._
+    val dir = tmpDir("orc_lake")
+    Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .write.mode("overwrite").orc(dir.toString)
+    val got = graft.operators.Readers.orcLake(spark, dir.toString)
+      .filter($"c_custkey" < 50).select($"c_custkey", $"c_acctbal")
+    assert(got.count() == 50)
+    val scan = got.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,50)]"),
+      s"ORC pushdown missing:\n$scan")
+  }
 }
