@@ -49,6 +49,31 @@ object SketchOps extends QuerySet {
              |  round(quantile_cont(value, 0.5), 4) AS p50,
              |  round(quantile_cont(value, 0.95), 4) AS p95,
              |  count(*) AS n
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // MERGEABLE sketch columns — the lakehouse rollup pattern: stage 1
+    // builds a per-(type, day) HLL sketch COLUMN (DataSketches binary),
+    // stage 2 unions day sketches into per-type estimates. At 100 TB
+    // stage 1 is the daily incremental job persisting ~KB sketches per
+    // partition; stage 2 answers "distinct users over any day range"
+    // without rescanning events — the thing an exact countDistinct
+    // fundamentally cannot do incrementally. Register-wise max makes
+    // the union order-independent, so results are deterministic under
+    // any partitioning. No DuckDB oracle (engine-specific binary);
+    // QueriesSpec pins the estimates against exact counts.
+    Q("x03_sketch_columns",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "events")
+          .groupBy($"event_type", to_date($"ts").as("day"))
+          .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
+            count(lit(1)).as("n"))
+          .groupBy($"event_type")
+          .agg(
+            hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+            sum($"n").as("n_events"),
+            count(lit(1)).as("n_day_sketches"))
+      },
+      None)
   )
 }

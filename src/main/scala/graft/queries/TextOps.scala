@@ -181,6 +181,34 @@ object TextOps extends QuerySet {
       Some("""SELECT doc_id,
              |md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
              |CAST(floor(length(text) / 100.0) AS BIGINT) AS len_bucket
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // --- Heavy hitters: corpus-wide top word-bigrams — the frequent-
+    // n-gram pass every training-data pipeline runs (boilerplate
+    // detection, contamination screens). Explode via the native
+    // WordShingles expression (codegen'd), hash-aggregate with map-side
+    // partials, top-k with a unique tiebreak. Scale shape: the shuffle
+    // carries (ngram, partial_count) — bigram cardinality, not corpus
+    // size; the final TakeOrderedAndProject keeps k rows per partition.
+    Q("t09_top_ngrams",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select(explode(
+            graft.expressions.NativeFns.word_shingles($"text", 2)).as("ngram"))
+          .groupBy($"ngram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"ngram".asc)
+          .limit(50)
+      },
+      Some("""SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM (
+             |  SELECT unnest(CASE WHEN len(toks) < 2
+             |    THEN [array_to_string(toks, ' ')]
+             |    ELSE list_transform(range(1, len(toks)),
+             |           i -> toks[i] || ' ' || toks[i+1]) END) AS ngram
+             |  FROM (SELECT list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> x <> '') AS toks FROM documents))
+             |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 50""".stripMargin))
   )
 }

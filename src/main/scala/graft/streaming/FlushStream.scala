@@ -245,6 +245,24 @@ object FlushStream {
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }
 
+  /** Streaming NEAR-dup suppression by SimHash fingerprint: documents
+    * whose SimHash (≤32 bits, one md5 per word) collides within the
+    * watermark window are dropped — catches boilerplate variants that exact-fingerprint
+    * dedup ([[cleanCorpusStream]]) misses, at per-record cost (one
+    * codegen'd expression, no joins, no candidate generation). State is
+    * one entry per distinct fingerprint per watermark window. The
+    * full pairwise near-dup families (MinHash/LSH, Jaccard, embedding)
+    * stay batch: their candidate self-joins need the corpus on both
+    * sides.
+    */
+  def nearDupStream(docs: DataFrame, bits: Int = 32,
+                    watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("simhash", graft.functions.TextFns.simhashBits(
+        graft.functions.TextFns.tokens(col("text")), bits))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+
   /** Streaming hourly tumbling-window counts (twin of e02). */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events

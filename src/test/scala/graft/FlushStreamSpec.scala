@@ -233,6 +233,31 @@ class FlushStreamSpec extends SparkSpec {
     assert(expected > 0)
   }
 
+  test("streaming simhash near-dup drops fingerprint collisions like batch") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val src = tmpDir("nd_src"); val ckpt = tmpDir("nd_ckpt")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text",
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+    docs.union(docs).write.mode("overwrite").parquet(src.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(src.toString)
+    val q = graft.streaming.FlushStream
+      .nearDupStream(stream, bits = 32, watermark = "10 days")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val expected = docs
+      .select(TextFns.simhashBits(TextFns.tokens($"text"), 32))
+      .distinct().count()
+    assert(spark.table("neardup").count() == expected)
+    assert(expected > 0 && expected <= docs.count())
+  }
+
   test("streaming as-of via foreachBatch matches the batch merge") {
     import spark.implicits._
     import graft.operators.AsOf

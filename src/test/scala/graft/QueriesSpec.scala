@@ -71,6 +71,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("x03 mergeable sketch columns estimate within HLL error of exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val merged = SparkEntry.queries("x03_sketch_columns")(spark, sf0001)
+    val exact = Tables.load(spark, sf0001, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("nd_users"))
+    val joined = merged.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val ex = r.getAs[Long]("nd_users").toDouble
+      // lgK=12 -> rsd ~1.6%; 3x tolerance
+      assert(math.abs(approx - ex) / ex <= 0.05,
+        s"merged HLL estimate off >5%: $r")
+      // the union actually merged multiple day sketches
+      assert(r.getAs[Long]("n_day_sketches") > 1, s"degenerate: $r")
+    }
+    // determinism across runs (register-max union is order-independent)
+    val again = SparkEntry.queries("x03_sketch_columns")(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(again.sameElements(merged.collect().map(_.toString).sorted))
+  }
+
   test("dedup/minhash operators are deterministic across runs") {
     val a = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
     val b = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
