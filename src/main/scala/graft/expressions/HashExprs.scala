@@ -3,7 +3,7 @@ package graft.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -99,9 +99,17 @@ trait GraftUnaryDelegateCodegen extends UnaryExpression {
       classOf[GraftUnaryDelegateCodegen].getName)
     nullSafeCodeGen(ctx, ev, c => {
       val tmp = ctx.freshName("graftRes")
+      // When nullable=false Spark never declares ev.isNull, so assigning
+      // it is a Janino compile error that silently drops the WHOLE
+      // projection to interpreted mode. Non-nullable contract violations
+      // must throw instead.
+      val nullBranch =
+        if (nullable) s"if ($tmp == null) { ${ev.isNull} = true; }"
+        else s"""if ($tmp == null) { throw new IllegalStateException(
+           "null result from non-nullable graft expression"); }""".stripMargin
       s"""
          |Object $tmp = $ref.compute($c);
-         |if ($tmp == null) { ${ev.isNull} = true; }
+         |$nullBranch
          |else { ${ev.value} = ${HashExprs.javaCast(dataType, tmp)}; }
        """.stripMargin
     })
@@ -116,9 +124,15 @@ trait GraftBinaryDelegateCodegen extends BinaryExpression {
       classOf[GraftBinaryDelegateCodegen].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("graftRes")
+      // see GraftUnaryDelegateCodegen: ev.isNull is undeclared when
+      // nullable=false — assigning it would kill codegen for the stage
+      val nullBranch =
+        if (nullable) s"if ($tmp == null) { ${ev.isNull} = true; }"
+        else s"""if ($tmp == null) { throw new IllegalStateException(
+           "null result from non-nullable graft expression"); }""".stripMargin
       s"""
          |Object $tmp = $ref.compute($a, $b);
-         |if ($tmp == null) { ${ev.isNull} = true; }
+         |$nullBranch
          |else { ${ev.value} = ${HashExprs.javaCast(dataType, tmp)}; }
        """.stripMargin
     })
@@ -416,7 +430,11 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   * comparison semantics that the `when(ord >= bound)` fold exhibited.
   */
 case class RangeBucket(child: Expression, bounds: Array[Double])
-    extends UnaryExpression with GraftUnaryDelegateCodegen {
+    extends UnaryExpression with GraftUnaryDelegateCodegen
+    with ImplicitCastInputTypes {
+  // analysis inserts the numeric->double cast (or fails at plan time);
+  // without this a long child ClassCastExceptions at runtime
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
 

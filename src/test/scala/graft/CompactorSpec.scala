@@ -29,7 +29,12 @@ class CompactorSpec extends SparkSpec {
     val in = tmpDir("lake_in"); val out = tmpDir("lake_out")
     writeLake(60, in)
     val target = 512L
-    val mf = Compactor.compactDirectory(in.toString, out.toString, target)
+    // binaryFile's modificationTime is NON-nullable — this is the path
+    // where r3's delegate codegen emitted an undeclared isNull and the
+    // whole bundle-assignment projection silently ran interpreted.
+    // CODEGEN_ONLY makes any such fallback a hard failure.
+    val mf = withCodegenOnly {
+      Compactor.compactDirectory(in.toString, out.toString, target) }
     val rows = mf.orderBy($"bundle_id").collect()
     assert(rows.nonEmpty)
     // every bundle except possibly the last stays under target + max
@@ -87,10 +92,12 @@ class CompactorSpec extends SparkSpec {
     // fall out of whole-stage codegen (the old chained-when bucketOf
     // generated O(buckets) comparisons per row and blew the JIT limit)
     assert(assign(32) == assign(4096))
-    val wide = Compactor.withBundleId(
-      df, $"ts_ns", Seq($"event_id"), $"sz", 2048L, 4096)
-    wide.collect() // finalize the adaptive plan
-    assert(wide.queryExecution.executedPlan.toString.linesIterator.exists(
-      l => l.contains("range_bucket") && l.contains("*(")))
+    withCodegenOnly {
+      val wide = Compactor.withBundleId(
+        df, $"ts_ns", Seq($"event_id"), $"sz", 2048L, 4096)
+      wide.collect() // finalize the adaptive plan; throws on any fallback
+      assert(wide.queryExecution.executedPlan.toString.linesIterator.exists(
+        l => l.contains("range_bucket") && l.contains("*(")))
+    }
   }
 }

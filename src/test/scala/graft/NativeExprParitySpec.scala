@@ -76,20 +76,46 @@ class NativeExprParitySpec extends SparkSpec {
       .head().getInt(0) == 0)
     // scale probe: 4096 buckets stays inside whole-stage codegen —
     // the chained-when fold at this width would fall back to
-    // interpreted eval (generated method past the JIT limit)
-    val wide = (1 until 4096).map(_.toDouble).toArray
-    val probe = spark.range(0, 100000).select(($"id" % 5000).cast("double").as("v"))
-      .select($"v", NativeFns.range_bucket($"v", wide).as("b"))
-    val expected = probe.selectExpr("v", "b",
-      "least(greatest(cast(floor(v) as int), 0), 4095) as ref")
-      .filter($"v" >= 1 && $"v" < 4096)
-    assert(expected.filter($"b" =!= $"ref").count() == 0)
-    // '*(n)' is the whole-stage-codegen marker; the projection holding
-    // range_bucket must carry it
-    val codegenSpans = probe.queryExecution.executedPlan.toString
-    assert(codegenSpans.linesIterator.exists(l =>
-        l.contains("range_bucket") && l.contains("*(")),
-      s"range_bucket fell out of codegen:\n$codegenSpans")
+    // interpreted eval (generated method past the JIT limit).
+    // CODEGEN_ONLY turns any runtime Janino failure into a test
+    // failure; spark.range's id is NON-nullable, so this also pins the
+    // nullable=false branch of the delegate codegen (r3's fix emitted
+    // an undeclared ev.isNull there and silently fell back).
+    withCodegenOnly {
+      val wide = (1 until 4096).map(_.toDouble).toArray
+      val probe = spark.range(0, 100000).select(($"id" % 5000).cast("double").as("v"))
+        .select($"v", NativeFns.range_bucket($"v", wide).as("b"))
+      val expected = probe.selectExpr("v", "b",
+        "least(greatest(cast(floor(v) as int), 0), 4095) as ref")
+        .filter($"v" >= 1 && $"v" < 4096)
+      assert(expected.filter($"b" =!= $"ref").count() == 0)
+      // '*(n)' is the whole-stage-codegen marker; the projection holding
+      // range_bucket must carry it
+      val codegenSpans = probe.queryExecution.executedPlan.toString
+      assert(codegenSpans.linesIterator.exists(l =>
+          l.contains("range_bucket") && l.contains("*(")),
+        s"range_bucket fell out of codegen:\n$codegenSpans")
+    }
+  }
+
+  test("all native expressions execute under CODEGEN_ONLY on non-nullable input") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    withCodegenOnly {
+      // lit()/array() literals are non-nullable, so every delegate
+      // expression here has nullable=false and must compile its
+      // throw-branch (not assign an undeclared isNull)
+      val df = spark.range(0, 1000).select(
+        NativeFns.word_shingles(concat_ws(" ", lit("alpha beta gamma delta"),
+          $"id".cast("string")), 3).as("sh"),
+        NativeFns.range_bucket($"id".cast("double"), Array(10.0, 100.0, 500.0)).as("rb"))
+        .select(
+          TextFns.minhashSignature($"sh", 8).as("mh"),
+          NativeFns.jaccard_sim($"sh", $"sh").as("js"),
+          NativeFns.simhash_bits($"sh", 32).as("sim"),
+          $"rb")
+      assert(df.filter($"js" === 1.0 && $"rb".isNotNull).count() == 1000)
+    }
   }
 
   test("native cosine == declarative cosine (bitwise)") {

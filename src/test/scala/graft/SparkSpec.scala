@@ -16,6 +16,24 @@ trait SparkSpec extends AnyFunSuite {
       s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
     .getOrCreate()
 
+  /** Run `body` with codegen fallback DISABLED: any expression whose
+    * generated code fails to compile (e.g. assigning an undeclared
+    * ev.isNull) throws instead of silently dropping the projection to
+    * interpreted mode — plan-string '*(' markers alone can't catch
+    * that, because they reflect the planned stage, not the runtime
+    * compile outcome.
+    */
+  def withCodegenOnly[T](body: => T): T = {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def tmpDir(prefix: String): java.io.File = {
     val f = java.nio.file.Files.createTempDirectory(prefix).toFile
     f.deleteOnExit(); f
