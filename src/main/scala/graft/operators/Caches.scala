@@ -15,6 +15,7 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   /** Persist `df` and register it for a later [[release]]. */
   private[graft] def track(df: DataFrame): DataFrame = {
@@ -23,10 +24,18 @@ object Caches {
     df
   }
 
+  /** Register a callback run on every [[release]] — operators holding
+    * memo maps OVER tracked frames (e.g. [[Dedup]]'s shingle-pass memo)
+    * must drop their references when the frames are unpersisted, or
+    * later lookups would silently hand out uncached plans.
+    */
+  private[graft] def onRelease(h: () => Unit): Unit = hooks.add(h)
+
   /** Unpersist every registered intermediate (non-blocking). */
   def release(): Unit = {
     var d = live.poll()
     while (d != null) { d.unpersist(false); d = live.poll() }
+    hooks.forEach(h => h())
   }
 
   /** Number of currently registered cached intermediates (for tests). */

@@ -19,6 +19,38 @@ import graft.functions.{TextFns, VecFns}
   */
 object Dedup {
 
+  /** Memo for the corpus-wide hash passes (shingle table, LSH
+    * candidates, refined Jaccard pairs). Six of the declared queries
+    * (d02/d04/d06/d07/p01/p02) consume the SAME pass over the same
+    * corpus with the same parameters; without the memo each query
+    * re-tokenized, re-shingled, and re-minhashed the corpus from
+    * parquet — ~6x the dominant cost of a Verify/Bench run. Keys are
+    * (session identity, analyzed-plan semantic hash, column exprs,
+    * params), so a different corpus, session, or parameterization never
+    * collides. Cleared by [[Caches.release]] — entries reference frames
+    * persisted via [[Caches.track]], and handing out an unpersisted
+    * plan would silently lose the sharing.
+    */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  Caches.onRelease(() => memo.clear())
+
+  // plain get/putIfAbsent (not computeIfAbsent): builders recurse into
+  // other memoized builders, and nested computeIfAbsent on one
+  // ConcurrentHashMap risks a recursive-update error. A lost race costs
+  // one redundant persist, immediately unpersisted.
+  private def memoized(key: String)(build: => DataFrame): DataFrame = {
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else {
+      val built = Caches.track(build)
+      val prev = memo.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(false); prev } else built
+    }
+  }
+
+  private def dfKey(df: DataFrame): String =
+    s"${System.identityHashCode(df.sparkSession)}:${df.queryExecution.analyzed.semanticHash()}"
+
   /** Keep the first row per key in `order`-order (row_number()=1). */
   def exactFirst(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
@@ -38,14 +70,14 @@ object Dedup {
     * drop the round-robin shuffle once inputs arrive in many splits.
     */
   def shingleTable(df: DataFrame, idCol: Column, textCol: Column,
-                   shingleN: Int): DataFrame = {
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    Caches.track(
+                   shingleN: Int): DataFrame =
+    memoized(s"sh:${dfKey(df)}:$idCol:$textCol:$shingleN") {
+      val par = df.sparkSession.sessionState.conf.numShufflePartitions
       df.select(idCol.as("doc_id"), textCol.as("_text"))
         .repartition(par)
         .select(col("doc_id"),
-          graft.expressions.NativeFns.word_shingles(col("_text"), shingleN).as("sh")))
-  }
+          graft.expressions.NativeFns.word_shingles(col("_text"), shingleN).as("sh"))
+    }
 
   /** (doc_id, band_idx, band_hash) LSH keys from a shingle table. */
   def lshKeysFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
@@ -59,18 +91,19 @@ object Dedup {
     * table: equi-join on the band key — linear shuffle, no cross
     * product.
     */
-  def candidatesFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame = {
-    // persist the band keys: the self-join consumes them twice, and
-    // without the cache each side recomputes the full minhash pass.
-    // Registered with Caches so long-lived sessions can release.
-    val keys = Caches.track(lshKeysFromShingles(sh, k, bands))
-    val a = keys.toDF("doc_a", "band_idx", "band_hash")
-    val b = keys.toDF("doc_b", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-  }
+  def candidatesFromShingles(sh: DataFrame, k: Int, bands: Int): DataFrame =
+    memoized(s"cand:${dfKey(sh)}:$k:$bands") {
+      // persist the band keys: the self-join consumes them twice, and
+      // without the cache each side recomputes the full minhash pass.
+      // Registered with Caches so long-lived sessions can release.
+      val keys = Caches.track(lshKeysFromShingles(sh, k, bands))
+      val a = keys.toDF("doc_a", "band_idx", "band_hash")
+      val b = keys.toDF("doc_b", "band_idx", "band_hash")
+      a.join(b, Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+    }
 
   /** Candidate near-duplicate pairs via MinHash LSH banding. */
   def minhashCandidates(df: DataFrame, idCol: Column, textCol: Column,
@@ -85,13 +118,17 @@ object Dedup {
                    shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                    minSim: Double = 0.3): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, shingleN)
-    val cand = candidatesFromShingles(sh, k, bands)
-    cand
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
-      .withColumn("jaccard", round(TextFns.jaccardSim(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= minSim)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // memoize the UNFILTERED scored pair table (|candidates| rows —
+    // tiny), so callers at different thresholds (d04/d07 at 0.3,
+    // p01/p02 at 0.8) share one refinement join, not just the minhash
+    val scored = memoized(s"jac:${dfKey(sh)}:$k:$bands") {
+      candidatesFromShingles(sh, k, bands)
+        .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+        .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+        .withColumn("jaccard", round(TextFns.jaccardSim(col("sh_a"), col("sh_b")), 6))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
+    scored.filter(col("jaccard") >= minSim)
   }
 
   /** Per-document SimHash fingerprint (bitstring). Documents sharing the
