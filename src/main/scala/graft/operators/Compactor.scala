@@ -249,6 +249,13 @@ object Compactor {
     * land near the compressed target whenever the corpus compresses
     * homogeneously — the same assumption the reference's check
     * interval makes WITHIN a file, applied per run.
+    *
+    * Sampling: 32 files spread across the corpus by hash(path) order —
+    * NOT the mtime head, which would bias the ratio toward whatever the
+    * oldest files contain (e.g. an early schema era). Each sampled file
+    * contributes only its first 64 KiB, so a large file whose prefix
+    * compresses unlike its body (header-heavy formats) still biases the
+    * estimate; the clamp bounds the damage to 1-50x.
     */
   def compactToText(inputDir: String, outputDir: String, targetBytes: Long,
                     codec: Option[String] = Some("gzip"),
@@ -259,7 +266,9 @@ object Compactor {
     val effectiveTarget =
       if (!targetCompressed || codec.forall(_ == "none")) targetBytes
       else {
-        val sample = files.orderBy(col("mtime"), col("path"))
+        // deterministic corpus-wide spread: hash order decorrelates the
+        // sample from mtime (age) and path lexicography (partition dirs)
+        val sample = files.orderBy(hash(col("path")), col("path"))
           .select(substring(col("content"), 1, 65536).as("c"))
           .limit(32).collect().map(_.getString(0)).mkString("\n")
           .getBytes("UTF-8")

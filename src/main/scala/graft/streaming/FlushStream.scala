@@ -120,6 +120,17 @@ object FlushStream {
     * `c01_bundle_assign`); with an age limit, WHICH bundle a record
     * lands in necessarily depends on wall clock, same as the reference.
     *
+    * Config migration: a checkpoint written with `maxAgeMs = None`
+    * carries `openedAt = -1` and NO timeout timestamp in its state
+    * rows, so restarting it WITH an age limit is rejected loudly by
+    * Spark's state schema check (STATE_STORE_VALUE_SCHEMA_NOT_
+    * COMPATIBLE — pinned in FlushStreamSpec). If a deployment forces
+    * the migration with `stateSchemaCheck=false`, the fold treats the
+    * unknown open time as opened-NOW (stamped on the first batch that
+    * sees the key), never as infinitely old — without that, the timer
+    * would arm at `-1 + limit - now` (clamped to 1 ms) and close the
+    * bundle immediately regardless of its true age.
+    *
     * State size: one accumulator per key — bounded by key cardinality,
     * independent of throughput. Per key per micro-batch the records are
     * sorted (ts_ns, event_id) so emission is deterministic; a group's
@@ -145,11 +156,20 @@ object FlushStream {
             acc = BundleAcc(acc.seq + 1, 0L, 0L, Long.MaxValue, -1L)
           }
           val now = maxAgeMs.map(_ => state.getCurrentProcessingTimeMs())
+          // A checkpoint written with maxAgeMs=None carries openedAt=-1;
+          // restarted WITH an age limit, that bundle's true open time is
+          // unknown. Treat it as opened-now (stamp below) — never as
+          // infinitely old: without this guard the timer arms at
+          // openedAt+limit-t (hugely negative, clamped to 1 ms) and the
+          // timeout closes the bundle immediately regardless of age.
+          val legacyOpen = acc.n > 0 && acc.openedAt < 0
           // age half: close an expired open bundle FIRST, whether this
           // wake-up is a timeout (no rows) or new data racing the clock
-          if (state.hasTimedOut && acc.n > 0) close()
+          if (state.hasTimedOut && acc.n > 0 && !legacyOpen) close()
           else for (limit <- maxAgeMs; t <- now)
             if (acc.n > 0 && acc.openedAt >= 0 && t - acc.openedAt >= limit) close()
+          if (acc.n > 0 && acc.openedAt < 0)
+            for (t <- now) acc = acc.copy(openedAt = t)
           rows.toSeq.sortBy(r => (r.ts_ns, r.event_id)).foreach { r =>
             if (acc.n > 0 && acc.bytes + r.size >= targetBytes) close()
             val opened = if (acc.n == 0) now.getOrElse(-1L) else acc.openedAt
@@ -160,7 +180,7 @@ object FlushStream {
           // arm the clock for the open bundle's remaining age; an empty
           // accumulator has no age and sets no timer
           for (limit <- maxAgeMs; t <- now)
-            if (acc.n > 0)
+            if (acc.n > 0 && acc.openedAt >= 0)
               state.setTimeoutDuration(math.max(1L, acc.openedAt + limit - t))
           out.iterator
         })

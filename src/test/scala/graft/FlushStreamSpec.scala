@@ -205,6 +205,72 @@ class FlushStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restarting a size-only checkpoint with an age limit keeps the open bundle") {
+    import spark.implicits._
+    import graft.streaming.FlushStream.BundleRec
+    val src = tmpDir("rot_legacy_src"); val ckpt = tmpDir("rot_legacy_ckpt")
+    val out = tmpDir("rot_legacy_out")
+    val schema = implicitly[org.apache.spark.sql.Encoder[BundleRec]].schema
+    val emitSchema =
+      implicitly[org.apache.spark.sql.Encoder[FlushStream.BundleEmit]].schema
+    def write(name: String, id: Long): Unit =
+      Seq(BundleRec("k", id, id * 10, 100L)).toDS()
+        .coalesce(1).write.parquet(s"$src/$name")
+    def stream = spark.readStream.schema(schema).parquet(s"$src/*").as[BundleRec]
+    def emitted() = spark.read.schema(emitSchema).parquet(out.toString)
+
+    // run 1: size-only rotation (NoTimeout) — the checkpointed open
+    // bundle carries openedAt = -1. File sink: the memory sink cannot
+    // recover from a checkpoint, and recovery is the point here.
+    write("b1", 1L)
+    val q1 = FlushStream.sizeRotatedBundles(stream, targetBytes = 1000000L)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    assert(emitted().count() == 0) // still open, in state
+
+    // run 2: SAME checkpoint, now with an age limit. NoTimeout state
+    // rows have no timeoutTimestamp field, so Spark's state schema
+    // check REJECTS the migration loudly — the open bundle can never be
+    // silently mis-aged. (With stateSchemaCheck=false a user can force
+    // it; sizeRotatedBundles then treats the unknown open time as
+    // opened-now rather than infinitely old — guards in the fold.)
+    write("b2", 2L)
+    val q2 = FlushStream.sizeRotatedBundles(stream, targetBytes = 1000000L,
+        maxAgeMs = Some(5000L))
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.ProcessingTime("250 milliseconds")).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(60000)
+    }
+    q2.stop()
+    assert(err.toString.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"),
+      s"expected loud state-schema rejection, got: $err")
+
+    // run 3: the rejected restart must not have corrupted the
+    // checkpoint — resuming with the ORIGINAL size-only config drains
+    // b2 and closes bundle 0 by size (record 2's 1 MB would overflow).
+    write("b3", 3L)
+    val big = Seq(BundleRec("k", 9L, 90L, 2000000L)).toDS()
+    big.coalesce(1).write.parquet(s"$src/b4")
+    val q3 = FlushStream.sizeRotatedBundles(stream, targetBytes = 1000000L)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    val rows = emitted().collect()
+    assert(rows.length == 1, s"expected one closed bundle, got ${rows.toSeq}")
+    // records 1..3 (100 B each) closed by the 2 MB record opening seq 1
+    assert(rows(0).getAs[Long]("n_records") == 3L)
+    assert(rows(0).getAs[Long]("total_bytes") == 300L)
+    assert(rows(0).getAs[Long]("first_event") == 1L)
+  }
+
   test("streaming clean-corpus equals the batch quality-gate + exact-dedup count") {
     import spark.implicits._
     import graft.functions.TextFns
