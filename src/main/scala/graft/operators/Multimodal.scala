@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * columns plus typed metadata, processed per-partition the way a real
   * decoder library would be driven on a cluster.
   *
-  * The actual codec is STUBBED (this container ships no image/audio
-  * libs — builder contract): [[DecodeStub.decode]] derives
-  * deterministic fake features from the bytes. The Spark-side plumbing
-  * is real and load-bearing:
+  * Decoding is pluggable ([[MediaCodec]]). The default
+  * [[ImageIoCodec]] is a REAL decoder for the formats the JDK ships
+  * (`javax.imageio`: PNG/BMP/GIF/JPEG — no external deps); payloads it
+  * cannot parse fall back to [[DecodeStub]]'s deterministic fake
+  * features, which also stand in for the audio/video codecs this
+  * container cannot ship. The Spark-side plumbing is real and
+  * load-bearing:
   *  - binary + metadata schema that parquet stores efficiently (binary
   *    stays columnar, metadata prunable without touching payloads);
   *  - per-partition batched processing (`mapPartitions`) — one decoder
@@ -56,14 +59,50 @@ object Multimodal {
     }
   }
 
+  /** A per-row decoder. Implementations must be deterministic in the
+    * payload bytes (tests and the driver's hash compare re-run plans)
+    * and cheap to serialize — one instance ships in the task closure.
+    */
+  trait MediaCodec extends Serializable {
+    /** Called once per task before rows stream through — the place for
+      * codec/JNI context setup a real binding needs.
+      */
+    def initPerTask(): Unit = ()
+    def decode(r: MediaRow): MediaFeatures
+  }
+
+  /** Real image decode on the JDK's own `javax.imageio` readers
+    * (PNG/BMP/GIF/JPEG): actual pixel-header dimensions, no external
+    * deps. Non-image payloads (and the audio/video kinds this container
+    * has no codec for) fall back to [[DecodeStub]] so the operator
+    * stays total over arbitrary bytes — a corrupt blob yields a row,
+    * not a task failure (reference per-file error isolation, O1).
+    */
+  object ImageIoCodec extends MediaCodec {
+    override def initPerTask(): Unit =
+      // never spill decode scratch to executor-local disk temp files
+      javax.imageio.ImageIO.setUseCache(false)
+    def decode(r: MediaRow): MediaFeatures =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) DecodeStub.decode(r)
+        else MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          width = img.getWidth, height = img.getHeight,
+          checksum = java.security.MessageDigest.getInstance("MD5")
+            .digest(r.payload).map("%02x".format(_)).mkString)
+      } catch { case _: Exception => DecodeStub.decode(r) }
+  }
+
   /** Decode features per partition — decoder state initialized once per
     * task, rows streamed through it (never materialize a partition).
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+                      codec: MediaCodec = ImageIoCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real build: init codec/JNI context here, once per task
-      rows.map(DecodeStub.decode)
+      codec.initPerTask()
+      rows.map(codec.decode)
     }
   }
 

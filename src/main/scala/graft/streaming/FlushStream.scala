@@ -244,6 +244,30 @@ object FlushStream {
       .trigger(trigger)
       .start()
 
+  /** Text-bundle variant of [[bundleFileSink]]: one LINE per record in
+    * `key=<k>/bundle_seq=<n>` dirs — the reference collector's on-disk
+    * shape (`core/file_handler.py` text bundles), and the hand-off
+    * format [[flushToPartitionedLake]] consumes. Chaining the two is
+    * the full reference topology (collector -> flusher) as two
+    * checkpointed streaming queries: this sink's `_spark_metadata`
+    * manifest makes the downstream file-stream source see only
+    * COMMITTED bundle files, so the hops compose exactly-once — either
+    * hop can crash/restart without losing or double-shipping a record
+    * (PipelineE2ESpec proves the double restart).
+    */
+  def bundleTextFileSink(recs: Dataset[PayloadRec], targetBytes: Long,
+                         bundleDir: String, checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    bundleAssignedRecords(recs, targetBytes)
+      .select(col("payload").as("value"), col("key"), col("bundle_seq"))
+      .writeStream
+      .format("text")
+      .option("path", bundleDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("key", "bundle_seq")
+      .trigger(trigger)
+      .start()
+
   /** Streaming training-data cleaning: the first two stages of the
     * batch `p01_clean_corpus` pipeline as an incremental stream —
     * quality gate (token floor) then exact dedup on the normalized-text

@@ -22,6 +22,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(f => f.byte_len > 100))
   }
 
+  test("ImageIoCodec decodes real PNG/BMP dimensions, falls back for opaque bytes") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+      baos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", imageBytes("png", 37, 23)),
+      MediaRow(2L, "image", imageBytes("bmp", 64, 8)),
+      MediaRow(3L, "audio", Array.tabulate(257)(i => (i * 7 % 256).toByte)))
+    val ds = spark.createDataset(rows).repartition(2)
+    val got = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    // real pixel-header dimensions, decoded in executors
+    assert(got(0).width == 37 && got(0).height == 23)
+    assert(got(1).width == 64 && got(1).height == 8)
+    // non-image payload: deterministic stub fallback, not a task failure
+    assert(got(2) == Multimodal.DecodeStub.decode(rows(2)))
+    // checksum covers the raw payload on both paths
+    assert(got(0).checksum == java.security.MessageDigest.getInstance("MD5")
+      .digest(rows(0).payload).map("%02x".format(_)).mkString)
+  }
+
   test("frame sampling fans out on executors with bounded k") {
     import spark.implicits._
     val ds = spark.createDataset(media(6))

@@ -54,6 +54,77 @@ class PipelineE2ESpec extends SparkSpec {
     assert(bodies.toSet.subsetOf(shipped), "records lost in flight")
   }
 
+  test("two checkpointed hops (collector -> flusher) deliver record-exact across a double restart") {
+    import spark.implicits._
+    import graft.streaming.FlushStream.PayloadRec
+    val src = tmpDir("hop_src"); val bundles = tmpDir("hop_bundles")
+    val ckptA = tmpDir("hop_ckptA"); val dest = tmpDir("hop_dest")
+    val ckptB = tmpDir("hop_ckptB")
+    val target = 150L // ~15 records per bundle; a bundle stays OPEN at restart
+
+    def rec(i: Int) = PayloadRec("k", i.toLong, i.toLong * 10, 10L, f"rec-$i%03d")
+    def writeBatch(name: String, ids: Range): Unit =
+      ids.map(rec).toDS().coalesce(1).write.parquet(s"$src/$name")
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[PayloadRec]].schema
+    def runA(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$src/*").as[PayloadRec]
+      val q = FlushStream.bundleTextFileSink(
+        stream, target, bundles.toString, ckptA.toString)
+      q.awaitTermination(120000); ()
+    }
+    def runB(): Unit = {
+      val q = FlushStream.flushToPartitionedLake(
+        spark, bundles.toString, dest.toString, ckptB.toString,
+        Trigger.AvailableNow())
+      q.awaitTermination(120000); ()
+    }
+    def landed(): Set[String] = spark.read.parquet(dest.toString)
+      .select($"content").as[String].collect()
+      .flatMap(_.split("\n")).toSet
+
+    // leg 1: collector drains batch 1 into bundle files, flusher ships them
+    writeBatch("b1", 1 to 40)
+    runA(); runB()
+    assert(landed() == (1 to 40).map(i => f"rec-$i%03d").toSet)
+
+    // leg 2: BOTH hops restart on their checkpoints mid-pipeline — the
+    // open bundle's (seq, bytes) state and both source offsets recover
+    writeBatch("b2", 41 to 80)
+    runA(); runB()
+    val all = spark.read.parquet(dest.toString)
+      .select($"content").as[String].collect().flatMap(_.split("\n")).toSeq
+    assert(all.length == all.distinct.length, "a record was double-shipped")
+    assert(all.toSet == (1 to 80).map(i => f"rec-$i%03d").toSet,
+      "records lost across the two-hop restart")
+
+    // rotation state carried the restart: batch-2 records continue the
+    // bundle sequence the single-writer fold assigns over ALL records
+    val expectedSeqs = {
+      var seq = 0L; var bytes = 0L; var n = 0L
+      (1 to 80).map { i =>
+        if (n > 0 && bytes + 10L >= target) { seq += 1; bytes = 0; n = 0 }
+        bytes += 10L; n += 1
+        f"rec-$i%03d" -> seq
+      }.toMap
+    }
+    val gotSeqs = spark.read.text(bundles.toString)
+      .select($"value", input_file_name().as("f")).collect()
+      .map { r =>
+        val seq = "bundle_seq=(\\d+)".r.findFirstMatchIn(r.getAs[String]("f"))
+          .get.group(1).toLong
+        r.getAs[String]("value") -> seq
+      }.toMap
+    assert(gotSeqs == expectedSeqs, "bundle assignment diverged from the single-writer fold")
+    assert(expectedSeqs.values.max >= 4, "test should span multiple rotations")
+
+    // a third restart with no new data ships nothing new on either hop
+    runA(); runB()
+    assert(spark.read.parquet(dest.toString).count() ==
+      spark.read.parquet(dest.toString).dropDuplicates("src_path", "content").count())
+    assert(landed() == (1 to 80).map(i => f"rec-$i%03d").toSet)
+  }
+
   test("streaming collector writes real bundle files matching the batch fold") {
     import spark.implicits._
     import graft.streaming.FlushStream.PayloadRec

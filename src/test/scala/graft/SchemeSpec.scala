@@ -47,6 +47,40 @@ class SchemeSpec extends SparkSpec {
       (1 to 6).map(i => s"""{"i":$i}"""))
   }
 
+  test("glob matches BASENAMES on every scheme, nested layouts included (F1 decision)") {
+    // The reference is asymmetric: local glob matches the basename
+    // (utils/file/processor.py:38-50) but S3 glob matches the full
+    // object KEY (utils/s3/processor.py:45-56) — so `a*.json` finds
+    // `x/a1.json` locally and finds NOTHING on S3. The engine
+    // normalizes to basename matching everywhere (Spark's
+    // pathGlobFilter): a filter means the same thing when a lake moves
+    // between schemes. This test pins that choice on a foreign scheme
+    // over a nested layout so the asymmetry can't regress unnoticed.
+    reg()
+    val dir = tmpDir("scheme_glob_in")
+    def put(rel: String, body: String): Unit = {
+      val p = Paths.get(dir.toString, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + rel.length * 1000L)
+    }
+    put("x/a1.json", """{"i":1}""")
+    put("y/a2.json", """{"i":2}""")
+    put("y/b3.json", """{"i":3}""")
+    put("y/a4.txt", "not json")
+
+    def names(root: String) =
+      Readers.wholeTextRecords(spark, root, glob = Some("a*.json"))
+        .collect().map(_.getAs[String]("path").split('/').last).toSet
+    // nested dirs reached via a path wildcard; the glob FILTER itself
+    // sees basenames — full-key matching would return an empty set here
+    val viaScheme = names(s"graftfs://$dir/*")
+    assert(viaScheme == Set("a1.json", "a2.json"),
+      s"basename glob semantics violated: $viaScheme")
+    // identical semantics on file: — no scheme asymmetry
+    assert(names(s"$dir/*") == viaScheme)
+  }
+
   test("compaction in and out of a foreign scheme equals the file: run") {
     implicit val s = spark
     reg()
