@@ -38,12 +38,19 @@ object Bench {
       try graft.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
+    // SPARK_GRAFT_ONLY=<regex> restricts the run to matching query
+    // names — scale probes (e.g. the sf10 dedup-family probe) point at
+    // partial datasets where unrelated queries would just error.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.findFirstIn(n).isDefined)
+    }
     // Pre-train the s04 IVF index (memoized per (plan, params) in
     // Similarity.ivfCache): any real ANN deployment amortizes index
     // construction across queries, so the timed iterations should
     // measure SEARCH — without this, iteration 1's s04 carries the
     // serial Lloyd training chain and stalls a pool slot.
-    try SparkEntry.queries.get("s04_knn_ivf").foreach(_(spark, sfDir).count())
+    try selected.get("s04_knn_ivf").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
 
     // Throughput-style run: queries submitted concurrently (Spark's
@@ -65,7 +72,7 @@ object Bench {
       // and heavy/light interleave — were both slower AND unstable
       // (14-46 s walls vs 8.5-9.5 s here); the hash order's accidental
       // mix beats any grouping of the heavy queries.
-      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val futures = selected.toSeq.map { case (name, fn) =>
         name -> pool.submit(new java.util.concurrent.Callable[(Double, Option[String])] {
           def call(): (Double, Option[String]) = {
             val t0 = System.nanoTime()

@@ -14,8 +14,8 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] =
     Seq(LakeOps, Relational, Relational2, Relational3, Relational4,
-      Relational5, Relational6, DedupOps, TextOps, SimilarityOps, EventOps,
-      MediaOps, SketchOps, PipelineOps)
+      Relational5, Relational6, Relational7, DedupOps, TextOps,
+      SimilarityOps, EventOps, MediaOps, SketchOps, PipelineOps)
 
   /** Flagship: end-to-end compaction semantics (scan -> mtime order ->
     * running-sum bundling -> manifest) on sf0.001; driver smoke-checks
