@@ -295,6 +295,37 @@ case class CosineSim(left: Expression, right: Expression)
     while (j < b.numElements()) { val y = b.getFloat(j).toDouble; nb += y * y; j += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+  /** True inlined codegen (not the delegate): the kNN families score
+    * |corpus| x nprobe rows through this kernel, so the per-row virtual
+    * call + boxed Double of the delegate path are worth eliminating.
+    * The generated loop is operation-for-operation the interpreted fold
+    * above (same fold order, same trailing-norm handling) — parity is
+    * pinned CODEGEN_ONLY in NativeExprParitySpec.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |for (int $j = $n; $j < $a.numElements(); $j++) {
+         |  double $x = (double) $a.getFloat($j); $na += $x * $x;
+         |}
+         |for (int $k = $n; $k < $b.numElements(); $k++) {
+         |  double $y = (double) $b.getFloat($k); $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
