@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench summary JSON; sbt's own `[success] Total time: ...`
+// trailer printed after the forked JVM exits made that parse fail every
+// round (BENCH_r0x.json "parsed": null). Suppress it globally — exit
+// codes still signal failure.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ...and un-prefix the forked JVM's stdout: the default LoggedOutput
+// wraps every line in "[info] ", which is just as unparseable as the
+// trailer. StdoutOutput passes the bench JSON through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

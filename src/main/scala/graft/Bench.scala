@@ -28,6 +28,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
+      // keep VectorAvg (IVF training) out of sort-based fallback: its
+      // per-key buffers are ~0.5 KB, so 4096 hash-map keys ≈ 2 MB/task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JIT/codegen paths and parquet

@@ -33,6 +33,11 @@ object Dedup {
     */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   Caches.onRelease(() => memo.clear())
+  // LRU eviction in the bounded registry must invalidate exactly the
+  // memo entries referencing the evicted frame — a stale entry would
+  // hand out an unpersisted plan and silently lose the sharing.
+  Caches.onEvict(df =>
+    memo.entrySet().removeIf(e => e.getValue eq df))
 
   // plain get/putIfAbsent (not computeIfAbsent): builders recurse into
   // other memoized builders, and nested computeIfAbsent on one
@@ -40,11 +45,11 @@ object Dedup {
   // one redundant persist, immediately unpersisted.
   private def memoized(key: String)(build: => DataFrame): DataFrame = {
     val hit = memo.get(key)
-    if (hit != null) hit
+    if (hit != null) { Caches.touch(hit); hit }
     else {
       val built = Caches.track(build)
       val prev = memo.putIfAbsent(key, built)
-      if (prev != null) { built.unpersist(false); prev } else built
+      if (prev != null) { Caches.forget(built); prev } else built
     }
   }
 

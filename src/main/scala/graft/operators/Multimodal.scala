@@ -69,6 +69,13 @@ object Multimodal {
       */
     def initPerTask(): Unit = ()
     def decode(r: MediaRow): MediaFeatures
+    /** Sample up to `k` evenly spaced frames. The default is the
+      * deterministic byte-slice stub (audio/video payloads this
+      * container has no codec for); [[ImageIoCodec]] overrides it with
+      * real multi-image decode.
+      */
+    def sampleFrames(r: MediaRow, k: Int, frameBytes: Int): Iterator[Frame] =
+      DecodeStub.sampleFrames(r, k, frameBytes)
   }
 
   /** Real image decode on the JDK's own `javax.imageio` readers
@@ -92,6 +99,48 @@ object Multimodal {
           checksum = java.security.MessageDigest.getInstance("MD5")
             .digest(r.payload).map("%02x".format(_)).mkString)
       } catch { case _: Exception => DecodeStub.decode(r) }
+
+    /** Real multi-frame sampling: payloads the JDK has an `ImageReader`
+      * for (animated GIF being the multi-image case it ships) are
+      * scanned for their frame count, `min(k, frames)` evenly spaced
+      * frames are DECODED (`ImageReader.read(i)`) and re-emitted as PNG
+      * bytes — actual pixels, not byte slices. Frames are the raw
+      * stored rects; compositing partial-frame GIF disposal is codec
+      * work out of scope here. Unparseable payloads fall back to
+      * [[DecodeStub]] so the operator stays total (O1) and byte-payload
+      * corpora (m02) keep their stub-deterministic output.
+      */
+    override def sampleFrames(r: MediaRow, k: Int, frameBytes: Int): Iterator[Frame] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) DecodeStub.sampleFrames(r, k, frameBytes)
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, false, true)
+              // allowSearch=true: counts frames by scanning the (in-
+              // memory) stream — exact, and cheap at payload scale
+              val total = reader.getNumImages(true)
+              if (total < 1) DecodeStub.sampleFrames(r, k, frameBytes)
+              else {
+                val n = math.min(k, total)
+                // strict Vector: frames must be read before the reader
+                // is disposed below
+                (0 until n).map { i =>
+                  val src = (total.toLong * i / n).toInt
+                  val img = reader.read(src)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  Frame(r.media_id, i, bos.toByteArray)
+                }.toVector.iterator
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => DecodeStub.sampleFrames(r, k, frameBytes) }
   }
 
   /** Decode features per partition — decoder state initialized once per
@@ -106,10 +155,18 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling with executor-side fan-out. */
-  def sampleFrames(media: Dataset[MediaRow], k: Int, frameBytes: Int): Dataset[Frame] = {
+  /** Frame sampling with executor-side fan-out — one codec instance per
+    * task. The default [[ImageIoCodec]] really decodes multi-image
+    * payloads (animated GIF) and falls back to the byte-slice stub for
+    * everything else, so non-image corpora (m02) are bit-stable.
+    */
+  def sampleFrames(media: Dataset[MediaRow], k: Int, frameBytes: Int,
+                   codec: MediaCodec = ImageIoCodec): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(rows => rows.flatMap(DecodeStub.sampleFrames(_, k, frameBytes)))
+    media.mapPartitions { rows =>
+      codec.initPerTask()
+      rows.flatMap(codec.sampleFrames(_, k, frameBytes))
+    }
   }
 
   /** Expression-only metadata pass (no decode): byte length, magic-

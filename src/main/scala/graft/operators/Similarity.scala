@@ -79,6 +79,14 @@ object Similarity {
   def trainIvfCentroids(corpus: DataFrame, k: Int, iters: Int,
                         dim: Int): Array[Array[Double]] = {
     import graft.expressions.NativeFns.nearest_centroid
+    // ObjectHashAggregate falls back to sort-based aggregation once its
+    // hash map holds 128 keys (the conservative default) — a pointless
+    // spill-to-sort for VectorAvg's (dim+1)-double buffers, which at
+    // 4096 keys x dim 64 are still only ~2 MB per task. Idempotent and
+    // safe for every VectorAvg consumer in the session, so no restore
+    // (restoring would race concurrent trainings sharing the session).
+    corpus.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     val c = corpus.toDF("vec_id", "vec")
     var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
@@ -110,9 +118,18 @@ object Similarity {
     * probe each query's `nprobe` nearest cells.
     */
   // one trained index per (plan, params) — index construction is
-  // amortized across queries in any real ANN deployment
+  // amortized across queries in any real ANN deployment. LRU-bounded:
+  // a session training indexes over unboundedly many corpora must not
+  // grow driver memory without bound (each entry is k x dim doubles,
+  // ~8 KB at 16x64; 64 entries ≈ 0.5 MB worst case).
+  private val ivfCacheCap = 64
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new java.util.LinkedHashMap[String, Array[Array[Double]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Array[Double]]]): Boolean =
+        size() > ivfCacheCap
+    }
+  private[graft] def ivfCacheSize: Int = ivfCache.synchronized(ivfCache.size())
 
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
              nCells: Int = 16, iters: Int = 2, dim: Int = 64,
@@ -120,9 +137,20 @@ object Similarity {
              trained: Option[Array[Array[Double]]] = None): DataFrame = {
     import graft.expressions.NativeFns.nearest_centroid
     val cacheKey = s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells:$iters:$dim"
-    val centroids = trained.getOrElse(
-      ivfCache.computeIfAbsent(cacheKey,
-        _ => trainIvfCentroids(corpus, nCells, iters, dim)))
+    // train OUTSIDE the cache lock (training runs Spark jobs); a lost
+    // race costs one redundant training, and training is deterministic
+    // so either result is byte-identical
+    val centroids = trained.getOrElse {
+      val hit = ivfCache.synchronized(ivfCache.get(cacheKey))
+      if (hit != null) hit
+      else {
+        val t = trainIvfCentroids(corpus, nCells, iters, dim)
+        ivfCache.synchronized {
+          val prev = ivfCache.get(cacheKey)
+          if (prev != null) prev else { ivfCache.put(cacheKey, t); t }
+        }
+      }
+    }
     val c = corpus.toDF("vec_id", "c_vec")
       .withColumn("cell", nearest_centroid(col("c_vec"), centroids))
     // nprobe probe cells per query: rank all centroids by cosine on the

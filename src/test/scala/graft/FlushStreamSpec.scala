@@ -96,6 +96,59 @@ class FlushStreamSpec extends SparkSpec {
     assert(spark.table("dedup").count() == ev.count())
   }
 
+  test("streaming dedup state is BOUNDED: watermark eviction shrinks state and re-admits old keys") {
+    import spark.implicits._
+    val src = tmpDir("ddw_src"); val ckpt = tmpDir("ddw_ckpt")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(plusMin: Long) = new java.sql.Timestamp(t0 + plusMin * 60000L)
+    // one parquet FILE per micro-batch (maxFilesPerTrigger=1), mtimes
+    // ascending so the source's (mtime, path) order IS the batch order
+    var seq = 0
+    def putBatch(rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      seq += 1
+      val stage = tmpDir(s"ddw_stage$seq")
+      rows.toDF("event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(src, f"b$seq%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + seq * 1000L)
+    }
+    val tenDays = 10L * 24 * 60
+    putBatch(Seq((1L, ts(0)), (2L, ts(1)), (1L, ts(2)))) // in-batch dup of 1
+    putBatch(Seq((1L, ts(5)), (3L, ts(6))))              // cross-batch dup of 1
+    putBatch(Seq((100L, ts(tenDays))))                   // jumps event time 10 days
+    putBatch(Seq((101L, ts(tenDays + 1))))               // watermark now 10d-1h: evicts 1,2,3
+    putBatch(Seq((1L, ts(tenDays + 2))))                 // old key PAST watermark: re-admitted
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val q = FlushStream.dedupedStream(stream, Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("ddw")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // within-watermark duplicates (in-batch AND cross-batch) dropped;
+    // the same key arriving past the watermark is re-admitted — the
+    // documented bounded-state divergence from batch d01/e04
+    val ids = spark.table("ddw").select($"event_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(ids == Map(1L -> 2, 2L -> 1, 3L -> 1, 100L -> 1, 101L -> 1), s"got $ids")
+
+    // state metrics prove the bound: rows were REMOVED when the
+    // watermark passed them, and final state is smaller than the peak
+    val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    val totals = progresses.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val removed = progresses.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    assert(removed >= 3, s"expected watermark eviction of keys 1,2,3; removed=$removed")
+    assert(totals.last < totals.max,
+      s"state did not shrink after eviction: $totals")
+  }
+
   test("stateful size-rotation emits the same bundles as a direct fold") {
     import spark.implicits._
     import graft.streaming.FlushStream.{BundleRec, BundleEmit}

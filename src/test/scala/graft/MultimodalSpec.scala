@@ -57,6 +57,56 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.length <= 50))
   }
 
+  test("multi-frame GIF payloads are REALLY decoded: sampled frames carry exact per-frame pixels") {
+    import spark.implicits._
+    // in-test animated GIF: 5 full-size frames, solid primary colors
+    // (exact under GIF palette quantization), written with the JDK's
+    // own sequence writer — no external deps, like ImageIoCodec itself
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val (w, h) = (12, 7)
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    assert(writer.canWriteSequence, "JDK GIF writer must support sequences")
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach(c => writer.writeToSequence(
+      new javax.imageio.IIOImage(frame(c), null, null), null))
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+
+    val ds = spark.createDataset(Seq(MediaRow(7L, "video", gif)))
+    val got = Multimodal.sampleFrames(ds, k = 3, frameBytes = 64)
+      .collect().sortBy(_.frame_idx)
+    // min(k=3, 5 frames) evenly spaced: source frames 0, 1, 3
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    val expected = Seq(0, 1, 3).map(colors)
+    got.zip(expected).foreach { case (f, rgb) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null, "sampled frame must be a decodable image")
+      assert(img.getWidth == w && img.getHeight == h,
+        s"frame ${f.frame_idx}: got ${img.getWidth}x${img.getHeight}")
+      assert((img.getRGB(0, 0) & 0xffffff) == rgb,
+        f"frame ${f.frame_idx}: pixel 0x${img.getRGB(0, 0) & 0xffffff}%06x != 0x$rgb%06x")
+    }
+    // non-image payloads keep the deterministic stub path bit-for-bit
+    // (m02's oracle hash depends on it)
+    val opaque = MediaRow(8L, "audio", Array.tabulate(300)(i => (i % 251).toByte))
+    val viaCodec = Multimodal.sampleFrames(
+      spark.createDataset(Seq(opaque)), k = 4, frameBytes = 64)
+      .collect().sortBy(_.frame_idx)
+    val viaStub = Multimodal.DecodeStub.sampleFrames(opaque, 4, 64).toSeq
+    assert(viaCodec.map(f => (f.frame_idx, f.frame_bytes.toSeq)).toSeq ==
+      viaStub.map(f => (f.frame_idx, f.frame_bytes.toSeq)))
+  }
+
   test("binaryStats exposes magic prefix without decoding") {
     import spark.implicits._
     val df = spark.createDataset(media(3)).toDF()

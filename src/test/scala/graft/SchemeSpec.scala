@@ -104,6 +104,45 @@ class SchemeSpec extends SparkSpec {
     assert(back.count() == 20)
   }
 
+  test("S3Config readiness surface lands on the scheme's Hadoop conf (S2/K3 knobs)") {
+    implicit val s = spark
+    reg()
+    // the knobs a real s3a:// deployment flips, applied to the foreign
+    // scheme the sandbox CAN exercise — same code path, different scheme
+    graft.operators.S3Config(
+      credentialsProvider = Some("org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"),
+      pagingMaximum = 500, // reference s3_batchsize analog
+      committer = "partitioned",
+      endpoint = Some("https://store.example:9000"),
+      pathStyleAccess = true).applyTo(spark, scheme = "graftfs")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.graftfs.aws.credentials.provider")
+      == "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider")
+    assert(hc.getInt("fs.graftfs.paging.maximum", -1) == 500)
+    assert(hc.get("fs.graftfs.committer.name") == "partitioned")
+    assert(hc.get("fs.graftfs.endpoint") == "https://store.example:9000")
+    assert(hc.getBoolean("fs.graftfs.path.style.access", false))
+    // the configured scheme still serves the whole compaction path
+    val in = tmpDir("scheme_s3cfg_in")
+    (1 to 5).foreach { i =>
+      val p = Paths.get(in.toString, s"c$i.json")
+      Files.write(p, s"""{"i":$i}""".getBytes("UTF-8"))
+      p.toFile.setLastModified(1700000000000L + i * 1000L)
+    }
+    val out = tmpDir("scheme_s3cfg_out")
+    val mf = Compactor.compactDirectory(
+      s"graftfs://$in", s"graftfs://$out", targetBytes = 64L)
+    assert(mf.count() > 0)
+    assert(spark.read.parquet(out.toString).count() == 5)
+    // construction-time validation, same contract as the other configs
+    intercept[IllegalArgumentException] {
+      graft.operators.S3Config(committer = "rename-everything")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.S3Config(pagingMaximum = 0)
+    }
+  }
+
   test("partitioned streaming sink ships bundles on a foreign scheme (K3 path)") {
     reg()
     val collected = tmpDir("scheme_f_in"); val dest = tmpDir("scheme_f_out")

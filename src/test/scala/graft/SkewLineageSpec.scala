@@ -208,6 +208,43 @@ class SkewLineageSpec extends SparkSpec {
     assert(pairs.count() == before)
   }
 
+  test("cache registry is LRU-bounded: churning many corpora evicts, unpersists, stays correct") {
+    import spark.implicits._
+    import graft.operators.{Caches, Dedup}
+    Caches.release()
+    val prevCap = Caches.capacity
+    Caches.setCapacity(4)
+    // baseline AFTER draining the registry: what remains is other
+    // operators' localCheckpoints etc., not ours to count
+    val basePersisted = spark.sparkContext.getPersistentRDDs.size
+    try {
+      // 10 DISTINCT tiny corpora (distinct literals -> distinct plan
+      // hashes): each minhash pass persists a shingle table + band keys
+      // + candidates; unbounded, that is 30 cached frames
+      val results = (1 to 10).map { c =>
+        val docs = (1 to 8).map(i =>
+          (i.toLong, s"corpus $c doc $i the quick brown fox jumps over dog $i"))
+          .toDF("doc_id", "text")
+        c -> Dedup.minhashCandidates(docs, $"doc_id", $"text").count()
+      }
+      assert(Caches.liveCount <= 4,
+        s"registry exceeded its cap: ${Caches.liveCount}")
+      // eviction really unpersisted: the net growth in Spark's cached-RDD
+      // registry is bounded by the cap, not by the number of corpora
+      val persisted = spark.sparkContext.getPersistentRDDs.size - basePersisted
+      assert(persisted <= 8, s"$persisted persisted RDDs leaked past the cap")
+      // evicted memo entries rebuild correctly (same corpus, same answer)
+      val docs3 = (1 to 8).map(i =>
+        (i.toLong, s"corpus 3 doc $i the quick brown fox jumps over dog $i"))
+        .toDF("doc_id", "text")
+      assert(Dedup.minhashCandidates(docs3, $"doc_id", $"text").count()
+        == results.toMap.apply(3))
+    } finally {
+      Caches.setCapacity(prevCap)
+      Caches.release()
+    }
+  }
+
   test("gzip text bundles round-trip (W2)") {
     implicit val s = spark
     import java.nio.file.{Files, Paths}

@@ -11,6 +11,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // VectorAvg buffers are ~0.5 KB; the 128-key ObjectHashAggregate
+    // default forced spill-to-sort in aggregations grouping on >128
+    // keys (AnnSpec's per-label means). 4096 keys ≈ 2 MB per task.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     // managed tables (bucketing tests) land in tmp, not the repo
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")

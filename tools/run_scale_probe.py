@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Serialized scale-probe runner (VERDICT r5 tasks 1+2).
+
+Runs each probe query in its OWN sbt/Spark invocation
+(SPARK_GRAFT_ONLY pins one query, SPARK_GRAFT_POOL=1) so per-query
+times are attributable — the r5 sf10 dedup probe ran all six
+concurrently and its per-query numbers were co-elapsed.
+
+Baselines come from one sequential (POOL=1) sf0.1 run over the same
+query set, so each ratio compares solo time against solo time.
+
+Usage:
+  python3 tools/run_scale_probe.py join   # -> BENCH_sf10_join_probe.json
+  python3 tools/run_scale_probe.py dedup  # -> BENCH_sf10_dedup_probe.json
+
+Dev tooling only; the engine never depends on this.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = "/root/repo"
+
+MODES = {
+    "join": {
+        "sfdir": f"{REPO}/benchdata/sf10join",
+        "queries": ["q36_waiting_suppliers", "q38_parts_supplier_counts",
+                    "q39_dominant_suppliers", "q32_lateral_topn",
+                    "q25_min_cost_supplier"],
+        "iters": 2,
+        "out": f"{REPO}/BENCH_sf10_join_probe.json",
+        "scale": 100,
+    },
+    "dedup": {
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["d02_minhash_lsh", "d04_ngram_jaccard", "d05_embedding_neardup",
+                    "d07_dedup_clusters", "p01_clean_corpus", "p02_clean_corpus_clustered"],
+        # pair-generating queries run minutes at sf10; one iteration per
+        # query keeps the serialized probe inside the round budget (the
+        # join probe, task 1, carries the iters>=2 requirement)
+        "iters": 1,
+        "out": f"{REPO}/BENCH_sf10_dedup_probe.json",
+        "scale": 100,
+    },
+}
+
+
+def run_bench(sfdir: str, only: str, iters: int):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sfdir,
+               SPARK_GRAFT_ONLY=only,
+               SPARK_GRAFT_ITERS=str(iters),
+               SPARK_GRAFT_POOL="1")
+    t0 = time.time()
+    p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=3 * 3600)
+    wall = time.time() - t0
+    data = None
+    try:
+        with open(f"{REPO}/BENCH_LOCAL.json") as f:
+            data = json.load(f)
+    except Exception:
+        pass
+    suspicious = [ln for ln in (p.stdout + p.stderr).splitlines()
+                  if any(w in ln for w in
+                         ("BroadcastNestedLoopJoin", "CartesianProduct",
+                          "OutOfMemoryError", "Cannot broadcast",
+                          "larger than spark.sql.autoBroadcastJoinThreshold"))]
+    return data, wall, p.returncode, suspicious
+
+
+def main(mode: str) -> None:
+    cfg = MODES[mode]
+    names = cfg["queries"]
+    probe_sf, iters = cfg["sfdir"], cfg["iters"]
+
+    # baselines are per-query FRESH JVMs, like the probe runs: a shared
+    # session would let the dedup memo hand later queries a warm corpus
+    # pass (d04 riding d02's shingles) and understate their solo cost
+    baseline = {}
+    for n in names:
+        print(f"== baseline: {n} @ sf0.1 solo (iters={iters})", flush=True)
+        base, _, rc, _ = run_bench("/root/testdata/sf0.1", f"^{n}$", iters)
+        assert rc == 0 and base and base["queries"][n] >= 0, (n, rc, base)
+        baseline[n] = base["queries"][n]
+        print(f"   {n}: {baseline[n]:.2f}s", flush=True)
+
+    per_query, errors, flags = {}, {}, {}
+    total = 0.0
+    for n in names:
+        print(f"== probe: {n} @ {probe_sf} (iters={iters})", flush=True)
+        data, wall, rc, suspicious = run_bench(probe_sf, f"^{n}$", iters)
+        ok = rc == 0 and data is not None and n in data.get("queries", {})
+        elapsed = data["queries"][n] if ok else -wall
+        per_query[n] = elapsed
+        total += abs(elapsed)
+        if not ok or elapsed < 0:
+            errors[n] = (data or {}).get("errors", {}).get(n, f"rc={rc}")
+        if suspicious:
+            flags[n] = suspicious[:5]
+        print(f"   {n}: {elapsed:.2f}s solo (run wall {wall:.0f}s, "
+              f"sf0.1 solo {baseline[n]:.2f}s, "
+              f"ratio {abs(elapsed) / baseline[n]:.0f}x)", flush=True)
+
+    out = {
+        "metric": "serialized_probe_total", "value": round(total, 2),
+        "unit": "sec", "sf": probe_sf, "scale_vs_sf0.1": cfg["scale"],
+        "iters": iters, "serialized": True,
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
+        "baseline_sf0.1_solo": {k: round(v, 3) for k, v in baseline.items()},
+        "ratio_vs_sf0.1": {
+            k: round(abs(v) / baseline[k], 1) for k, v in per_query.items()},
+        "errors": errors, "plan_flags": flags,
+    }
+    with open(cfg["out"], "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
