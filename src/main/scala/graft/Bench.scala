@@ -23,9 +23,17 @@ object Bench {
     // leave most of the machine idle
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Shuffle partitions must scale with DATA, not cores: at sf0.1 one
+    // partition per core is the measured sweet spot, but a 100x probe
+    // corpus puts ~100x state into each of 32 hash-aggregation maps and
+    // exhausts execution memory right at the spill boundary (seen as
+    // UNABLE_TO_ACQUIRE_MEMORY on the LSH pair stage with every core
+    // running a heavy map). The same rule a real cluster follows —
+    // thousands of partitions at 100 TB — applied through one knob.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       // keep VectorAvg (IVF training) out of sort-based fallback: its

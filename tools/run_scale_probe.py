@@ -43,16 +43,35 @@ MODES = {
         "iters": 1,
         "out": f"{REPO}/BENCH_sf10_dedup_probe.json",
         "scale": 100,
+        # partitions scale with data (the cluster-scale rule): at 100x
+        # the pair-generating hash aggregations need ~100x-smaller
+        # per-task state; 32 partitions put every core on a giant map
+        # simultaneously and exhaust execution memory at the spill
+        # boundary (the r5 CONCURRENT probe masked this — interleaved
+        # jobs meant only a few heavy-map tasks ran at once)
+        "probe_shuffle": 256,
+        # ...and memory sized to the SF ("spill-aware" rule): 8 GiB is
+        # the tuned sf0.1 BENCH heap (bigger heaps make the concurrent
+        # wall WORSE via GC pauses), but the 100x pair stages sit right
+        # at its execution-memory cliff — same run flips pass/OOM with
+        # ambient noise. 16 GiB restores deterministic headroom; a real
+        # cluster sizes executors to the shuffle the same way.
+        "probe_mem": "16g",
     },
 }
 
 
-def run_bench(sfdir: str, only: str, iters: int):
+def run_bench(sfdir: str, only: str, iters: int, shuffle: int | None = None,
+              mem: str | None = None):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir,
                SPARK_GRAFT_ONLY=only,
                SPARK_GRAFT_ITERS=str(iters),
                SPARK_GRAFT_POOL="1")
+    if shuffle:
+        env["SPARK_GRAFT_SHUFFLE"] = str(shuffle)
+    if mem:
+        env["SPARK_DRIVER_MEM"] = mem
     t0 = time.time()
     p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                        cwd=REPO, env=env, capture_output=True, text=True,
@@ -90,9 +109,13 @@ def main(mode: str) -> None:
 
     per_query, errors, flags = {}, {}, {}
     total = 0.0
+    shuffle = cfg.get("probe_shuffle")
+    mem = cfg.get("probe_mem")
     for n in names:
-        print(f"== probe: {n} @ {probe_sf} (iters={iters})", flush=True)
-        data, wall, rc, suspicious = run_bench(probe_sf, f"^{n}$", iters)
+        print(f"== probe: {n} @ {probe_sf} (iters={iters}, shuffle={shuffle}, "
+              f"mem={mem})", flush=True)
+        data, wall, rc, suspicious = run_bench(probe_sf, f"^{n}$", iters,
+                                               shuffle, mem)
         ok = rc == 0 and data is not None and n in data.get("queries", {})
         elapsed = data["queries"][n] if ok else -wall
         per_query[n] = elapsed
@@ -109,6 +132,8 @@ def main(mode: str) -> None:
         "metric": "serialized_probe_total", "value": round(total, 2),
         "unit": "sec", "sf": probe_sf, "scale_vs_sf0.1": cfg["scale"],
         "iters": iters, "serialized": True,
+        "probe_shuffle_partitions": cfg.get("probe_shuffle") or "cpus",
+        "probe_driver_mem": cfg.get("probe_mem") or "8g",
         "queries": {k: round(v, 2) for k, v in per_query.items()},
         "baseline_sf0.1_solo": {k: round(v, 3) for k, v in baseline.items()},
         "ratio_vs_sf0.1": {
