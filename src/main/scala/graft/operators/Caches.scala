@@ -19,13 +19,21 @@ import org.apache.spark.sql.DataFrame
   * `release()` stays the bulk cleanup hook: callers drain the registry
   * whenever the results built on these caches have been materialized
   * (end of a pipeline run, between Verify queries, after a bench wave).
+  *
+  * == Concurrency ==
+  * Every mutation — including a victim's unpersist and its evict
+  * hooks — runs while holding the registry lock, so the registry is
+  * linearizable: a concurrent `track`/`touch` can never interleave
+  * between victim selection and unpersist and resurrect an
+  * already-unpersisted frame into the map (tracked-but-unpersisted).
+  * All operations are driver-side plan bookkeeping (persist/unpersist
+  * registration, never Spark jobs), so holding the lock is cheap; the
+  * lock is reentrant, and hooks must not run Spark jobs.
   */
 object Caches {
 
   /** Insertion+access-ordered map: eldest = least recently used. Values
     * are unused; the map is an ordered identity set of live frames.
-    * All access is synchronized on the map — operations are O(1) plan
-    * bookkeeping, never Spark jobs.
     */
   private val lru =
     new java.util.LinkedHashMap[DataFrame, java.lang.Boolean](16, 0.75f, true)
@@ -48,42 +56,38 @@ object Caches {
     */
   def setCapacity(n: Int): Unit = {
     require(n >= 1, s"capacity must be >= 1, got $n")
-    cap = n
-    evictOverflow()
+    lru.synchronized {
+      cap = n
+      evictOverflowLocked()
+    }
   }
 
   /** Persist `df` and register it; may evict (and unpersist) the least
     * recently used frames past [[capacity]].
     */
-  private[graft] def track(df: DataFrame): DataFrame = {
+  private[graft] def track(df: DataFrame): DataFrame = lru.synchronized {
     df.persist()
-    lru.synchronized { lru.put(df, java.lang.Boolean.TRUE) }
-    evictOverflow()
+    lru.put(df, java.lang.Boolean.TRUE)
+    evictOverflowLocked()
     df
   }
 
   /** Refresh `df`'s recency (memo hits call this so hot corpora stay
-    * resident while cold ones age out).
+    * resident while cold ones age out). Returns whether the frame is
+    * still tracked — false means it was evicted (or released) since the
+    * caller last saw it, and any memo entry handing it out is stale;
+    * callers must rebuild rather than serve an unpersisted plan.
     */
-  private[graft] def touch(df: DataFrame): Unit =
-    lru.synchronized { lru.get(df) } // access-order map: get reorders
+  private[graft] def touch(df: DataFrame): Boolean =
+    lru.synchronized { lru.get(df) != null } // access-order map: get reorders
 
-  /** Drop + unpersist one frame (lost memo races discard their build). */
-  private[graft] def forget(df: DataFrame): Unit = {
-    lru.synchronized { lru.remove(df) }
-    df.unpersist(false)
-  }
-
-  private def evictOverflow(): Unit = {
-    val victims = Vector.newBuilder[DataFrame]
-    lru.synchronized {
-      val it = lru.entrySet().iterator()
-      while (lru.size() > cap && it.hasNext) {
-        victims += it.next().getKey
-        it.remove()
-      }
-    }
-    victims.result().foreach { df =>
+  // caller must hold the lru lock: victim removal, unpersist, and evict
+  // hooks are one atomic step (see the concurrency note above)
+  private def evictOverflowLocked(): Unit = {
+    val it = lru.entrySet().iterator()
+    while (lru.size() > cap && it.hasNext) {
+      val df = it.next().getKey
+      it.remove()
       df.unpersist(false)
       evictHooks.forEach(h => h(df))
     }
@@ -95,22 +99,35 @@ object Caches {
     */
   private[graft] def onRelease(h: () => Unit): Unit = releaseHooks.add(h)
 
-  /** Register a callback fired with each LRU-evicted frame, so memo
-    * maps can drop exactly the entries that reference it.
+  /** Register a callback fired with each frame the registry unpersists
+    * (LRU eviction AND [[release]] — release is a bulk eviction, and a
+    * registrant relying on per-frame invalidation must see it as one),
+    * so memo maps can drop exactly the entries referencing the frame.
+    * Hooks run under the registry lock: keep them O(1) bookkeeping and
+    * never run Spark jobs or block on other locks inside one.
     */
   private[graft] def onEvict(h: DataFrame => Unit): Unit = evictHooks.add(h)
 
-  /** Unpersist every registered intermediate (non-blocking). */
-  def release(): Unit = {
-    val all = lru.synchronized {
-      val vs = new java.util.ArrayList(lru.keySet())
-      lru.clear()
-      vs
+  /** Unpersist every registered intermediate (non-blocking). Fires
+    * [[onEvict]] per drained frame, then the bulk [[onRelease]] hooks.
+    */
+  def release(): Unit = lru.synchronized {
+    val it = lru.entrySet().iterator()
+    while (it.hasNext) {
+      val df = it.next().getKey
+      it.remove()
+      df.unpersist(false)
+      evictHooks.forEach(h => h(df))
     }
-    all.forEach(_.unpersist(false))
     releaseHooks.forEach(h => h())
   }
 
   /** Number of currently registered cached intermediates (for tests). */
   def liveCount: Int = lru.synchronized { lru.size() }
+
+  /** Snapshot of currently tracked frames, LRU-oldest first (tests). */
+  private[graft] def trackedFrames: Seq[DataFrame] = lru.synchronized {
+    import scala.jdk.CollectionConverters._
+    lru.keySet().asScala.toVector
+  }
 }

@@ -43,13 +43,26 @@ object Dedup {
   // other memoized builders, and nested computeIfAbsent on one
   // ConcurrentHashMap risks a recursive-update error. A lost race costs
   // one redundant persist, immediately unpersisted.
+  //
+  // Ordering invariant: the memo entry is installed BEFORE the frame
+  // enters the LRU registry (Caches.track). The reverse order had a
+  // window — tracked, evicted under cap pressure (onEvict's removeIf
+  // finds no entry yet), THEN installed — leaving a memo entry whose
+  // frame was already unpersisted; hits then touched an absent key and
+  // silently lost caching until release(). With memo-first, eviction
+  // hooks always see the entry they must invalidate; the only frame
+  // Caches can evict is one the memo already knows about. Hits also
+  // re-validate liveness (touch returns tracked-ness) so a hit that
+  // raced an eviction rebuilds instead of serving an unpersisted plan.
   private def memoized(key: String)(build: => DataFrame): DataFrame = {
     val hit = memo.get(key)
-    if (hit != null) { Caches.touch(hit); hit }
+    if (hit != null && Caches.touch(hit)) hit
     else {
-      val built = Caches.track(build)
+      if (hit != null) memo.remove(key, hit) // stale: frame was evicted
+      val built = build // lazy plan construction — no job, nothing persisted yet
       val prev = memo.putIfAbsent(key, built)
-      if (prev != null) { Caches.forget(built); prev } else built
+      if (prev != null) { Caches.touch(prev); prev }
+      else { Caches.track(built); built }
     }
   }
 
@@ -160,11 +173,13 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: Column, bCol: Column,
                maxRounds: Int = 50): DataFrame = {
+    // lazy: both frames are consumed whole by round 1's single job,
+    // which materializes their checkpoint blocks as a side effect
     val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
       .union(pairs.select(bCol.as("src"), aCol.as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint()
+      .withColumn("label", col("v")).localCheckpoint(eager = false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -184,12 +199,19 @@ object Dedup {
       // label values are themselves vertex ids, so the self-join below
       // always finds its target. The previous label rides along so the
       // convergence check is a filter-count over materialized blocks.
+      // LAZY checkpoint + one count(): the count scans every partition,
+      // so it is the action that materializes (and lineage-truncates)
+      // the checkpoint blocks AND computes the convergence check — one
+      // Spark job per round instead of the two an eager checkpoint
+      // followed by a separate count used to cost. At 10+ rounds on a
+      // 100x corpus that halves the driver round-trips of the slowest
+      // dedup query.
       val staged = hopped
         .join(labels.select(col("v").as("_hop"), col("label").as("_jump")),
           Seq("_hop"), "left")
         .select(col("v"), least(col("_hop"),
           coalesce(col("_jump"), col("_hop"))).as("label"), col("_old"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = staged.filter(col("label") =!= col("_old")).count()
       labels = staged.drop("_old")
       rounds += 1

@@ -100,6 +100,42 @@ object Multimodal {
             .digest(r.payload).map("%02x".format(_)).mkString)
       } catch { case _: Exception => DecodeStub.decode(r) }
 
+    /** PNG-encode `img`, downscaling until the encoded size fits
+      * `frameBytes` (PNG size tracks pixel count, so each pass scales
+      * by ~sqrt(bound/size), clamped so the loop always makes
+      * progress). Returns None when even a minimal image cannot fit —
+      * PNG container overhead alone is ~70 bytes, so tiny bounds are
+      * unsatisfiable by ANY real encode.
+      */
+    private def encodePngWithin(img0: java.awt.image.BufferedImage,
+                                frameBytes: Int): Option[Array[Byte]] = {
+      def encode(i: java.awt.image.BufferedImage): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(i, "png", bos)
+        bos.toByteArray
+      }
+      var img = img0
+      var bytes = encode(img)
+      var attempts = 0
+      while (bytes.length > frameBytes && attempts < 8 &&
+             (img.getWidth > 1 || img.getHeight > 1)) {
+        val s = math.min(0.9, math.sqrt(frameBytes.toDouble / bytes.length))
+        val w = math.max(1, (img.getWidth * s).toInt)
+        val h = math.max(1, (img.getHeight * s).toInt)
+        val scaled = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        img = scaled
+        bytes = encode(img)
+        attempts += 1
+      }
+      if (bytes.length <= frameBytes) Some(bytes) else None
+    }
+
     /** Real multi-frame sampling: payloads the JDK has an `ImageReader`
       * for (animated GIF being the multi-image case it ships) are
       * scanned for their frame count, `min(k, frames)` evenly spaced
@@ -109,6 +145,15 @@ object Multimodal {
       * work out of scope here. Unparseable payloads fall back to
       * [[DecodeStub]] so the operator stays total (O1) and byte-payload
       * corpora (m02) keep their stub-deterministic output.
+      *
+      * `frameBytes` is a HARD per-frame bound on every path — it is the
+      * caller's executor-memory-safety knob for the fan-out (a frame
+      * table from multi-MB animations must not carry multi-MB rows).
+      * Decoded frames that exceed it are downscaled to fit
+      * ([[encodePngWithin]]); if the bound is unsatisfiable by any real
+      * encode (smaller than PNG container overhead), the whole row
+      * falls back to the stub's byte slices, which respect the bound by
+      * construction and keep the per-row output deterministic.
       */
     override def sampleFrames(r: MediaRow, k: Int, frameBytes: Int): Iterator[Frame] =
       try {
@@ -129,13 +174,16 @@ object Multimodal {
                 val n = math.min(k, total)
                 // strict Vector: frames must be read before the reader
                 // is disposed below
-                (0 until n).map { i =>
+                val fit = (0 until n).map { i =>
                   val src = (total.toLong * i / n).toInt
-                  val img = reader.read(src)
-                  val bos = new java.io.ByteArrayOutputStream()
-                  javax.imageio.ImageIO.write(img, "png", bos)
-                  Frame(r.media_id, i, bos.toByteArray)
-                }.toVector.iterator
+                  encodePngWithin(reader.read(src), frameBytes)
+                    .map(Frame(r.media_id, i, _))
+                }.toVector
+                // all-or-nothing: one unsatisfiable frame drops the row
+                // to the stub so the emitted frame set stays a single
+                // deterministic family, never a decoded/stub mix
+                if (fit.forall(_.isDefined)) fit.flatten.iterator
+                else DecodeStub.sampleFrames(r, k, frameBytes)
               }
             } finally reader.dispose()
           }

@@ -79,14 +79,17 @@ object Similarity {
   def trainIvfCentroids(corpus: DataFrame, k: Int, iters: Int,
                         dim: Int): Array[Array[Double]] = {
     import graft.expressions.NativeFns.nearest_centroid
-    // ObjectHashAggregate falls back to sort-based aggregation once its
-    // hash map holds 128 keys (the conservative default) — a pointless
-    // spill-to-sort for VectorAvg's (dim+1)-double buffers, which at
-    // 4096 keys x dim 64 are still only ~2 MB per task. Idempotent and
-    // safe for every VectorAvg consumer in the session, so no restore
-    // (restoring would race concurrent trainings sharing the session).
-    corpus.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+    // Session-builder note (NOT set here): ObjectHashAggregate falls
+    // back to sort-based aggregation once its hash map holds 128 keys
+    // (the conservative default) — a pointless spill-to-sort for
+    // VectorAvg's (dim+1)-double buffers (~2 MB/task at 4096 keys x
+    // dim 64). Sessions running IVF training should raise
+    // `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (the
+    // Bench/Verify/test builders set 4096). Mutating it from inside
+    // this operator would silently widen the threshold for EVERY
+    // ObjectHashAggregate in the session — including ones with much
+    // larger per-key buffers, shifting their OOM risk — so the knob
+    // stays a session-level decision.
     val c = corpus.toDF("vec_id", "vec")
     var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))

@@ -81,8 +81,11 @@ class MultimodalSpec extends SparkSpec {
     writer.endWriteSequence(); writer.dispose(); ios.close()
     val gif = bos.toByteArray
 
+    // frameBytes generous enough that 12x7 PNGs fit un-downscaled (the
+    // bound is HARD on the decoded path; a bound no PNG can satisfy
+    // drops the row to the stub — covered by the dedicated bound test)
     val ds = spark.createDataset(Seq(MediaRow(7L, "video", gif)))
-    val got = Multimodal.sampleFrames(ds, k = 3, frameBytes = 64)
+    val got = Multimodal.sampleFrames(ds, k = 3, frameBytes = 4096)
       .collect().sortBy(_.frame_idx)
     // min(k=3, 5 frames) evenly spaced: source frames 0, 1, 3
     assert(got.map(_.frame_idx).toSeq == Seq(0, 1, 2))
@@ -105,6 +108,46 @@ class MultimodalSpec extends SparkSpec {
     val viaStub = Multimodal.DecodeStub.sampleFrames(opaque, 4, 64).toSeq
     assert(viaCodec.map(f => (f.frame_idx, f.frame_bytes.toSeq)).toSeq ==
       viaStub.map(f => (f.frame_idx, f.frame_bytes.toSeq)))
+  }
+
+  test("frameBytes is a HARD per-frame bound on the real-decode path") {
+    import spark.implicits._
+    // noisy 180x110 frame: per-pixel varying colors so the PNG encodes
+    // to well over the bound and the codec must downscale to comply
+    val (w, h) = (180, 110)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 9973 + y * 131071) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    assert(png.length > 2048, s"test image must exceed the bound (${png.length})")
+
+    val ds = spark.createDataset(Seq(MediaRow(9L, "image", png)))
+    val bound = 2048
+    val frames = Multimodal.sampleFrames(ds, k = 2, frameBytes = bound).collect()
+    assert(frames.length == 1) // single-image payload: one frame
+    val f = frames.head
+    assert(f.frame_bytes.length <= bound,
+      s"decoded frame ${f.frame_bytes.length} bytes exceeds frameBytes=$bound")
+    // still a REAL image after downscale-to-fit, just smaller
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f.frame_bytes))
+    assert(back != null, "bounded frame must still decode as an image")
+    assert(back.getWidth >= 1 && back.getWidth < w)
+    assert(back.getHeight >= 1 && back.getHeight < h)
+
+    // a bound no PNG can satisfy (below container overhead): the whole
+    // row falls back to the stub's byte slices, which respect the bound
+    // by construction and stay deterministic
+    val tiny = Multimodal.sampleFrames(ds, k = 2, frameBytes = 40)
+      .collect().sortBy(_.frame_idx)
+    val stub = Multimodal.DecodeStub
+      .sampleFrames(MediaRow(9L, "image", png), 2, 40).toSeq
+    assert(tiny.map(f => (f.frame_idx, f.frame_bytes.toSeq)).toSeq ==
+      stub.map(f => (f.frame_idx, f.frame_bytes.toSeq)))
+    assert(tiny.forall(_.frame_bytes.length <= 40))
   }
 
   test("binaryStats exposes magic prefix without decoding") {

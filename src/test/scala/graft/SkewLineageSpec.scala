@@ -159,9 +159,47 @@ class SkewLineageSpec extends SparkSpec {
     // default proves the pointer jump compresses paths logarithmically
     val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("doc_a", "doc_b")
-    val got = Dedup.clusters(chain, $"doc_a", $"doc_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pin the driver round-trip budget: ONE action per CC round (the
+    // lazy checkpoint materializes inside the convergence count's job;
+    // the eager-checkpoint-then-count shape cost two, plus two more for
+    // the eager edges/labels seeds — ~2x the actions for the same
+    // rounds). AQE is disabled for the instrumented call ONLY so one
+    // action = one job and the bound is deterministic; with AQE on,
+    // per-exchange-stage jobs inflate the count ~7x and drown the
+    // signal being pinned.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val got =
+      try {
+        val r = Dedup.clusters(chain, $"doc_a", $"doc_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // listener bus is async: wait for the count to stabilize
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 20) {
+          last = jobs.get(); Thread.sleep(100); spins += 1
+        }
+        r
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sparkContext.removeSparkListener(listener)
+      }
     assert(got.size == 400 && got.values.forall(_ == 0L))
+    // Observed composition at 10 rounds for this graph: ONE count job
+    // per round (the convergence count whose scan also materializes the
+    // lazy checkpoint — the very fold being pinned), one broadcast-
+    // exchange job per round (Catalyst broadcasts the tiny test-graph
+    // label frame; at scale stats push it to SMJ), 2 seed broadcasts,
+    // 1 collect = 23. The pre-fold shape added an eager checkpoint job
+    // per round plus 2 eager seed jobs ≈ 35 — the bound separates the
+    // two cleanly.
+    assert(jobs.get() <= 26, s"too many driver round-trips: ${jobs.get()} jobs")
     // non-convergence must THROW, not return wrong labels silently
     val ex = intercept[IllegalStateException] {
       Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 2).collect()
@@ -239,6 +277,42 @@ class SkewLineageSpec extends SparkSpec {
         .toDF("doc_id", "text")
       assert(Dedup.minhashCandidates(docs3, $"doc_id", $"text").count()
         == results.toMap.apply(3))
+    } finally {
+      Caches.setCapacity(prevCap)
+      Caches.release()
+    }
+  }
+
+  test("Caches LRU is coherent under concurrent track/touch at a tiny cap") {
+    import spark.implicits._
+    import graft.operators.Caches
+    Caches.release()
+    val prevCap = Caches.capacity
+    Caches.setCapacity(2)
+    try {
+      // a small shared frame population hammered from two threads forces
+      // the race the locked eviction protocol closes: victim selection,
+      // unpersist, and a concurrent re-track of the SAME frame must
+      // serialize, or an already-unpersisted victim gets resurrected
+      // into the map (tracked-but-unpersisted)
+      val frames = (1 to 6).map(i => Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val storms = (0 until 2).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            (0 until 200).foreach { i =>
+              val df = frames((i * 2 + t) % frames.length)
+              if ((i + t) % 3 == 0) Caches.touch(df) else Caches.track(df)
+            }
+        })
+      }
+      storms.foreach(_.get())
+      pool.shutdown()
+      assert(Caches.liveCount <= 2, s"cap violated: ${Caches.liveCount}")
+      Caches.trackedFrames.foreach { df =>
+        assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+          "tracked-but-unpersisted frame survived the concurrent storm")
+      }
     } finally {
       Caches.setCapacity(prevCap)
       Caches.release()
