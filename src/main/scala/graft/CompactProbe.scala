@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Million-small-file compaction probe (the reference's headline claim:
+  * "consolidate millions of small files" — reference README.md:10).
+  *
+  * Driver-side listing (`InMemoryFileIndex`) is the canonical Spark
+  * bottleneck at this file count: one `FileStatus` per file lives on
+  * the driver, and naive listing is a serial `listStatus` walk. This
+  * probe measures, end to end at the default 8g driver heap:
+  *   - listing wall (metadata-only count: distributed directory listing
+  *     + status scan; no file content opened),
+  *   - bundle-assignment wall (the narrow prefix-sum pass),
+  *   - full `compactDirectory` wall (list + assign + read payloads +
+  *     one co-locating shuffle + parquet write),
+  *   - incremental no-op wall (anti-join of a million-path listing
+  *     against a million-path processed-set),
+  *   - incremental delta wall (a small batch of new files against the
+  *     million-file processed-set),
+  *   - peak driver heap (50 ms sampler), and row-count verification of
+  *     the written lake.
+  *
+  * Scale configuration, recorded in the artifact:
+  *   - `spark.sql.files.openCostInBytes` is lowered from its 4 MiB
+  *     default to 64 KiB: the default charges each file 4 MiB of
+  *     phantom split budget, which at ~130-byte files packs only ~32
+  *     files per task — ~31k tasks whose wall is pure scheduling
+  *     overhead. 64 KiB packs ~2000 tiny files per task. A real
+  *     cluster compacting millions of small objects makes exactly this
+  *     trade (open cost on a warm store is far below 4 MiB).
+  *   - shuffle partitions stay at the data-scaled default: the payload
+  *     volume (~130 MB) is tiny; it is the FILE COUNT being probed.
+  *
+  * Usage: runMain graft.CompactProbe <inputDir> <outputDir>
+  *        [targetBundleBytes]
+  * Emits one JSON line (last stdout line) and writes
+  * BENCH_smallfile_probe.json in the cwd.
+  */
+object CompactProbe {
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val targetBytes = if (args.length > 2) args(2).toLong else 8L << 20
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.openCostInBytes", (64L * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // peak-heap sampler: daemon thread, 50 ms cadence — coarse but
+    // enough to catch a listing that balloons the driver
+    val peakHeap = new java.util.concurrent.atomic.AtomicLong(0)
+    val sampler = new Thread(() => {
+      while (true) {
+        val rt = Runtime.getRuntime
+        val used = rt.totalMemory() - rt.freeMemory()
+        peakHeap.accumulateAndGet(used, math.max(_, _))
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def listing() = spark.read.format("binaryFile").load(inDir)
+      .select(col("path"), col("modificationTime"), col("length"))
+      .filter(col("length") > 0)
+
+    // A: listing + status scan only (column pruning keeps binaryFile
+    // from opening any file for these three metadata columns)
+    val (nFiles, tList) = timed(listing().count())
+
+    // B: bundle assignment over a fresh listing (narrow prefix-sum;
+    // includes its own re-list, so tAssign - tList ≈ pure assignment)
+    val (nAssigned, tAssign) = timed {
+      graft.operators.Compactor.withBundleId(
+        listing(), col("modificationTime"), Seq(col("path")),
+        col("length"), targetBytes).count()
+    }
+
+    // C: the real user path, end to end (fresh listing again)
+    val (nBundles, tFull) = timed {
+      val mf = graft.operators.Compactor.compactDirectory(
+        inDir, outDir, targetBytes)
+      mf.count()
+    }
+
+    // verify the lake before timing the incremental paths: every
+    // non-empty input file became exactly one record
+    val lake = spark.read.parquet(outDir)
+    val lakeRows = lake.count()
+    val lakePaths = lake.select("path").distinct().count()
+    require(lakeRows == nFiles && lakePaths == nFiles,
+      s"lake rows=$lakeRows distinctPaths=$lakePaths != listed files=$nFiles")
+
+    // D: incremental with nothing new — the anti-join is 1M listing
+    // paths vs 1M processed paths, both narrow
+    val (noopRows, tIncrNoop) = timed {
+      graft.operators.Compactor.compactDirectoryIncremental(
+        inDir, outDir, targetBytes).count()
+    }
+    require(noopRows == 0L, s"no-op incremental made $noopRows bundles")
+
+    // E: a late-arriving hour of files, incrementally folded in
+    val deltaDir = java.nio.file.Paths.get(inDir, "date=2099-01-01", "hour=00")
+    java.nio.file.Files.createDirectories(deltaDir)
+    val deltaN = 1000
+    (0 until deltaN).foreach { i =>
+      java.nio.file.Files.write(deltaDir.resolve(f"ev-$i%05d.json"),
+        s"""{"ts":4070908800,"host":"h999","event":"late","seq":$i}""".getBytes("UTF-8"))
+    }
+    val (deltaBundles, tIncrDelta) = timed {
+      graft.operators.Compactor.compactDirectoryIncremental(
+        inDir, outDir, targetBytes).count()
+    }
+    val lakeRows2 = spark.read.parquet(outDir).count()
+    require(deltaBundles > 0 && lakeRows2 == nFiles + deltaN,
+      s"delta pass: bundles=$deltaBundles rows=$lakeRows2 expected=${nFiles + deltaN}")
+
+    graft.operators.Caches.release()
+    val heapMax = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val peakMb = peakHeap.get() / (1024 * 1024)
+    def f2(d: Double) = math.round(d * 100.0) / 100.0
+    val json =
+      s"""{"metric":"smallfile_compaction","n_files":$nFiles,""" +
+      s""""listing_sec":${f2(tList)},"assign_sec":${f2(tAssign)},""" +
+      s""""full_compact_sec":${f2(tFull)},"incr_noop_sec":${f2(tIncrNoop)},""" +
+      s""""incr_delta_sec":${f2(tIncrDelta)},"bundles":$nBundles,""" +
+      s""""delta_files":$deltaN,"delta_bundles":$deltaBundles,""" +
+      s""""target_bundle_bytes":$targetBytes,""" +
+      s""""peak_driver_heap_mb":$peakMb,"driver_heap_max_mb":$heapMax,""" +
+      s""""open_cost_bytes":65536,"cpus":$cpus,"verified_rows":$lakeRows2,"errors":0}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_smallfile_probe.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(json)
+    spark.stop()
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Sustained-rate probe for the two-hop streaming topology (VERDICT r6
+  * task 6): the collector hop ([[graft.streaming.FlushStream
+  * .bundleTextFileSink]] — per-key size-rotated bundle assignment via
+  * `flatMapGroupsWithState`, text bundle files out) chained into the
+  * flusher hop ([[graft.streaming.FlushStream.flushToPartitionedLake]]
+  * — file-stream source over the committed bundle manifest, date-
+  * partitioned parquet lake out). Correctness and double-restart
+  * exactly-once are proven in PipelineE2ESpec; this measures the
+  * numbers a capacity plan needs, from `StreamingQueryProgress`:
+  *   - records/s per hop (wall and engine-reported peak),
+  *   - micro-batch count (maxFilesPerTrigger paces the drain, so the
+  *     state machine is exercised across many batches, not one giant
+  *     replay),
+  *   - flatMapGroupsWithState state-store peak rows + bytes (the
+  *     collector holds ONE accumulator per key — state must stay flat
+  *     at any volume),
+  *   - end-to-end wall and a record-exact lake count.
+  *
+  * Payload is md5-chained (incompressible) so the ~1 GB driven through
+  * the text bundles is a real gigabyte on disk, not a compression
+  * artifact.
+  *
+  * Usage: runMain graft.StreamProbe [workDir] [nRecords] [nKeys]
+  * Emits one JSON line (last stdout line) and writes
+  * BENCH_stream_probe.json in the cwd.
+  */
+object StreamProbe {
+
+  private def progressStats(q: StreamingQuery): (Long, Int, Double, Long, Long) = {
+    val ps = q.recentProgress
+    val rows = ps.map(_.numInputRows).sum
+    val peakRate = ps.map(_.processedRowsPerSecond)
+      .filterNot(_.isNaN).foldLeft(0.0)(math.max)
+    val statePeakRows = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    val statePeakBytes = ps.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+      .foldLeft(0L)(math.max)
+    (rows, ps.length, peakRate, statePeakRows, statePeakBytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = if (args.length > 0) args(0)
+               else "/root/repo/benchdata/streamprobe"
+    val nRecs = if (args.length > 1) args(1).toLong else 1000000L
+    val nKeys = if (args.length > 2) args(2).toInt else 8
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.streaming.FlushStream
+
+    val staging = s"$work/staging"
+    val bundles = s"$work/bundles"
+    val lake = s"$work/lake"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+
+    // ~1 KiB incompressible payload per record: 32 chained md5 blocks
+    // (codegen'd, deterministic). size carries the payload length the
+    // rotation fold bins on.
+    val payload = concat((0 until 32).map(i =>
+      md5(concat(col("id").cast("string"), lit(s":$i")))): _*)
+    val gen = spark.range(nRecs)
+      .select(
+        concat(lit("k"), pmod(col("id"), lit(nKeys.toLong))).as("key"),
+        col("id").as("event_id"),
+        (lit(1700000000000000000L) + col("id") * 1000000L).as("ts_ns"),
+        length(payload).cast("long").as("size"),
+        payload.as("payload"))
+    gen.repartition(256).write.parquet(staging)
+    val totalBytes = spark.read.parquet(staging)
+      .agg(sum(col("size"))).collect()(0).getLong(0)
+
+    // Hop 1: collector — 32 staging files per micro-batch, so rotation
+    // state crosses ~8 batch boundaries instead of one bulk replay
+    val t1 = System.nanoTime()
+    val recs = spark.readStream
+      .schema(Encoders.product[FlushStream.PayloadRec].schema)
+      .option("maxFilesPerTrigger", "32")
+      .parquet(staging)
+      .as[FlushStream.PayloadRec]
+    val q1 = FlushStream.bundleTextFileSink(
+      recs, targetBytes = 32L << 20, bundles, s"$work/ckpt1")
+    q1.awaitTermination()
+    val hop1Wall = (System.nanoTime() - t1) / 1e9
+    val (h1Rows, h1Batches, h1Peak, h1StateRows, h1StateBytes) = progressStats(q1)
+
+    // Hop 2: flusher — consumes hop 1's committed file manifest
+    val t2 = System.nanoTime()
+    val q2 = FlushStream.flushToPartitionedLake(
+      spark, bundles, lake, s"$work/ckpt2")
+    q2.awaitTermination()
+    val hop2Wall = (System.nanoTime() - t2) / 1e9
+    val (h2Rows, h2Batches, h2Peak, _, _) = progressStats(q2)
+
+    // record-exact delivery: every generated record is one lake row
+    val lakeRows = spark.read.parquet(lake).count()
+    require(lakeRows == nRecs && h1Rows == nRecs,
+      s"lost records: lake=$lakeRows hop1In=$h1Rows expected=$nRecs")
+
+    def f0(d: Double) = math.round(d)
+    def f2(d: Double) = math.round(d * 100.0) / 100.0
+    val json =
+      s"""{"metric":"stream_throughput","records":$nRecs,"keys":$nKeys,""" +
+      s""""payload_bytes":$totalBytes,""" +
+      s""""hop1_wall_sec":${f2(hop1Wall)},"hop1_rows_per_sec":${f0(nRecs / hop1Wall)},""" +
+      s""""hop1_peak_engine_rows_per_sec":${f0(h1Peak)},"hop1_batches":$h1Batches,""" +
+      s""""hop1_state_peak_rows":$h1StateRows,"hop1_state_peak_bytes":$h1StateBytes,""" +
+      s""""hop2_wall_sec":${f2(hop2Wall)},"hop2_rows_per_sec":${f0(h2Rows / hop2Wall)},""" +
+      s""""hop2_peak_engine_rows_per_sec":${f0(h2Peak)},"hop2_batches":$h2Batches,""" +
+      s""""end_to_end_sec":${f2(hop1Wall + hop2Wall)},""" +
+      s""""mb_per_sec_end_to_end":${f2(totalBytes / 1e6 / (hop1Wall + hop2Wall))},""" +
+      s""""verified_lake_rows":$lakeRows,"cpus":$cpus,"errors":0}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_stream_probe.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(json)
+    spark.stop()
+  }
+}
