@@ -56,6 +56,11 @@ object StreamProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // blob-lake writer memory bound (see flushToPartitionedLake
+      // scaladoc): whole-bundle rows + the default 128 MiB parquet row
+      // group OOM concurrent writers; MUST be a session setting — the
+      // streaming file sink ignores writer options in its hadoop conf
+      .config("spark.hadoop.parquet.block.size", (32L << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -83,7 +88,15 @@ object StreamProbe {
       .agg(sum(col("size"))).collect()(0).getLong(0)
 
     // Hop 1: collector — 32 staging files per micro-batch, so rotation
-    // state crosses ~8 batch boundaries instead of one bulk replay
+    // state crosses ~8 batch boundaries instead of one bulk replay.
+    // 8 MiB bundles: hop 2 ships each bundle file as ONE whole-text row
+    // (the reference flusher moves bundles as opaque objects), so the
+    // bundle size IS hop 2's row size — 8 MiB keeps 32 concurrent
+    // whole-bundle rows (UTF-16 doubled, plus parquet page + compressor
+    // buffers) comfortably inside the default heap, where 32 MiB
+    // bundles OOMed the lake write. The same sizing rule applies on a
+    // real cluster: whole-object rows budget executor memory at
+    // rowsPerTask x bundleBytes x ~4.
     val t1 = System.nanoTime()
     val recs = spark.readStream
       .schema(Encoders.product[FlushStream.PayloadRec].schema)
@@ -91,7 +104,7 @@ object StreamProbe {
       .parquet(staging)
       .as[FlushStream.PayloadRec]
     val q1 = FlushStream.bundleTextFileSink(
-      recs, targetBytes = 32L << 20, bundles, s"$work/ckpt1")
+      recs, targetBytes = 8L << 20, bundles, s"$work/ckpt1")
     q1.awaitTermination()
     val hop1Wall = (System.nanoTime() - t1) / 1e9
     val (h1Rows, h1Batches, h1Peak, h1StateRows, h1StateBytes) = progressStats(q1)
@@ -104,10 +117,17 @@ object StreamProbe {
     val hop2Wall = (System.nanoTime() - t2) / 1e9
     val (h2Rows, h2Batches, h2Peak, _, _) = progressStats(q2)
 
-    // record-exact delivery: every generated record is one lake row
-    val lakeRows = spark.read.parquet(lake).count()
-    require(lakeRows == nRecs && h1Rows == nRecs,
-      s"lost records: lake=$lakeRows hop1In=$h1Rows expected=$nRecs")
+    // record-exact delivery: each lake row is one WHOLE bundle file
+    // (opaque blob); the records inside are its newline-terminated
+    // lines, so newline count across the lake == records generated
+    val lakeDf = spark.read.parquet(lake)
+    val lakeBundles = lakeDf.count()
+    val lakeRecords = lakeDf
+      .select(sum(length(col("content")) -
+        length(regexp_replace(col("content"), "\n", ""))).as("n"))
+      .collect()(0).getLong(0)
+    require(lakeRecords == nRecs && h1Rows == nRecs,
+      s"lost records: lakeRecords=$lakeRecords hop1In=$h1Rows expected=$nRecs")
 
     def f0(d: Double) = math.round(d)
     def f2(d: Double) = math.round(d * 100.0) / 100.0
@@ -117,11 +137,14 @@ object StreamProbe {
       s""""hop1_wall_sec":${f2(hop1Wall)},"hop1_rows_per_sec":${f0(nRecs / hop1Wall)},""" +
       s""""hop1_peak_engine_rows_per_sec":${f0(h1Peak)},"hop1_batches":$h1Batches,""" +
       s""""hop1_state_peak_rows":$h1StateRows,"hop1_state_peak_bytes":$h1StateBytes,""" +
-      s""""hop2_wall_sec":${f2(hop2Wall)},"hop2_rows_per_sec":${f0(h2Rows / hop2Wall)},""" +
-      s""""hop2_peak_engine_rows_per_sec":${f0(h2Peak)},"hop2_batches":$h2Batches,""" +
+      s""""hop2_wall_sec":${f2(hop2Wall)},"hop2_bundles":$h2Rows,""" +
+      s""""hop2_records_per_sec":${f0(nRecs / hop2Wall)},""" +
+      s""""hop2_peak_engine_bundles_per_sec":${f2(h2Peak)},"hop2_batches":$h2Batches,""" +
       s""""end_to_end_sec":${f2(hop1Wall + hop2Wall)},""" +
       s""""mb_per_sec_end_to_end":${f2(totalBytes / 1e6 / (hop1Wall + hop2Wall))},""" +
-      s""""verified_lake_rows":$lakeRows,"cpus":$cpus,"errors":0}"""
+      s""""verified_lake_bundles":$lakeBundles,"verified_lake_records":$lakeRecords,""" +
+      s""""driver_heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
+      s""""cpus":$cpus,"errors":0}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_stream_probe.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -28,6 +28,22 @@ object FlushStream {
     * mtime so tests (and Verify) are hash-stable — pass
     * `current_timestamp()` for reference-faithful wall-clock
     * partitioning (SURVEY §7 "hard bits").
+    *
+    * == Session requirement for MB-scale bundles ==
+    * This lake is BLOB-shaped — each row is a whole bundle — and
+    * parquet's default 128 MiB row group makes every concurrent writer
+    * buffer 128 MiB of pages plus compressor copies; at normal task
+    * concurrency that alone exceeds an executor's heap share (measured:
+    * shipping 1 GB of 8 MiB bundles OOMed an 8g local[32] driver, ~20
+    * concurrent lake writers). Cap the row group in the SESSION conf,
+    * e.g. `.config("spark.hadoop.parquet.block.size", 32 << 20)`: a
+    * 32 MiB group still holds several bundles, blob content is fetched
+    * whole (never column-scanned), and writer memory drops to
+    * ~concurrent tasks x ~3 x 32 MiB. It must be a session setting
+    * because Spark's streaming file sink builds its hadoop conf WITHOUT
+    * writer options (`FileStreamSink` uses `newHadoopConf`, unlike the
+    * batch writer's `newHadoopConfWithOptions`) — a `.option(...)` here
+    * would be silently ignored.
     */
   def flushToPartitionedLake(spark: SparkSession, collectedDir: String,
                              destDir: String, checkpointDir: String,
