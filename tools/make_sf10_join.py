@@ -2,13 +2,21 @@
 """Derive a 100x RELATIONAL-join probe dataset ("sf10join") from sf0.1.
 
 100 key-shifted copies of the join fact/dim tables (customer, supplier,
-part, orders, lineitem), preserving referential integrity exactly like
-tools/make_sf1.py: copy k shifts each surrogate-key family by
-k * (max+1), so every join matches exactly one copy and nothing fans
-out artificially. region/nation stay single-copy (SF-independent in
-TPC-H). events/documents/embeddings are copied UNSCALED from sf0.1 —
-the probe queries (q25/q32/q36/q38/q39) never read them, but
+part, orders, lineitem — and, since round 7, events), preserving
+referential integrity exactly like tools/make_sf1.py: copy k shifts
+each surrogate-key family by k * (max+1), so every join matches exactly
+one copy and nothing fans out artificially. region/nation stay
+single-copy (SF-independent in TPC-H). documents/embeddings are copied
+UNSCALED from sf0.1 — no probe query here reads them, but
 `Tables.registerAll` (q32) must find every table.
+
+events scales WITH user_id shifted by the customer stride (events join
+orders on user_id = o_custkey in the as-of family), giving e03/e05/e06
+their 100x datapoint (VERDICT r6 task 4): 2M purchase events as-of-
+matched against 15M orders. The nanosecond `ts` is emitted as BIGINT
+epoch-nanos — `Tables.loadEvents` reads the original TIMESTAMP(NANOS)
+physical type as long anyway (legacy nanosAsLong), so both layouts hit
+the identical downstream path.
 
 This is the measurement VERDICT r5 task 1 asks for: the dedup family
 got its 100x adversarial probe in r5; this gives the heavy join shapes
@@ -71,9 +79,14 @@ emit("orders", f"o_orderkey + k*{O} AS o_orderkey, o_custkey + k*{C} AS o_custke
 emit("lineitem", f"l_orderkey + k*{O} AS l_orderkey, l_partkey + k*{P} AS l_partkey, "
                  f"l_suppkey + k*{S} AS l_suppkey")
 
-# unscaled pass-throughs so Tables.registerAll resolves (q32); byte
-# copies preserve events' TIMESTAMP(NANOS) physical type
-for t in ["events", "documents", "embeddings"]:
+# events: the as-of family's probe side — user_id rides the customer
+# stride so each copy's events match exactly that copy's orders
+E = mx("events", "event_id")
+emit("events", f"event_id + k*{E} AS event_id, user_id + k*{C} AS user_id, "
+               f"epoch_ns(ts) AS ts")
+
+# unscaled pass-throughs so Tables.registerAll resolves (q32)
+for t in ["documents", "embeddings"]:
     shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
     print(f"{t}: copied unscaled", flush=True)
 print("done")

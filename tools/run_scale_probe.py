@@ -12,6 +12,7 @@ query set, so each ratio compares solo time against solo time.
 Usage:
   python3 tools/run_scale_probe.py join   # -> BENCH_sf10_join_probe.json
   python3 tools/run_scale_probe.py dedup  # -> BENCH_sf10_dedup_probe.json
+  python3 tools/run_scale_probe.py asof   # -> BENCH_sf10_asof_probe.json
 
 Dev tooling only; the engine never depends on this.
 """
@@ -57,6 +58,20 @@ MODES = {
         # ambient noise. 16 GiB restores deterministic headroom; a real
         # cluster sizes executors to the shuffle the same way.
         "probe_mem": "16g",
+    },
+    "asof": {
+        # same sf10join corpus (make_sf10_join.py scales events since
+        # r7): 2M purchase events as-of 15M orders — the one heavy query
+        # family with no prior 100x datapoint (VERDICT r6 task 4). Three
+        # implementations of one contract probed side by side: e03
+        # join-then-rank, e05 cogroup two-pointer merge, e06 the custom
+        # AsOfJoinExec physical operator (the shape whose per-key memory
+        # behavior only shows at scale).
+        "sfdir": f"{REPO}/benchdata/sf10join",
+        "queries": ["e03_asof_join", "e05_asof_merge", "e06_asof_planned"],
+        "iters": 2,
+        "out": f"{REPO}/BENCH_sf10_asof_probe.json",
+        "scale": 100,
     },
 }
 
