@@ -41,6 +41,31 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q25 filters lineitem BELOW the per-(partkey,suppkey) aggregation") {
+    // The round-6 plan-audit finding: joining the p_size filter in AFTER
+    // the aggregations made both agg levels chew ~3.5x the needed input
+    // and q25 the worst 100x join-probe ratio (13.2x; 5.6x once fixed).
+    // Pin the shape so a refactor can't silently reintroduce it: every
+    // two-key aggregate (the per-(partkey,suppkey) level — the plan
+    // references it twice via the join-back) must sit on an input
+    // already semi-joined against the qualifying part keys.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val plan = SparkEntry.queries("q25_min_cost_supplier")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val pairAggs = plan.collect {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }
+    assert(pairAggs.nonEmpty, s"expected per-(partkey,suppkey) aggregates:\n$plan")
+    pairAggs.foreach { a =>
+      val semiBelow = a.child.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }
+      assert(semiBelow.nonEmpty,
+        s"aggregation input is not pre-filtered by the part semi join:\n$plan")
+    }
+  }
+
   test("x01 sketches stay within error bounds of the exact twin x02") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
