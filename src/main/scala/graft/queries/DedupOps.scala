@@ -153,6 +153,34 @@ object DedupOps extends QuerySet {
               |  UNION
               |  SELECT r.src, e.dst FROM reach r JOIN E e ON r.dst = e.src)
               |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
-              |FROM reach GROUP BY src""".stripMargin))
+              |FROM reach GROUP BY src""".stripMargin)),
+
+    // --- Benchmark decontamination (the pre-training pass every LLM
+    // corpus needs): the held-out "benchmark" is the doc_id % 29 == 0
+    // slice; training docs sharing >= 5 distinct 3-gram shingles with
+    // its shingle BLOCKLIST are flagged for dropping. Join key is
+    // md5(shingle) on both engines — fixed-width keys, never raw n-gram
+    // text on the shuffle.
+    Q("d08_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+        Dedup.decontaminate(
+          docs.filter($"doc_id" % 29 =!= 0),
+          docs.filter($"doc_id" % 29 === 0),
+          $"doc_id", $"text", shingleN = 3, minHits = 5)
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |S AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             |  ELSE list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
+             |  FROM W),
+             |E AS (SELECT doc_id, md5(unnest(list_distinct(sh))) AS k FROM S),
+             |B AS (SELECT DISTINCT k FROM E WHERE doc_id % 29 = 0)
+             |SELECT doc_id, count(*) AS n_hits
+             |FROM E JOIN B USING (k)
+             |WHERE doc_id % 29 <> 0
+             |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin))
   )
 }

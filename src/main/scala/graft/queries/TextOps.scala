@@ -209,6 +209,74 @@ object TextOps extends QuerySet {
              |  FROM (SELECT list_filter(
              |    string_split_regex(lower(text), '[^a-z0-9]+'),
              |    x -> x <> '') AS toks FROM documents))
-             |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 50""".stripMargin))
+             |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 50""".stripMargin)),
+
+    // --- Deterministic stratified sampling (domain-mix downsampling):
+    // per-stratum keep rates via a HASH threshold, no RNG — the rule a
+    // 100 TB pipeline needs (idempotent: any worker, any retry, any
+    // rerun keeps exactly the same documents; pure per-row codegen
+    // filter, no shuffle, nothing to coordinate). Cross-engine
+    // exactness: both engines compare the same lowercase-hex md5 prefix
+    // against literal hex thresholds — fixed-width lowercase hex
+    // compares lexicographically exactly like the number it encodes
+    // ('0'-'9' < 'a'-'f'), so rate r maps to the threshold
+    // hex(floor(r * 2^32)).
+    Q("t10_sample_stratified",
+      (s, d) => {
+        import s.implicits._
+        val h = substring(md5($"doc_id".cast("string")), 1, 8)
+        val thr = when($"doc_id" % 4 === 0, "20000000") // rate 1/8
+          .when($"doc_id" % 4 === 1, "40000000")        // rate 1/4
+          .when($"doc_id" % 4 === 2, "60000000")        // rate 3/8
+          .otherwise("80000000")                        // rate 1/2
+        Tables.load(s, d, "documents")
+          .select($"doc_id", ($"doc_id" % 4).as("stratum"), h.as("h"))
+          .filter($"h" < thr)
+      },
+      Some("""SELECT doc_id, doc_id % 4 AS stratum,
+             |  substr(md5(doc_id::VARCHAR), 1, 8) AS h
+             |FROM documents
+             |WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+             |  CASE doc_id % 4 WHEN 0 THEN '20000000' WHEN 1 THEN '40000000'
+             |       WHEN 2 THEN '60000000' ELSE '80000000' END""".stripMargin)),
+
+    // --- Token-budget packing (data-mix curation): per stratum, take
+    // documents best-quality-first until the stratum's token budget is
+    // spent — the selection step that turns quality scores into an
+    // actual training mix. One window (running token sum in quality
+    // rank order, unique doc_id tiebreak) per stratum partition;
+    // shuffles once on the stratum key, no global sort, no iteration.
+    Q("t11_token_budget_pack",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val words = TextFns.tokens($"text")
+        val nTok = size(words).cast("long")
+        val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
+        val lenSat = least(lit(1.0), nTok.cast("double") / lit(50.0))
+        val quality = round(lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5, 6)
+        val base = Tables.load(s, d, "documents")
+          .select($"doc_id", ($"doc_id" % 4).as("stratum"),
+            nTok.as("n_tok"), quality.as("quality"))
+        val w = Window.partitionBy($"stratum")
+          .orderBy($"quality".desc, $"doc_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.withColumn("cum_tok", sum($"n_tok").over(w))
+          .filter($"cum_tok" <= 2000)
+      },
+      Some("""WITH W AS (SELECT doc_id, doc_id % 4 AS stratum,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |f AS (SELECT doc_id, stratum,
+             |  CAST(len(words) AS BIGINT) AS n_tok,
+             |  round(least(1.0, CAST(len(words) AS DOUBLE) / 50.0) * 0.5 +
+             |    (CAST(len(list_filter(words, w -> w IN ('the','a','and','of','to','is'))) AS DOUBLE)
+             |     / CAST(len(words) AS DOUBLE)) * 0.5, 6) AS quality
+             |  FROM W),
+             |g AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY stratum
+             |  ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+             |  FROM f)
+             |SELECT doc_id, stratum, n_tok, quality, cum_tok
+             |FROM g WHERE cum_tok <= 2000""".stripMargin))
   )
 }
