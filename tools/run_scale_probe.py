@@ -37,7 +37,8 @@ MODES = {
     "dedup": {
         "sfdir": f"{REPO}/benchdata/sf10",
         "queries": ["d02_minhash_lsh", "d04_ngram_jaccard", "d05_embedding_neardup",
-                    "d07_dedup_clusters", "p01_clean_corpus", "p02_clean_corpus_clustered"],
+                    "d07_dedup_clusters", "p01_clean_corpus", "p02_clean_corpus_clustered",
+                    "d08_decontaminate"],
         # pair-generating queries run minutes at sf10; one iteration per
         # query keeps the serialized probe inside the round budget (the
         # join probe, task 1, carries the iters>=2 requirement)
