@@ -228,32 +228,36 @@ object Dedup {
   /** Benchmark decontamination — the training-data pass every LLM
     * pipeline needs before training: flag training documents that share
     * at least `minHits` distinct word `shingleN`-grams with ANY
-    * document of a held-out benchmark corpus (the n-gram-blocklist
+    * document of the held-out benchmark slice (the n-gram-blocklist
     * formulation: the benchmark's shingle set is the blocklist, a
     * training doc is contaminated once enough of its shingles hit it).
-    * Returns (doc_id, n_hits) for flagged docs — the drop-set.
+    * `isBench` is a predicate over the output `doc_id` column marking
+    * benchmark membership — one corpus, split by a flag, the shape a
+    * real pipeline uses. Returns (doc_id, n_hits) for flagged training
+    * docs — the drop-set.
     *
-    * Scale shape: both sides reduce to DISTINCT (doc, shingle-key)
-    * projections; the join key is `md5(shingle)` — a fixed 16-byte key,
-    * so the shuffle carries hashes, never raw n-gram text (at 100 TB
-    * the raw-string key would dominate the shuffle). The benchmark side
-    * is dimension-sized (benchmarks are tiny next to a training
-    * corpus): AQE broadcasts it while it fits, shuffle-equi otherwise;
-    * the per-doc hit count partial-aggregates map-side. Never a
-    * similarity self-join — cost is |train shingles| + |bench
-    * shingles|, linear in the corpus.
+    * Scale shape: ONE tokenize+shingle pass over the corpus — the
+    * memoized [[shingleTable]], so in a session also running the
+    * minhash family at the same parameters the pass is shared, not
+    * repeated. Both join sides reduce to DISTINCT (doc, shingle-key)
+    * projections over it; the join key is `md5(shingle)` — a fixed
+    * 16-byte key, so the shuffle carries hashes, never raw n-gram text
+    * (at 100 TB the raw-string key would dominate the shuffle). The
+    * benchmark side is dimension-sized (benchmarks are tiny next to a
+    * training corpus): AQE broadcasts it while it fits, shuffle-equi
+    * otherwise; the per-doc hit count partial-aggregates map-side.
+    * Never a similarity self-join — cost is linear in the corpus.
     */
-  def decontaminate(train: DataFrame, bench: DataFrame,
-                    idCol: Column, textCol: Column,
-                    shingleN: Int = 3, minHits: Long = 5): DataFrame = {
-    import graft.expressions.NativeFns.word_shingles
-    def keyed(df: DataFrame) = df
-      .select(idCol.as("doc_id"),
-        explode(word_shingles(textCol, shingleN)).as("_sh"))
+  def decontaminate(docs: DataFrame, idCol: Column, textCol: Column,
+                    isBench: Column, shingleN: Int = 3,
+                    minHits: Long = 5): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    val keyed = sh
+      .select(col("doc_id"), explode(col("sh")).as("_sh"))
       .select(col("doc_id"), md5(col("_sh")).as("_k"))
       .distinct()
-    val blocklist = keyed(bench).select(col("_k")).distinct()
-    keyed(train)
+    val blocklist = keyed.filter(isBench).select(col("_k")).distinct()
+    keyed.filter(!isBench)
       .join(blocklist, "_k")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -164,11 +164,9 @@ object DedupOps extends QuerySet {
     Q("d08_decontaminate",
       (s, d) => {
         import s.implicits._
-        val docs = Tables.load(s, d, "documents")
-        Dedup.decontaminate(
-          docs.filter($"doc_id" % 29 =!= 0),
-          docs.filter($"doc_id" % 29 === 0),
-          $"doc_id", $"text", shingleN = 3, minHits = 5)
+        Dedup.decontaminate(Tables.load(s, d, "documents"),
+          $"doc_id", $"text", isBench = $"doc_id" % 29 === 0,
+          shingleN = 3, minHits = 5)
       },
       Some("""WITH W AS (SELECT doc_id,
              |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
