@@ -246,6 +246,16 @@ object TextOps extends QuerySet {
     // actual training mix. One window (running token sum in quality
     // rank order, unique doc_id tiebreak) per stratum partition;
     // shuffles once on the stratum key, no global sort, no iteration.
+    //
+    // Scale honesty: window parallelism = |strata|. A training mix has
+    // dozens of domains, so this is fine until a single stratum
+    // outgrows one task's (spillable) sort; past that point the fix is
+    // the distributed prefix-sum recipe Compactor.withBundleId already
+    // implements (range-bucket the quality order via approxQuantile,
+    // broadcast per-bucket token offsets, run the within-bucket window)
+    // applied per stratum — same three phases, strictly more machinery,
+    // so this query keeps the single-window form that matches its
+    // oracle and documents the threshold instead.
     Q("t11_token_budget_pack",
       (s, d) => {
         import s.implicits._
