@@ -287,6 +287,62 @@ object TextOps extends QuerySet {
              |  ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
              |  FROM f)
              |SELECT doc_id, stratum, n_tok, quality, cum_tok
-             |FROM g WHERE cum_tok <= 2000""".stripMargin))
+             |FROM g WHERE cum_tok <= 2000""".stripMargin)),
+
+    // --- Within-document repetition ratio (Gopher-style repetition
+    // filter): fraction of a doc's 3-gram shingles that are repeats of
+    // an earlier shingle in the same doc — the standard boilerplate /
+    // TEMPLATE-spam signal exact dedup can't see (the doc is unique,
+    // its CONTENT loops). Pure per-row expression work, no shuffle, no
+    // join: the whole filter runs inside whole-stage codegen at any
+    // corpus size.
+    Q("t12_repetition_ratio",
+      (s, d) => {
+        import s.implicits._
+        import graft.expressions.NativeFns.word_shingles
+        val sh = word_shingles($"text", 3)
+        val nSh = size(sh).cast("long")
+        val nDist = size(array_distinct(sh)).cast("long")
+        Tables.load(s, d, "documents")
+          .select($"doc_id", nSh.as("n_sh"), nDist.as("n_distinct"),
+            round(lit(1.0) - nDist.cast("double") / nSh.cast("double"), 6)
+              .as("rep_ratio"))
+          .withColumn("flagged", $"rep_ratio" > 0.05)
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |S AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             |  ELSE list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
+             |  FROM W)
+             |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+             |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+             |  round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+             |    / CAST(len(sh) AS DOUBLE), 6) AS rep_ratio,
+             |  (round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+             |    / CAST(len(sh) AS DOUBLE), 6) > 0.05) AS flagged
+             |FROM S""".stripMargin)),
+
+    // --- Deterministic train/val/test corpus split (80/10/10): the
+    // same fixed-width lowercase-hex-ordering trick as t10, but as a
+    // three-way ASSIGNMENT — every doc gets a split label derived only
+    // from its id, so the split is stable across reruns, workers and
+    // engines, and a doc can never leak between splits. Per-row
+    // codegen, zero shuffle.
+    Q("t13_corpus_split",
+      (s, d) => {
+        import s.implicits._
+        val h = substring(md5($"doc_id".cast("string")), 1, 8)
+        Tables.load(s, d, "documents")
+          .select($"doc_id", h.as("h"),
+            when(h < "cccccccc", "train")
+              .when(h < "e6666666", "val")
+              .otherwise("test").as("split"))
+      },
+      Some("""SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 8) AS h,
+             |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
+             |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin))
   )
 }
