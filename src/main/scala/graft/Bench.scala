@@ -114,7 +114,14 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val runs = (1 to iters).map(_ => oneIteration())
     val loadAfter = sysLoad()
-    val iterWalls = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+    val iterWallList = runs.map(r => f"${r._1}%.2f")
+    val iterWalls = iterWallList.mkString("[", ",", "]")
+    // the SUMMARY line carries at most the first 8 iteration walls so a
+    // large SPARK_GRAFT_ITERS cannot push the headline past the
+    // 1500-char stdout window (full list stays in BENCH_LOCAL.json);
+    // the per-query budget below also subtracts the actual headline
+    // overhead rather than assuming a fixed size
+    val iterWallsSummary = iterWallList.take(8).mkString("[", ",", "]")
     val loadJson = s"""{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus}"""
     val total = runs.map(_._1).min
     // per-query minimum over iterations; a query erring in EVERY
@@ -134,8 +141,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = merged.collect { case (k, (_, Some(e))) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
+    // Per-query iteration spread (full JSON only): the total-level
+    // iter_walls self-evidence can't localize WHICH query regressed
+    // under load — per-query [iter1, iter2, ...] walls can. Errors keep
+    // their negative sentinel per attempt.
+    val qIters = names.map { n =>
+      val vals = runs.map(_._2(n)).map { case (v, err) =>
+        f"${if (err.isEmpty) v else -v}%.3f"
+      }.mkString("[", ",", "]")
+      s"\"" + n + "\":" + vals
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"iter_walls":$iterWalls,"load":$loadJson,"errors":$errs,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"iter_walls":$iterWalls,"load":$loadJson,"errors":$errs,"queries":$qs,"query_iters":$qIters}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => } // read-only cwd must not kill the stdout line
@@ -153,14 +170,18 @@ object Bench {
     }
     val capped = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
-    val qBudget = 1100 // chars for the capped map; total line stays < 1500
-                       // (headline now also carries iter_walls + load)
+    // chars for the capped map; total line stays < 1500. Derived from the
+    // ACTUAL headline overhead (iter_walls/load/sf lengths vary), not a
+    // fixed guess that a long iter list would silently blow past.
+    val qBudget = math.max(300,
+      1460 - 170 - iterWallsSummary.length - loadJson.length -
+        sfDir.length - errs.length)
     bySlowest.foreach { case (k, (v, err)) =>
       val ent = "\"" + k + "\":" + (if (err.isEmpty) fmt2(v) else fmt2(-v))
       if (used + ent.length + 1 <= qBudget) { capped += ent; used += ent.length + 1 }
     }
     val summary =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"iter_walls":$iterWalls,"load":$loadJson,"nq":${merged.size},"shown":${capped.size},"full":"BENCH_LOCAL.json","errors":$errs,"queries":${capped.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"iter_walls":$iterWallsSummary,"load":$loadJson,"nq":${merged.size},"shown":${capped.size},"full":"BENCH_LOCAL.json","errors":$errs,"queries":${capped.mkString("{", ",", "}")}}"""
     println(summary)
     spark.stop()
   }

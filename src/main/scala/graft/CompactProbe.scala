@@ -130,19 +130,32 @@ object CompactProbe {
     }
     require(noopRows == 0L, s"no-op incremental made $noopRows bundles")
 
-    // E: a late-arriving hour of files, incrementally folded in
+    // E: a late-arriving hour of files, incrementally folded in. The
+    // delta is removed again afterwards (finally) so the probe is
+    // rerunnable over the same tree — leaving it would make the next
+    // run's "no-op" phase see 1,003,000 files and silently break
+    // cross-run comparability.
     val deltaDir = java.nio.file.Paths.get(inDir, "date=2099-01-01", "hour=00")
     java.nio.file.Files.createDirectories(deltaDir)
     val deltaN = 1000
-    (0 until deltaN).foreach { i =>
-      java.nio.file.Files.write(deltaDir.resolve(f"ev-$i%05d.json"),
-        s"""{"ts":4070908800,"host":"h999","event":"late","seq":$i}""".getBytes("UTF-8"))
-    }
-    val (deltaBundles, tIncrDelta) = timed {
-      graft.operators.Compactor.compactDirectoryIncremental(
-        inDir, outDir, targetBytes).count()
-    }
-    val lakeRows2 = spark.read.parquet(outDir).count()
+    val (deltaBundles, tIncrDelta, lakeRows2) =
+      try {
+        (0 until deltaN).foreach { i =>
+          java.nio.file.Files.write(deltaDir.resolve(f"ev-$i%05d.json"),
+            s"""{"ts":4070908800,"host":"h999","event":"late","seq":$i}""".getBytes("UTF-8"))
+        }
+        val (b, t) = timed {
+          graft.operators.Compactor.compactDirectoryIncremental(
+            inDir, outDir, targetBytes).count()
+        }
+        (b, t, spark.read.parquet(outDir).count())
+      } finally {
+        (0 until deltaN).foreach { i =>
+          java.nio.file.Files.deleteIfExists(deltaDir.resolve(f"ev-$i%05d.json"))
+        }
+        java.nio.file.Files.deleteIfExists(deltaDir)
+        java.nio.file.Files.deleteIfExists(deltaDir.getParent)
+      }
     require(deltaBundles > 0 && lakeRows2 == nFiles + deltaN,
       s"delta pass: bundles=$deltaBundles rows=$lakeRows2 expected=${nFiles + deltaN}")
 

@@ -82,12 +82,19 @@ object Caches {
     lru.synchronized { lru.get(df) != null } // access-order map: get reorders
 
   // caller must hold the lru lock: victim removal, unpersist, and evict
-  // hooks are one atomic step (see the concurrency note above)
+  // hooks are one atomic step (see the concurrency note above).
+  // Victims are collected FIRST and hooks fire after the iterator is
+  // done: the lock is reentrant, so a hook may legally re-enter the
+  // registry (track/setCapacity/release), and doing that under an open
+  // iterator would mutate the map mid-iteration (CME).
   private def evictOverflowLocked(): Unit = {
+    val victims = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val it = lru.entrySet().iterator()
     while (lru.size() > cap && it.hasNext) {
-      val df = it.next().getKey
-      it.remove()
+      victims += it.next().getKey
+      it.remove() // decrements size immediately
+    }
+    victims.foreach { df =>
       df.unpersist(false)
       evictHooks.forEach(h => h(df))
     }
@@ -112,10 +119,11 @@ object Caches {
     * [[onEvict]] per drained frame, then the bulk [[onRelease]] hooks.
     */
   def release(): Unit = lru.synchronized {
-    val it = lru.entrySet().iterator()
-    while (it.hasNext) {
-      val df = it.next().getKey
-      it.remove()
+    // drain-then-fire, same re-entrancy discipline as eviction
+    import scala.jdk.CollectionConverters._
+    val drained = lru.keySet().asScala.toVector
+    lru.clear()
+    drained.foreach { df =>
       df.unpersist(false)
       evictHooks.forEach(h => h(df))
     }

@@ -61,8 +61,14 @@ object Dedup {
       if (hit != null) memo.remove(key, hit) // stale: frame was evicted
       val built = build // lazy plan construction — no job, nothing persisted yet
       val prev = memo.putIfAbsent(key, built)
-      if (prev != null) { Caches.touch(prev); prev }
-      else { Caches.track(built); built }
+      // a lost race must STILL validate liveness (mirror of the hit
+      // path): if prev was evicted between its install and now, serving
+      // it would hand out an unpersisted plan — swap in ours and track it
+      if (prev != null && Caches.touch(prev)) prev
+      else {
+        if (prev != null) memo.replace(key, prev, built)
+        Caches.track(built); built
+      }
     }
   }
 

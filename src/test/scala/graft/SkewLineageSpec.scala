@@ -174,6 +174,9 @@ class SkewLineageSpec extends SparkSpec {
         jobs.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    // restore whatever AQE setting the surrounding suite ran with, not a
+    // hardcoded value
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val got =
       try {
@@ -187,7 +190,7 @@ class SkewLineageSpec extends SparkSpec {
         }
         r
       } finally {
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
         spark.sparkContext.removeSparkListener(listener)
       }
     assert(got.size == 400 && got.values.forall(_ == 0L))
