@@ -243,23 +243,17 @@ object TextOps extends QuerySet {
     // --- Token-budget packing (data-mix curation): per stratum, take
     // documents best-quality-first until the stratum's token budget is
     // spent — the selection step that turns quality scores into an
-    // actual training mix. One window (running token sum in quality
-    // rank order, unique doc_id tiebreak) per stratum partition;
-    // shuffles once on the stratum key, no global sort, no iteration.
-    //
-    // Scale honesty: window parallelism = |strata|. A training mix has
-    // dozens of domains, so this is fine until a single stratum
-    // outgrows one task's (spillable) sort; past that point the fix is
-    // the distributed prefix-sum recipe Compactor.withBundleId already
-    // implements (range-bucket the quality order via approxQuantile,
-    // broadcast per-bucket token offsets, run the within-bucket window)
-    // applied per stratum — same three phases, strictly more machinery,
-    // so this query keeps the single-window form that matches its
-    // oracle and documents the threshold instead.
+    // actual training mix. Runs through Curation.packByBudget: the
+    // DISTRIBUTED per-stratum prefix sum (range-bucket the quality
+    // order via one approxQuantile, broadcast per-(stratum,bucket)
+    // token offsets, within-bucket window), so window parallelism is
+    // |strata| x |buckets| — one hot stratum fans out across bucket
+    // tasks instead of serializing into a single sort. Results are
+    // bucket-count independent (CurationSpec), so the single-window SQL
+    // oracle still matches bit-for-bit.
     Q("t11_token_budget_pack",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val words = TextFns.tokens($"text")
         val nTok = size(words).cast("long")
         val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
@@ -268,13 +262,47 @@ object TextOps extends QuerySet {
         val base = Tables.load(s, d, "documents")
           .select($"doc_id", ($"doc_id" % 4).as("stratum"),
             nTok.as("n_tok"), quality.as("quality"))
-        val w = Window.partitionBy($"stratum")
-          .orderBy($"quality".desc, $"doc_id".asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.withColumn("cum_tok", sum($"n_tok").over(w))
-          .filter($"cum_tok" <= 2000)
+        graft.operators.Curation.packByBudget(base, $"stratum", $"quality",
+          Seq($"doc_id".asc), $"n_tok", 2000L)
       },
       Some("""WITH W AS (SELECT doc_id, doc_id % 4 AS stratum,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |f AS (SELECT doc_id, stratum,
+             |  CAST(len(words) AS BIGINT) AS n_tok,
+             |  round(least(1.0, CAST(len(words) AS DOUBLE) / 50.0) * 0.5 +
+             |    (CAST(len(list_filter(words, w -> w IN ('the','a','and','of','to','is'))) AS DOUBLE)
+             |     / CAST(len(words) AS DOUBLE)) * 0.5, 6) AS quality
+             |  FROM W),
+             |g AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY stratum
+             |  ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+             |  FROM f)
+             |SELECT doc_id, stratum, n_tok, quality, cum_tok
+             |FROM g WHERE cum_tok <= 2000""".stripMargin)),
+
+    // --- Skew face of the same operator: 90% of the corpus lands in
+    // ONE stratum (the shape of a real mix dominated by web crawl).
+    // Identical packByBudget path — the probe (BENCH_sf10_curation
+    // _probe) runs THIS query at 100x to prove the hot stratum fans
+    // out across range buckets instead of serializing into one task.
+    Q("t14_token_budget_pack_skew",
+      (s, d) => {
+        import s.implicits._
+        val words = TextFns.tokens($"text")
+        val nTok = size(words).cast("long")
+        val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
+        val lenSat = least(lit(1.0), nTok.cast("double") / lit(50.0))
+        val quality = round(lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5, 6)
+        val stratum = when($"doc_id" % 10 < 9, lit(0L))
+          .otherwise(($"doc_id" % 4) + 1)
+        val base = Tables.load(s, d, "documents")
+          .select($"doc_id", stratum.as("stratum"),
+            nTok.as("n_tok"), quality.as("quality"))
+        graft.operators.Curation.packByBudget(base, $"stratum", $"quality",
+          Seq($"doc_id".asc), $"n_tok", 2000L)
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 10 < 9 THEN 0 ELSE doc_id % 4 + 1 END AS stratum,
              |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
              |  FROM documents),
              |f AS (SELECT doc_id, stratum,

@@ -76,23 +76,50 @@ class CurationSpec extends SparkSpec {
 
   test("token-budget pack never exceeds the budget and takes quality-first") {
     import spark.implicits._
+    import graft.operators.Curation
     // one stratum, controlled qualities: packing must take docs in
     // quality-desc order and stop before the budget breaks
     val docs = Seq(
       (1L, 100L, 0.9), (2L, 150L, 0.8), (3L, 100L, 0.7), (4L, 60L, 0.6),
       (5L, 100L, 0.5)
     ).toDF("doc_id", "n_tok", "quality")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0))
-      .orderBy($"quality".desc, $"doc_id".asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val packed = docs.withColumn("cum_tok", sum($"n_tok").over(w))
-      .filter($"cum_tok" <= 400)
+    val packed = Curation.packByBudget(docs, lit(0), $"quality",
+        Seq($"doc_id".asc), $"n_tok", 400L)
       .collect().map(_.getLong(0)).toSet
     // 100 + 150 + 100 = 350 fits; +60 = 410 breaks; doc 4/5 are out even
     // though doc 4 alone would fit — the contract is prefix-of-ranking,
-    // not knapsack (deterministic, single window, no iteration)
+    // not knapsack (deterministic, no iteration)
     assert(packed == Set(1L, 2L, 3L))
+  }
+
+  test("packByBudget is bucket-count independent, including under heavy stratum skew") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // 4,000 docs, 90% in stratum 0 (the hot-domain shape), adversarial
+    // quality ties (only 40 distinct qualities, so runs of tied docs
+    // straddle any bucket boundary) — results must be IDENTICAL at 1,
+    // 4 and 256 range buckets because offsets compose exactly for any
+    // boundaries; only balance may differ
+    val docs = spark.range(4000).select(
+      $"id".as("doc_id"),
+      when($"id" % 10 < 9, lit(0L)).otherwise($"id" % 3 + 1).as("stratum"),
+      ($"id" % 97 + 5).cast("long").as("n_tok"),
+      round(($"id" % 40).cast("double") / 40.0, 6).as("quality"))
+    def run(buckets: Int) =
+      Curation.packByBudget(docs, $"stratum", $"quality",
+          Seq($"doc_id".asc), $"n_tok", 5000L, buckets = buckets)
+        .select($"doc_id", $"stratum", $"cum_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = run(1)       // degenerate single-window plan (the oracle shape)
+    val four = run(4)
+    val many = run(256)    // more buckets than distinct qualities
+    assert(four == one, "4-bucket result diverged from the single-window plan")
+    assert(many == one, "256-bucket result diverged from the single-window plan")
+    assert(one.nonEmpty)
+    // every stratum respects its own budget independently
+    val byStratum = one.groupBy(_._2).view.mapValues(_.map(_._3).max)
+    byStratum.foreach { case (st, maxCum) =>
+      assert(maxCum <= 5000L, s"stratum $st exceeded the budget: $maxCum")
+    }
   }
 }
