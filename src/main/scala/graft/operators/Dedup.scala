@@ -170,10 +170,20 @@ object Dedup {
     * representative "keep" doc; everything else is the drop-set).
     *
     * Scale shape: per round ONE equi-join (edges x labels) + ONE
-    * aggregation; rounds ≈ component diameter (near-dup clusters are
-    * shallow — a handful of rounds). Label/edge frames are
-    * localCheckpointed so lineage doesn't grow with rounds. This is the
-    * standard large-graph CC recipe (label propagation, cf. the
+    * aggregation, and the edge set CONTRACTS as components resolve:
+    * after each round surviving edges are rewritten into label space
+    * ((label(src), label(dst)), self-loops dropped, distinct), so an
+    * edge whose endpoints already agree never shuffles again. Near-dup
+    * graphs are dominated by shallow clusters that collapse in round 1
+    * — from round 2 on, the join/aggregate run over only the
+    * still-unresolved residue instead of re-shuffling the full edge
+    * set every round (the r7 probe's dominant cost). Label values are
+    * vertex ids, so contracted endpoints still resolve through the
+    * labels table, and the quotient graph preserves component images —
+    * the propagated min is unchanged for ANY contraction schedule.
+    * Label/edge frames are localCheckpointed so lineage doesn't grow
+    * with rounds. This is the standard large-graph CC recipe (label
+    * propagation with pointer jumping + contraction, cf. the
     * small-star/large-star refinement for adversarial diameters).
     * Returns (doc_id, cluster_rep) for every vertex in the pair graph.
     */
@@ -181,7 +191,7 @@ object Dedup {
                maxRounds: Int = 50): DataFrame = {
     // lazy: both frames are consumed whole by round 1's single job,
     // which materializes their checkpoint blocks as a side effect
-    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
+    var edges = pairs.select(aCol.as("src"), bCol.as("dst"))
       .union(pairs.select(bCol.as("src"), aCol.as("dst")))
       .distinct().localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("v")).distinct()
@@ -220,6 +230,21 @@ object Dedup {
         .localCheckpoint(eager = false)
       changed = staged.filter(col("label") =!= col("_old")).count()
       labels = staged.drop("_old")
+      // CONTRACT the surviving edges into label space: an edge whose
+      // endpoints now share a label is resolved — it carries no further
+      // information and is dropped; the rest are rewritten to their
+      // reps (still vertex ids) and deduped. Lazy like everything else:
+      // the contraction materializes inside the NEXT round's count,
+      // reading this round's already-materialized label blocks — no
+      // extra driver action. Skipped once converged (the loop exits).
+      if (changed > 0) {
+        edges = edges
+          .join(labels.select(col("v").as("src"), col("label").as("_ls")), "src")
+          .join(labels.select(col("v").as("dst"), col("label").as("_ld")), "dst")
+          .filter(col("_ls") =!= col("_ld"))
+          .select(col("_ls").as("src"), col("_ld").as("dst"))
+          .distinct().localCheckpoint(eager = false)
+      }
       rounds += 1
     }
     if (changed > 0)
