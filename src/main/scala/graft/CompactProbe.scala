@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   *   - bundle-assignment wall (the narrow prefix-sum pass),
   *   - full `compactDirectory` wall (list + assign + read payloads +
   *     one co-locating shuffle + parquet write),
-  *   - incremental no-op wall (anti-join of a million-path listing
-  *     against a million-path processed-set),
-  *   - incremental delta wall (a small batch of new files against the
-  *     million-file processed-set),
+  *   - incremental no-op wall with no watermark sidecar (the full
+  *     anti-join fallback: million-path listing vs million-path
+  *     processed-set) and again WITH the high-water mark (lists only
+  *     dirs at/past the mark),
+  *   - incremental delta wall (a small batch of new files folded into
+  *     the million-file lake through the watermark fast path),
   *   - peak driver heap (50 ms sampler), and row-count verification of
   *     the written lake.
   *
@@ -122,13 +124,24 @@ object CompactProbe {
     require(lakeRows == nFiles && lakePaths == nFiles,
       s"lake rows=$lakeRows distinctPaths=$lakePaths != listed files=$nFiles")
 
-    // D: incremental with nothing new — the anti-join is 1M listing
-    // paths vs 1M processed paths, both narrow
+    // D: incremental with nothing new and NO watermark sidecar — the
+    // full-anti-join fallback: 1M listing paths vs 1M processed paths,
+    // both narrow. This pass installs the watermark as a side effect.
     val (noopRows, tIncrNoop) = timed {
       graft.operators.Compactor.compactDirectoryIncremental(
         inDir, outDir, targetBytes).count()
     }
     require(noopRows == 0L, s"no-op incremental made $noopRows bundles")
+    require(graft.operators.Compactor.readWatermark(outDir).nonEmpty,
+      "no-op pass should have installed the high-water mark")
+
+    // D2: the same no-op WITH the watermark — lists only dirs at/past
+    // the mark instead of the million-file tree
+    val (noopRows2, tIncrNoopHwm) = timed {
+      graft.operators.Compactor.compactDirectoryIncremental(
+        inDir, outDir, targetBytes).count()
+    }
+    require(noopRows2 == 0L, s"hwm no-op incremental made $noopRows2 bundles")
 
     // E: a late-arriving hour of files, incrementally folded in. The
     // delta is removed again afterwards (finally) so the probe is
@@ -167,6 +180,7 @@ object CompactProbe {
       s"""{"metric":"smallfile_compaction","n_files":$nFiles,""" +
       s""""listing_sec":${f2(tList)},"assign_sec":${f2(tAssign)},""" +
       s""""full_compact_sec":${f2(tFull)},"incr_noop_sec":${f2(tIncrNoop)},""" +
+      s""""incr_noop_hwm_sec":${f2(tIncrNoopHwm)},""" +
       s""""incr_delta_sec":${f2(tIncrDelta)},"bundles":$nBundles,""" +
       s""""delta_files":$deltaN,"delta_bundles":$deltaBundles,""" +
       s""""target_bundle_bytes":$targetBytes,""" +

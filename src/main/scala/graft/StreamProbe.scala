@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Sustained-rate probe for the two-hop streaming topology (VERDICT r6
-  * task 6): the collector hop ([[graft.streaming.FlushStream
-  * .bundleTextFileSink]] — per-key size-rotated bundle assignment via
-  * `flatMapGroupsWithState`, text bundle files out) chained into the
-  * flusher hop ([[graft.streaming.FlushStream.flushToPartitionedLake]]
-  * — file-stream source over the committed bundle manifest, date-
+  * task 6, widened to key-width scaling in r8): the collector hop
+  * ([[graft.streaming.FlushStream.bundleTextFileSink]] — per-key
+  * size-rotated bundle assignment via `flatMapGroupsWithState`, text
+  * bundle files out) chained into the flusher hop
+  * ([[graft.streaming.FlushStream.flushToPartitionedLake]] —
+  * file-stream source over the committed bundle manifest, date-
   * partitioned parquet lake out). Correctness and double-restart
   * exactly-once are proven in PipelineE2ESpec; this measures the
   * numbers a capacity plan needs, from `StreamingQueryProgress`:
@@ -18,17 +19,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     state machine is exercised across many batches, not one giant
   *     replay),
   *   - flatMapGroupsWithState state-store peak rows + bytes (the
-  *     collector holds ONE accumulator per key — state must stay flat
-  *     at any volume),
+  *     collector holds ONE accumulator per key — state must scale with
+  *     KEYS, never records),
   *   - end-to-end wall and a record-exact lake count.
+  *
+  * The probe runs the whole topology once per key width (default 8 and
+  * 1024): `flatMapGroupsWithState` serializes each key's appends, so
+  * key width IS hop 1's parallelism ceiling — 8 keys on a 32-core box
+  * is an 8-way pipe, ~1024 keys (the per-host/per-topic fan a real log
+  * shipper has — reference analog: one collector per source,
+  * `core/collector.py:57-80`) must scale throughput up while state
+  * rows stay == keys.
   *
   * Payload is md5-chained (incompressible) so the ~1 GB driven through
   * the text bundles is a real gigabyte on disk, not a compression
   * artifact.
   *
-  * Usage: runMain graft.StreamProbe [workDir] [nRecords] [nKeys]
-  * Emits one JSON line (last stdout line) and writes
-  * BENCH_stream_probe.json in the cwd.
+  * Usage: runMain graft.StreamProbe [workDir] [nRecords] [keyWidths]
+  * (keyWidths comma-separated, default "8,1024"). Emits one JSON line
+  * (last stdout line) and writes BENCH_stream_probe.json in the cwd.
   */
 object StreamProbe {
 
@@ -44,26 +53,15 @@ object StreamProbe {
     (rows, ps.length, peakRate, statePeakRows, statePeakBytes)
   }
 
-  def main(args: Array[String]): Unit = {
-    val work = if (args.length > 0) args(0)
-               else "/root/repo/benchdata/streamprobe"
-    val nRecs = if (args.length > 1) args(1).toLong else 1000000L
-    val nKeys = if (args.length > 2) args(2).toInt else 8
+  private def f0(d: Double) = math.round(d)
+  private def f2(d: Double) = math.round(d * 100.0) / 100.0
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // blob-lake writer memory bound (see flushToPartitionedLake
-      // scaladoc): whole-bundle rows + the default 128 MiB parquet row
-      // group OOM concurrent writers; MUST be a session setting — the
-      // streaming file sink ignores writer options in its hadoop conf
-      .config("spark.hadoop.parquet.block.size", (32L << 20).toString)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+  /** One full two-hop run at a given key width; returns the JSON
+    * fragment for this width. The work dir is wiped first — each width
+    * starts from clean staging/bundles/lake/checkpoints.
+    */
+  private def runOne(spark: SparkSession, work: String, nRecs: Long,
+                     nKeys: Int): String = {
     import graft.streaming.FlushStream
 
     val staging = s"$work/staging"
@@ -102,7 +100,7 @@ object StreamProbe {
       .schema(Encoders.product[FlushStream.PayloadRec].schema)
       .option("maxFilesPerTrigger", "32")
       .parquet(staging)
-      .as[FlushStream.PayloadRec]
+      .as[FlushStream.PayloadRec](Encoders.product[FlushStream.PayloadRec])
     val q1 = FlushStream.bundleTextFileSink(
       recs, targetBytes = 8L << 20, bundles, s"$work/ckpt1")
     q1.awaitTermination()
@@ -129,22 +127,48 @@ object StreamProbe {
     require(lakeRecords == nRecs && h1Rows == nRecs,
       s"lost records: lakeRecords=$lakeRecords hop1In=$h1Rows expected=$nRecs")
 
-    def f0(d: Double) = math.round(d)
-    def f2(d: Double) = math.round(d * 100.0) / 100.0
+    s"""{"keys":$nKeys,"payload_bytes":$totalBytes,""" +
+    s""""hop1_wall_sec":${f2(hop1Wall)},"hop1_rows_per_sec":${f0(nRecs / hop1Wall)},""" +
+    s""""hop1_peak_engine_rows_per_sec":${f0(h1Peak)},"hop1_batches":$h1Batches,""" +
+    s""""hop1_state_peak_rows":$h1StateRows,"hop1_state_peak_bytes":$h1StateBytes,""" +
+    s""""hop2_wall_sec":${f2(hop2Wall)},"hop2_bundles":$h2Rows,""" +
+    s""""hop2_records_per_sec":${f0(nRecs / hop2Wall)},""" +
+    s""""hop2_peak_engine_bundles_per_sec":${f2(h2Peak)},"hop2_batches":$h2Batches,""" +
+    s""""end_to_end_sec":${f2(hop1Wall + hop2Wall)},""" +
+    s""""mb_per_sec_end_to_end":${f2(totalBytes / 1e6 / (hop1Wall + hop2Wall))},""" +
+    s""""verified_lake_bundles":$lakeBundles,"verified_lake_records":$lakeRecords}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = if (args.length > 0) args(0)
+               else "/root/repo/benchdata/streamprobe"
+    val nRecs = if (args.length > 1) args(1).toLong else 1000000L
+    val widths = (if (args.length > 2) args(2) else "8,1024")
+      .split(",").map(_.trim.toInt).toSeq
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // blob-lake writer memory bound (see flushToPartitionedLake
+      // scaladoc): whole-bundle rows + the default 128 MiB parquet row
+      // group OOM concurrent writers; MUST be a session setting — the
+      // streaming file sink ignores writer options in its hadoop conf
+      .config("spark.hadoop.parquet.block.size", (32L << 20).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val runs = widths.map { k =>
+      println(s"[streamprobe] running key width $k ...")
+      runOne(spark, work, nRecs, k)
+    }
     val json =
-      s"""{"metric":"stream_throughput","records":$nRecs,"keys":$nKeys,""" +
-      s""""payload_bytes":$totalBytes,""" +
-      s""""hop1_wall_sec":${f2(hop1Wall)},"hop1_rows_per_sec":${f0(nRecs / hop1Wall)},""" +
-      s""""hop1_peak_engine_rows_per_sec":${f0(h1Peak)},"hop1_batches":$h1Batches,""" +
-      s""""hop1_state_peak_rows":$h1StateRows,"hop1_state_peak_bytes":$h1StateBytes,""" +
-      s""""hop2_wall_sec":${f2(hop2Wall)},"hop2_bundles":$h2Rows,""" +
-      s""""hop2_records_per_sec":${f0(nRecs / hop2Wall)},""" +
-      s""""hop2_peak_engine_bundles_per_sec":${f2(h2Peak)},"hop2_batches":$h2Batches,""" +
-      s""""end_to_end_sec":${f2(hop1Wall + hop2Wall)},""" +
-      s""""mb_per_sec_end_to_end":${f2(totalBytes / 1e6 / (hop1Wall + hop2Wall))},""" +
-      s""""verified_lake_bundles":$lakeBundles,"verified_lake_records":$lakeRecords,""" +
+      s"""{"metric":"stream_throughput","records":$nRecs,""" +
+      s""""key_widths":${widths.mkString("[", ",", "]")},""" +
       s""""driver_heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
-      s""""cpus":$cpus,"errors":0}"""
+      s""""cpus":$cpus,"errors":0,"runs":${runs.mkString("[", ",", "]")}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_stream_probe.json"),
       (json + "\n").getBytes("UTF-8"))

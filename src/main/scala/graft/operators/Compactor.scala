@@ -170,6 +170,72 @@ object Compactor {
     manifest(assign, col("path"))
   }
 
+  /** Name of the advisory listing high-water-mark sidecar written next
+    * to the bundled lake. Underscore-prefixed, so every parquet reader
+    * ignores it. Losing or deleting it only costs speed (the full
+    * anti-join fallback), never correctness.
+    */
+  val WatermarkFile = "_graft_watermark.json"
+
+  private def hadoopPath(dir: String, child: String)
+                        (implicit spark: org.apache.spark.sql.SparkSession) = {
+    val p = new org.apache.hadoop.fs.Path(dir, child)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** The bundled lake's listing high-water mark: the max first-level
+    * `k=v` directory known to contain a bundled file. None when absent
+    * or unreadable (advisory metadata).
+    */
+  def readWatermark(outputDir: String)
+                   (implicit spark: org.apache.spark.sql.SparkSession): Option[String] =
+    try {
+      val (fs, p) = hadoopPath(outputDir, WatermarkFile)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+        """"max_dir"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+      }
+    } catch { case _: Exception => None }
+
+  private def writeWatermark(outputDir: String, maxDir: String)
+                            (implicit spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val (fs, p) = hadoopPath(outputDir, WatermarkFile)
+      val out = fs.create(p, true)
+      out.write(s"""{"max_dir":"$maxDir"}""".getBytes("UTF-8"))
+      out.close()
+    } catch { case _: Exception => () } // advisory: losing it costs speed only
+
+  /** First-level directory names of `inputDir` when the layout is
+    * partition-shaped — EVERY entry a `k=v` directory (the reference
+    * flusher's own `date=.../hour=...` layout,
+    * `flushers/local_lake.py:55-60`). None for flat or mixed layouts:
+    * those keep the full-anti-join path. One driver-side listStatus —
+    * |date dirs| entries, metadata-scale.
+    */
+  private def firstLevelPartitionDirs(inputDir: String)
+      (implicit spark: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(inputDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val entries = fs.listStatus(p)
+      val named = entries.toSeq.map(e => (e.isDirectory, e.getPath.getName))
+      if (named.nonEmpty && named.forall { case (d, n) =>
+            d && n.matches("[A-Za-z0-9_.\\-]+=.+") })
+        Some(named.map(_._2))
+      else None
+    } catch { case _: Exception => None }
+
+  /** First-level dir (member of `dirs`) appearing in `path`, if any. */
+  private def dirOfPath(path: String, dirs: Seq[String]): Option[String] = {
+    val ds = dirs.toSet
+    "/([^/]+=[^/]+)(?=/)".r.findAllMatchIn(path).map(_.group(1))
+      .find(ds.contains)
+  }
+
   /** Incremental compaction pass: bundle only files not already present
     * in the output lake (the written bundles carry their source `path`
     * column — the lake IS the processed-set), appending new bundles
@@ -182,6 +248,21 @@ object Compactor {
     *
     * Scale: the anti-join is listing-vs-path-column — both narrow; the
     * processed-set read prunes to the `path` column only.
+    *
+    * == High-water-mark fast path ==
+    * On partition-shaped inputs (every first-level entry a `k=v`
+    * directory — the reference flusher's `date=.../hour=...` layout) a
+    * sidecar `_graft_watermark.json` records the max first-level dir
+    * known to hold a bundled file. The next pass then lists ONLY
+    * directories `>= mark` (inclusive, so a still-filling current dir
+    * keeps catching late files) and prunes the processed-set to the
+    * same dirs — a small periodic delta costs the delta, not a
+    * million-file re-list + million-path anti-join. Assumes
+    * date-monotone arrivals (new files land in dirs at-or-past the
+    * newest dir that has ever held data — the log-shipper reality);
+    * writers that backfill OLD date dirs must delete the sidecar (or
+    * not use it — flat/mixed layouts, absent sidecar, and deleted mark
+    * dirs all fall back to the full anti-join automatically).
     */
   def compactDirectoryIncremental(inputDir: String, outputDir: String,
                                   targetBytes: Long, glob: Option[String] = None)
@@ -192,12 +273,47 @@ object Compactor {
         if (p.columns.contains("path")) Some(p) else None
       } catch { case _: org.apache.spark.sql.AnalysisException => None }
     prev match {
-      case None => compactDirectory(inputDir, outputDir, targetBytes, glob)
+      case None =>
+        val mf = compactDirectory(inputDir, outputDir, targetBytes, glob)
+        firstLevelPartitionDirs(inputDir).foreach { ds =>
+          // manifest last_key is max(path) per bundle — the global max
+          // bundled path falls out of the tiny manifest frame
+          val maxPath = mf.agg(max(col("last_key"))).collect()(0).getString(0)
+          Option(maxPath).flatMap(dirOfPath(_, ds))
+            .foreach(writeWatermark(outputDir, _))
+        }
+        mf
       case Some(p) =>
         val reader = spark.read.format("binaryFile")
-        val files = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
-          .load(inputDir)
-        val done = p.select(col("path"))
+        val dirs = firstLevelPartitionDirs(inputDir)
+        val mark = readWatermark(outputDir)
+        // candidate first-level dirs for the fast path; None = full scan
+        val cand: Option[Seq[String]] = (mark, dirs) match {
+          case (Some(m), Some(ds)) =>
+            val c = ds.filter(_ >= m).sorted
+            if (c.nonEmpty) Some(c) else None
+          case _ => None
+        }
+        val base = inputDir.stripSuffix("/")
+        val files = cand match {
+          case Some(c) =>
+            // basePath anchors partition discovery at the lake root so
+            // the k=v roots don't read as conflicting structures
+            val r = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+              .option("basePath", base)
+            r.load(c.map(d => s"$base/$d"): _*)
+          case None =>
+            glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(inputDir)
+        }
+        // processed-set pruned to the candidate dirs on the fast path:
+        // paths are URIs, so dir membership is a substring test (codegen
+        // disjunction over a handful of dirs), not a prefix compare
+        val done = cand match {
+          case Some(c) =>
+            p.select(col("path"))
+              .filter(c.map(d => col("path").contains(s"/$d/")).reduce(_ || _))
+          case None => p.select(col("path"))
+        }
         val nextBundle = p.agg(max(col(BundleCol).cast("long"))).collect()(0)
           .getLong(0) + 1
         val listing = files
@@ -205,7 +321,15 @@ object Compactor {
           .filter(col("length") > 0)
           .join(done, Seq("path"), "left_anti")
         if (listing.isEmpty) {
-          // nothing new: empty manifest with the standard schema
+          // nothing new. Install the watermark if the layout supports
+          // one and none exists yet (one narrow max(path) scan of the
+          // lake buys every subsequent pass the pruned listing).
+          if (mark.isEmpty) dirs.foreach { ds =>
+            val maxPath = p.agg(max(col("path"))).collect()(0).getString(0)
+            Option(maxPath).flatMap(dirOfPath(_, ds))
+              .foreach(writeWatermark(outputDir, _))
+          }
+          // empty manifest with the standard schema
           manifest(listing
             .withColumn(BundleCol, lit(0L))
             .withColumn("record_bytes", lit(0L)), col("path"))
@@ -227,6 +351,15 @@ object Compactor {
             .write.mode(SaveMode.Append)
             .partitionBy(BundleCol)
             .parquet(outputDir)
+          // advance the watermark to the newest dir this pass bundled
+          // from (max over the tiny checkpointed assignment; never
+          // regresses below the existing mark)
+          dirs.foreach { ds =>
+            val maxPath = assign.agg(max(col("path"))).collect()(0).getString(0)
+            val newMark = (mark.toSeq ++ Option(maxPath).flatMap(dirOfPath(_, ds)))
+              .maxOption
+            newMark.foreach(writeWatermark(outputDir, _))
+          }
           manifest(assign, col("path"))
         }
     }

@@ -59,6 +59,56 @@ class ApiSpec extends SparkSpec {
     assert(back.select("path").distinct().count() == 15) // no re-bundling
   }
 
+  test("incremental watermark fast path: date-partitioned deltas, monotone contract, fallback") {
+    implicit val s = spark
+    import graft.operators.Compactor
+    val in = tmpDir("hwm_in"); val out = tmpDir("hwm_out")
+    def add(dir: String, ids: Range): Unit = {
+      val d = Paths.get(in.toString, dir, "hour=00")
+      Files.createDirectories(d)
+      ids.foreach { i =>
+        val p = d.resolve(s"f$i.json")
+        Files.write(p, s"""{"i":$i,"pad":"${"z" * 40}"}""".getBytes("UTF-8"))
+        p.toFile.setLastModified(1700000000000L + i * 1000L)
+      }
+    }
+    add("date=2024-01-01", 1 to 5)
+    add("date=2024-01-02", 6 to 10)
+    val m1 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+    assert(m1.agg(sum("n_records")).collect()(0).getLong(0) == 10)
+    // the initial pass installs the sidecar at the newest bundled dir
+    assert(Compactor.readWatermark(out.toString).contains("date=2024-01-02"))
+
+    // a new date dir: the fast path lists only dirs >= the mark and
+    // still finds exactly the delta
+    add("date=2024-01-03", 11 to 12)
+    val m2 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+    assert(m2.agg(sum("n_records")).collect()(0).getLong(0) == 2)
+    assert(Compactor.readWatermark(out.toString).contains("date=2024-01-03"))
+    // late files in the CURRENT mark dir are caught (>= is inclusive)
+    add("date=2024-01-03", 13 to 13)
+    assert(Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+      .agg(sum("n_records")).collect()(0).getLong(0) == 1)
+
+    // the documented monotone-arrival contract: a backfill BELOW the
+    // mark is invisible to the fast path...
+    add("date=2024-01-01", 14 to 14)
+    assert(Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+      .count() == 0)
+    // ...and deleting the sidecar restores the full anti-join, which
+    // finds it — correctness never depends on the watermark
+    val (fs, wm) = {
+      val p = new org.apache.hadoop.fs.Path(out.toString, Compactor.WatermarkFile)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    fs.delete(wm, false)
+    val m4 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
+    assert(m4.agg(sum("n_records")).collect()(0).getLong(0) == 1)
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 14)
+    assert(back.select("path").distinct().count() == 14)
+  }
+
   test("LakeFlusher lifecycle: start/drain/stop, restart ships nothing twice") {
     val collected = tmpDir("api_coll"); val dest = tmpDir("api_dest")
     val ckpt = tmpDir("api_ckpt")

@@ -60,6 +60,23 @@ MODES = {
         # cluster sizes executors to the shuffle the same way.
         "probe_mem": "16g",
     },
+    "curation": {
+        # the curation family over the same 100x dedup corpus: t10/t12/
+        # t13 are pure per-row codegen (must scale ~data-proportionally),
+        # t11/t14 are the token-budget pack whose distributed prefix-sum
+        # is the r8 change — t14 puts 90% of the corpus in ONE stratum,
+        # the shape the single-window plan serialized on
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["t10_sample_stratified", "t11_token_budget_pack",
+                    "t12_repetition_ratio", "t13_corpus_split",
+                    "t14_token_budget_pack_skew"],
+        "iters": 2,
+        "out": f"{REPO}/BENCH_sf10_curation_probe.json",
+        "scale": 100,
+        # partitions scale with data (same rule as the dedup probe):
+        # the pack's per-(stratum,bucket) windows sort 100x rows
+        "probe_shuffle": 256,
+    },
     "asof": {
         # same sf10join corpus (make_sf10_join.py scales events since
         # r7): 2M purchase events as-of 15M orders — the one heavy query
