@@ -169,37 +169,75 @@ object Dedup {
     * converges to the minimum doc id in its component (the canonical
     * representative "keep" doc; everything else is the drop-set).
     *
-    * Scale shape: per round ONE equi-join (edges x labels) + ONE
-    * aggregation, and the edge set CONTRACTS as components resolve:
-    * after each round surviving edges are rewritten into label space
-    * ((label(src), label(dst)), self-loops dropped, distinct), so an
-    * edge whose endpoints already agree never shuffles again. Near-dup
-    * graphs are dominated by shallow clusters that collapse in round 1
-    * — from round 2 on, the join/aggregate run over only the
-    * still-unresolved residue instead of re-shuffling the full edge
-    * set every round (the r7 probe's dominant cost). Label values are
-    * vertex ids, so contracted endpoints still resolve through the
-    * labels table, and the quotient graph preserves component images —
-    * the propagated min is unchanged for ANY contraction schedule.
+    * == Scale shape: two-phase CC ==
+    * The full edge set is touched by exactly ONE aggregation and two
+    * joins — never by the iteration:
+    *
+    *  1. '''Basin fold''' (one pass): `m(v) = min(v, min neighbor)`.
+    *     A duplicate-tolerant `groupBy(src).min(dst)` — map-side
+    *     partial aggregation, so the shuffle carries one row per
+    *     vertex, not per edge. No `distinct` on the edge multiset: min
+    *     doesn't care, and a full-edge distinct is a full-edge shuffle
+    *     bought for nothing.
+    *  2. '''Quotient graph''': edges whose endpoints fall in different
+    *     basins, rewritten to their basin ids — two joins against the
+    *     vertex-sized `m` (runtime-broadcastable) + a distinct whose
+    *     map-side partials collapse the overwhelmingly-duplicated
+    *     basin pairs. For near-dup graphs (dense shallow clusters) the
+    *     quotient is tiny or empty: a duplicate 100-clique folds to
+    *     one basin and contributes NOTHING to the iteration.
+    *  3. '''Iterate on the quotient only''' (the min-label +
+    *     pointer-jump loop, with per-round contraction): rounds ≈
+    *     log(component size), every round an equi-join + aggregation
+    *     over the RESIDUE — a chain halves in the fold and keeps
+    *     halving under the jump; the component min is always its own
+    *     basin, so quotient minima are real vertex ids.
+    *  4. '''Compose''': `label(v) = qLabel(m(v))`, one vertex-sized
+    *     left join (identity where the basin never crossed an edge).
+    *
     * Label/edge frames are localCheckpointed so lineage doesn't grow
-    * with rounds. This is the standard large-graph CC recipe (label
-    * propagation with pointer jumping + contraction, cf. the
-    * small-star/large-star refinement for adversarial diameters).
+    * with rounds; one driver action per round (the convergence count
+    * materializes the round's blocks). This is the standard
+    * two-phase/alternating large-graph CC recipe (local-min
+    * contraction + label propagation, cf. small-star/large-star).
     * Returns (doc_id, cluster_rep) for every vertex in the pair graph.
     */
   def clusters(pairs: DataFrame, aCol: Column, bCol: Column,
                maxRounds: Int = 50): DataFrame = {
-    // lazy: both frames are consumed whole by round 1's single job,
-    // which materializes their checkpoint blocks as a side effect
-    var edges = pairs.select(aCol.as("src"), bCol.as("dst"))
+    // lazy: frames are consumed whole by round 1's single job, which
+    // materializes their checkpoint blocks as a side effect
+    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
       .union(pairs.select(bCol.as("src"), aCol.as("dst")))
+      .localCheckpoint(eager = false)
+    // Phase 1: local-min basins, one duplicate-tolerant pass
+    val basins = edges.groupBy(col("src")).agg(min(col("dst")).as("_nmin"))
+      .select(col("src").as("v"), least(col("src"), col("_nmin")).as("m"))
+      .localCheckpoint(eager = false)
+    // The basin map is vertex-sized; Catalyst's static size estimate
+    // can't see that and plans the phase-2 joins as full edge-multiset
+    // shuffles. The driver KNOWS the vertex count (this count also
+    // materializes the basin checkpoint blocks every later phase
+    // reads), so broadcast the map below ~2M vertices (~64 MB of rows
+    // — executor-safe) and keep the shuffle plan beyond, where a
+    // broadcast would be the thing that breaks. One extra driver
+    // action, paid once, independent of rounds.
+    val nVertices = basins.count()
+    val basinsSide =
+      if (nVertices <= 2000000) broadcast(basins) else basins
+    // Phase 2: cross-basin quotient edges (both orientations survive
+    // symmetrically, so the loop's neighbor aggregation stays valid)
+    var edgesQ = edges
+      .join(basinsSide.select(col("v").as("src"), col("m").as("_ms")), "src")
+      .join(basinsSide.select(col("v").as("dst"), col("m").as("_md")), "dst")
+      .filter(col("_ms") =!= col("_md"))
+      .select(col("_ms").as("src"), col("_md").as("dst"))
       .distinct().localCheckpoint(eager = false)
-    var labels = edges.select(col("src").as("v")).distinct()
+    var labels = edgesQ.select(col("src").as("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint(eager = false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val neighborMin = edges
+      val neighborMin = edgesQ
         .join(labels.select(col("v").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       // min over self + neighbor labels...
@@ -238,7 +276,7 @@ object Dedup {
       // reading this round's already-materialized label blocks — no
       // extra driver action. Skipped once converged (the loop exits).
       if (changed > 0) {
-        edges = edges
+        edgesQ = edgesQ
           .join(labels.select(col("v").as("src"), col("label").as("_ls")), "src")
           .join(labels.select(col("v").as("dst"), col("label").as("_ld")), "dst")
           .filter(col("_ls") =!= col("_ld"))
@@ -253,7 +291,12 @@ object Dedup {
         s"($changed labels still moving) — raise maxRounds; a component " +
         "this deep in a NEAR-DUP graph usually means the pair threshold " +
         "is admitting everything")
-    labels.select(col("v").as("doc_id"), col("label").as("cluster_rep"))
+    // Phase 4: compose basin and quotient labels — identity for basins
+    // that never crossed an edge (whole component in one basin)
+    basins
+      .join(labels.select(col("v").as("m"), col("label")), Seq("m"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("label"), col("m")).as("cluster_rep"))
   }
 
   /** Benchmark decontamination — the training-data pass every LLM
