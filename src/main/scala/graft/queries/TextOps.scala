@@ -351,6 +351,97 @@ object TextOps extends QuerySet {
              |    / CAST(len(sh) AS DOUBLE), 6) > 0.05) AS flagged
              |FROM S""".stripMargin)),
 
+    // --- Segment-level duplication (the line-dedup pass of CCNet/
+    // RefinedWeb-style pipelines, reformulated for unstructured text):
+    // split each doc into NON-overlapping 8-word chunks, hash them, and
+    // measure what fraction of a doc's distinct chunks also occur in
+    // some OTHER doc — boilerplate detection below document
+    // granularity, where whole-doc dedup sees nothing.
+    //
+    // Scale shape: one explode -> the shuffle carries md5 chunk keys
+    // (fixed 16 bytes, never raw text — same rule as d08); the
+    // duplicated-chunk set comes from a map-side-combinable
+    // two-distinct-docs count; the join back to per-doc chunks is a
+    // fixed-key equi-join. Linear in the corpus, never a self-join.
+    Q("t15_segment_dedup",
+      (s, d) => {
+        import s.implicits._
+        val words = TextFns.tokens($"text")
+        val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+        val chunks = transform(sequence(lit(0), nChunks - 1),
+          i => md5(array_join(slice(words, i * 8 + 1, lit(8)), " ")))
+        val perDoc = Tables.load(s, d, "documents")
+          .select($"doc_id", explode(array_distinct(chunks)).as("_h"))
+        val dupChunks = perDoc
+          .groupBy($"_h").agg(count(lit(1)).as("_nd"))
+          .filter($"_nd" >= 2)
+          .select($"_h")
+        perDoc
+          .join(dupChunks, Seq("_h"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+          .join(perDoc.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks")),
+            Seq("doc_id"), "right")
+          .select($"doc_id", $"n_chunks",
+            coalesce($"n_dup_chunks", lit(0L)).as("n_dup_chunks"),
+            round(coalesce($"n_dup_chunks", lit(0L)) / $"n_chunks".cast("double"), 6)
+              .as("dup_frac"))
+          .withColumn("flagged", $"dup_frac" > 0.5)
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |C AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(0, CAST(ceil(len(words) / 8.0) AS INT)),
+             |    i -> md5(array_to_string(words[i*8+1:i*8+8], ' '))))) AS h
+             |  FROM W),
+             |D AS (SELECT h FROM C GROUP BY h HAVING count(*) >= 2),
+             |N AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM C GROUP BY doc_id),
+             |M AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+             |  FROM C WHERE h IN (SELECT h FROM D) GROUP BY doc_id)
+             |SELECT N.doc_id, N.n_chunks,
+             |  COALESCE(M.n_dup_chunks, 0) AS n_dup_chunks,
+             |  round(COALESCE(M.n_dup_chunks, 0) / CAST(N.n_chunks AS DOUBLE), 6) AS dup_frac,
+             |  (round(COALESCE(M.n_dup_chunks, 0) / CAST(N.n_chunks AS DOUBLE), 6) > 0.5) AS flagged
+             |FROM N LEFT JOIN M ON N.doc_id = M.doc_id""".stripMargin)),
+
+    // --- Domain-mix report (the table a curator reads before setting
+    // sampling rates): per-source doc/token counts, mean quality, and
+    // share of corpus tokens. The heavy part is per-row expression
+    // work; the aggregate output is |sources| rows, and the share
+    // window runs over THAT — cardinality-bounded, not data-bounded.
+    Q("t16_domain_mix",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val words = TextFns.tokens($"text")
+        val nTok = size(words).cast("long")
+        val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
+        val lenSat = least(lit(1.0), nTok.cast("double") / lit(50.0))
+        val quality = lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5
+        val agg = Tables.load(s, d, "documents")
+          .select($"source", nTok.as("n_tok"), quality.as("q"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+            round(avg($"q"), 6).as("mean_quality"))
+        agg.withColumn("token_share",
+            round($"n_tokens" / sum($"n_tokens").over(Window.partitionBy()), 6))
+          .orderBy($"source")
+      },
+      Some("""WITH W AS (SELECT source,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |f AS (SELECT source, CAST(len(words) AS BIGINT) AS n_tok,
+             |  least(1.0, CAST(len(words) AS DOUBLE) / 50.0) * 0.5 +
+             |    (CAST(len(list_filter(words, w -> w IN ('the','a','and','of','to','is'))) AS DOUBLE)
+             |     / CAST(len(words) AS DOUBLE)) * 0.5 AS q
+             |  FROM W),
+             |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS n_tokens, round(avg(q), 6) AS mean_quality
+             |  FROM f GROUP BY source)
+             |SELECT source, n_docs, n_tokens, mean_quality,
+             |  round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+             |FROM a ORDER BY source""".stripMargin)),
+
     // --- Deterministic train/val/test corpus split (80/10/10): the
     // same fixed-width lowercase-hex-ordering trick as t10, but as a
     // three-way ASSIGNMENT — every doc gets a split label derived only
