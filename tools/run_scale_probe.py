@@ -94,8 +94,25 @@ MODES = {
 }
 
 
+def settle(max_wait: float = 150.0, target: float = 4.0) -> float:
+    """Wait for the 1-min load average to decay below `target` before a
+    timed run — each probe JVM saturates all 32 cores, and launching
+    the next run into the previous run's decaying load tail inflated
+    d05 by ~18% in the r8 probe (81.8s vs 69.3s idle). Returns the
+    load at release.
+    """
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load > target and time.time() - t0 < max_wait:
+        time.sleep(5)
+        load = os.getloadavg()[0]
+    return load
+
+
 def run_bench(sfdir: str, only: str, iters: int, shuffle: int | None = None,
               mem: str | None = None):
+    load0 = settle()
+    print(f"   [settle: load {load0:.1f} at launch]", flush=True)
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sfdir,
                SPARK_GRAFT_ONLY=only,
