@@ -36,8 +36,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * artifact.
   *
   * Usage: runMain graft.StreamProbe [workDir] [nRecords] [keyWidths]
-  * (keyWidths comma-separated, default "8,1024"). Emits one JSON line
-  * (last stdout line) and writes BENCH_stream_probe.json in the cwd.
+  * (keyWidths comma-separated, default "8,1024"). Run with
+  * SPARK_DRIVER_MEM=16g — the whole-bundle rows of hop 2 OOM the
+  * default 8 g single-JVM heap (0.5 GB/core is the documented sizing
+  * for whole-object streaming rows, SURVEY §13 task 6). Emits one JSON
+  * line (last stdout line) and writes BENCH_stream_probe.json in cwd.
   */
 object StreamProbe {
 
