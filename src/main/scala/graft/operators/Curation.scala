@@ -56,10 +56,20 @@ object Curation {
     * @param buckets     range buckets (window parallelism per stratum);
     *                    defaults to `spark.sql.shuffle.partitions`
     * @param cumCol      name of the appended running-total column
+    * @param qualityBounds when the caller KNOWS the quality range
+    *                    (e.g. a composite score in [0,1] by
+    *                    construction), pass `Some((lo, hi))`: bucket
+    *                    boundaries become a static uniform grid and the
+    *                    approxQuantile pass (plus its narrow persist) is
+    *                    skipped entirely — boundaries affect only
+    *                    balance, never results, so a mildly clumped
+    *                    score distribution trades some balance for one
+    *                    less corpus pass. None = quantile boundaries.
     */
   def packByBudget(df: DataFrame, stratumCol: Column, qualityCol: Column,
                    tieBreakers: Seq[Column], tokenCol: Column, budget: Long,
-                   buckets: Int = 0, cumCol: String = "cum_tok"): DataFrame = {
+                   buckets: Int = 0, cumCol: String = "cum_tok",
+                   qualityBounds: Option[(Double, Double)] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val spark = df.sparkSession
     val b = if (buckets > 0) buckets
@@ -69,16 +79,27 @@ object Curation {
     // range buckets tile the pack order in ascending bucket index
     val ord = negate(qualityCol.cast("double"))
 
-    // Phases 1-2 run on a narrow (stratum, order, tokens) projection —
-    // never the payload; cached for the two passes, released before
-    // returning.
-    val narrow = df.select(stratumCol.as("_st"), ord.as("_ord"),
-      coalesce(tokenCol.cast("long"), lit(0L)).as("_tok")).persist()
+    // Phase-2 input: a narrow (stratum, order, tokens) projection —
+    // never the payload. Persisted only when the quantile pass ALSO
+    // needs it (two consumers); with static bounds it feeds exactly one
+    // aggregation and caching would be pure overhead.
+    def narrowProj = df.select(stratumCol.as("_st"), ord.as("_ord"),
+      coalesce(tokenCol.cast("long"), lit(0L)).as("_tok"))
 
-    val probes = (1 until b).map(_.toDouble / b).toArray
-    val bounds: Array[Double] =
-      if (b <= 1) Array.empty
-      else narrow.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted
+    val (bounds: Array[Double], narrow: DataFrame, cached: Boolean) =
+      qualityBounds match {
+        case _ if b <= 1 => (Array.empty[Double], narrowProj, false)
+        case Some((lo, hi)) =>
+          require(hi > lo, s"qualityBounds must satisfy hi > lo, got ($lo, $hi)")
+          // uniform grid over NEGATED quality: -hi .. -lo ascending
+          val grid = (1 until b)
+            .map(i => -hi + i * (hi - lo) / b).toArray
+          (grid, narrowProj, false)
+        case None =>
+          val n = narrowProj.persist()
+          val probes = (1 until b).map(_.toDouble / b).toArray
+          (n.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted, n, true)
+      }
     def bucketOf(c: Column): Column =
       if (bounds.isEmpty) lit(0)
       else coalesce(graft.expressions.NativeFns.range_bucket(c, bounds), lit(0))
@@ -95,7 +116,7 @@ object Curation {
       .withColumn("_offset", coalesce(sum(col("_total")).over(wOff), lit(0L)))
       .select(col("_st"), col("_bucket"), col("_offset"))
       .localCheckpoint()
-    narrow.unpersist(false)
+    if (cached) narrow.unpersist(false)
 
     // Phase 3 (lazy): ONE fresh pass over the source — bucket,
     // broadcast-join the offset, within-bucket inclusive running sum.

@@ -259,11 +259,16 @@ object TextOps extends QuerySet {
         val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
         val lenSat = least(lit(1.0), nTok.cast("double") / lit(50.0))
         val quality = round(lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5, 6)
-        val base = Tables.load(s, d, "documents")
+        // the narrow scored projection feeds BOTH packByBudget passes
+        // (offset totals + final window); tracked in the LRU registry so
+        // the tokenize-and-score work runs once, same pattern as the
+        // dedup family's shared shingle pass
+        val base = graft.operators.Caches.track(Tables.load(s, d, "documents")
           .select($"doc_id", ($"doc_id" % 4).as("stratum"),
-            nTok.as("n_tok"), quality.as("quality"))
+            nTok.as("n_tok"), quality.as("quality")))
         graft.operators.Curation.packByBudget(base, $"stratum", $"quality",
-          Seq($"doc_id".asc), $"n_tok", 2000L)
+          Seq($"doc_id".asc), $"n_tok", 2000L,
+          qualityBounds = Some((0.0, 1.0))) // composite score in [0,1] by construction
       },
       Some("""WITH W AS (SELECT doc_id, doc_id % 4 AS stratum,
              |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
@@ -295,11 +300,12 @@ object TextOps extends QuerySet {
         val quality = round(lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5, 6)
         val stratum = when($"doc_id" % 10 < 9, lit(0L))
           .otherwise(($"doc_id" % 4) + 1)
-        val base = Tables.load(s, d, "documents")
+        val base = graft.operators.Caches.track(Tables.load(s, d, "documents")
           .select($"doc_id", stratum.as("stratum"),
-            nTok.as("n_tok"), quality.as("quality"))
+            nTok.as("n_tok"), quality.as("quality")))
         graft.operators.Curation.packByBudget(base, $"stratum", $"quality",
-          Seq($"doc_id".asc), $"n_tok", 2000L)
+          Seq($"doc_id".asc), $"n_tok", 2000L,
+          qualityBounds = Some((0.0, 1.0))) // composite score in [0,1] by construction
       },
       Some("""WITH W AS (SELECT doc_id,
              |  CASE WHEN doc_id % 10 < 9 THEN 0 ELSE doc_id % 4 + 1 END AS stratum,

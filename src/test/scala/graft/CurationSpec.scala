@@ -115,6 +115,15 @@ class CurationSpec extends SparkSpec {
     val many = run(256)    // more buckets than distinct qualities
     assert(four == one, "4-bucket result diverged from the single-window plan")
     assert(many == one, "256-bucket result diverged from the single-window plan")
+    // static known-range boundaries (uniform grid, no quantile pass)
+    // must agree with the quantile boundaries: boundaries only move
+    // rows between buckets, never change the prefix sums
+    val static = Curation.packByBudget(docs, $"stratum", $"quality",
+        Seq($"doc_id".asc), $"n_tok", 5000L, buckets = 16,
+        qualityBounds = Some((0.0, 1.0)))
+      .select($"doc_id", $"stratum", $"cum_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(static == one, "static-bounds result diverged")
     assert(one.nonEmpty)
     // every stratum respects its own budget independently
     val byStratum = one.groupBy(_._2).view.mapValues(_.map(_._3).max)
