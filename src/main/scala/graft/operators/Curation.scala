@@ -100,9 +100,14 @@ object Curation {
           val probes = (1 until b).map(_.toDouble / b).toArray
           (n.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted, n, true)
       }
+    // a NULL quality sorts last under `desc` (both engines default
+    // NULLS LAST), so null order keys must land in the LAST bucket —
+    // bucket 0 would put them before every real row's offset while the
+    // within-bucket sort still pushed them to its end
     def bucketOf(c: Column): Column =
       if (bounds.isEmpty) lit(0)
-      else coalesce(graft.expressions.NativeFns.range_bucket(c, bounds), lit(0))
+      else coalesce(graft.expressions.NativeFns.range_bucket(c, bounds),
+        lit(bounds.length))
 
     // exclusive per-stratum offsets over the tiny totals table; the
     // EAGER localCheckpoint materializes it while `narrow` is still

@@ -124,6 +124,17 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id", $"stratum", $"cum_tok")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(static == one, "static-bounds result diverged")
+    // null qualities sort last globally (desc NULLS LAST); bucketing
+    // must agree — a null-keyed row in the top bucket would carry a
+    // too-small running total. Exercised at 1 vs many buckets.
+    val withNulls = docs.withColumn("quality",
+      when($"doc_id" % 7 === 0, lit(null).cast("double")).otherwise($"quality"))
+    def runN(buckets: Int) =
+      Curation.packByBudget(withNulls, $"stratum", $"quality",
+          Seq($"doc_id".asc), $"n_tok", 5000L, buckets = buckets)
+        .select($"doc_id", $"stratum", $"cum_tok")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(runN(64) == runN(1), "null-quality bucketing diverged from the single-window order")
     assert(one.nonEmpty)
     // every stratum respects its own budget independently
     val byStratum = one.groupBy(_._2).view.mapValues(_.map(_._3).max)
