@@ -194,15 +194,16 @@ class SkewLineageSpec extends SparkSpec {
         spark.sparkContext.removeSparkListener(listener)
       }
     assert(got.size == 400 && got.values.forall(_ == 0L))
-    // Observed composition at 10 rounds for this graph: ONE count job
-    // per round (the convergence count whose scan also materializes the
-    // lazy checkpoint — the very fold being pinned), one broadcast-
-    // exchange job per round (Catalyst broadcasts the tiny test-graph
-    // label frame; at scale stats push it to SMJ), 2 seed broadcasts,
-    // 1 collect = 23. The pre-fold shape added an eager checkpoint job
-    // per round plus 2 eager seed jobs ≈ 35 — the bound separates the
-    // two cleanly.
-    assert(jobs.get() <= 26, s"too many driver round-trips: ${jobs.get()} jobs")
+    // Observed composition with two-phase CC: the basin-fold count (1),
+    // then ONE convergence-count job per round over the HALVED quotient
+    // chain (each also materializing that round's lazy checkpoints),
+    // plus per-round broadcast-exchange jobs for the tiny test-graph
+    // frames and the final compose/collect = 14 observed. The
+    // pre-two-phase shape cost 23 (full-graph rounds), and the
+    // eager-checkpoint shape before that ~35 — the bound separates all
+    // three; modest headroom for a Spark bump adding a broadcast job
+    // per round, per ADVICE r7.
+    assert(jobs.get() <= 20, s"too many driver round-trips: ${jobs.get()} jobs")
     // non-convergence must THROW, not return wrong labels silently
     val ex = intercept[IllegalStateException] {
       Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 2).collect()
