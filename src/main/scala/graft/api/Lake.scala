@@ -48,6 +48,10 @@ final class LakeCollector(spark: SparkSession, config: CompactionConfig) {
     * yet in the lake, appending bundle ids. Rerun on a schedule for the
     * reference's continuous-collector behavior with exactly-once
     * bundling per file ([[Compactor.compactDirectoryIncremental]]).
+    * On date-partitioned inputs the pass maintains a listing
+    * high-water-mark sidecar so steady-state reruns list only the
+    * newest directories (monotone-arrival contract documented there;
+    * delete the sidecar to force a full pass after a backfill).
     */
   def collectIncremental(): DataFrame = {
     implicit val s: SparkSession = spark
