@@ -149,6 +149,10 @@ object MediaProbe {
       .count()
     require(badDecodes == 0L, s"$badDecodes decodable payloads mis-decoded")
     require(featRows == nRows, s"featRows=$featRows != $nRows")
+    // the stated tolerance contract: corrupt payloads yield rows, never
+    // failed tasks — assert it, don't just report it
+    require(failedTasks.get() == 0,
+      s"${failedTasks.get()} task failures; per-file error isolation broken")
 
     // m02: frame sampling fan-out, 4 frames capped at 64 KiB
     val (frameAgg, tFrames) = timed {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Curation-stage operators for training-data pipelines: the selection
@@ -26,25 +25,15 @@ object Curation {
     * == Scale design ==
     * The naive form is one window per stratum — parallelism = |strata|,
     * and at 100 TB a stratum is a whole training domain sorted and
-    * scanned by a single (spillable, but serial) task. Here the same
-    * three-phase distributed prefix sum as [[Compactor.withBundleId]],
-    * generalized per-group:
-    *
-    *  1. range-bucket the pack order on NEGATED quality via ONE global
-    *     `approxQuantile` (boundaries shared across strata: boundaries
-    *     affect only balance, never results, so per-stratum sketches
-    *     would buy nothing but extra passes);
-    *  2. per-(stratum, bucket) token totals -> exclusive per-stratum
-    *     bucket offsets. Unlike withBundleId this phase never collects
-    *     to the driver: the totals table is |strata| x |buckets| rows
-    *     and the offsets are a window over THAT (partitioned by
-    *     stratum, <= |buckets| rows per partition), eagerly
-    *     localCheckpointed while the narrow projection is cached, then
-    *     broadcast back;
-    *  3. within-(stratum, bucket) inclusive running sum + offset =
-    *     the stratum-global prefix — window parallelism is
-    *     |strata| x |buckets| instead of |strata|, so one hot stratum
-    *     fans out across `buckets` tasks.
+    * scanned by a single (spillable, but serial) task. Instead: the
+    * shared [[PrefixSum.runningTotal]] recipe (range buckets from ONE
+    * global `approxQuantile` — boundaries shared across strata, since
+    * boundaries affect only balance, never results; per-(stratum,
+    * bucket) offsets computed distributed, no driver collect; broadcast
+    * back; within-bucket window) with the stratum as the group, an
+    * INCLUSIVE frame, and NEGATED quality as the bucketing key — window
+    * parallelism is |strata| x |buckets| instead of |strata|, so one
+    * hot stratum fans out across `buckets` tasks.
     *
     * `offset(stratum, bucket) + local_prefix == stratum_prefix` for ANY
     * bucket boundaries, so skew (one stratum holding 90% of the corpus)
@@ -71,73 +60,24 @@ object Curation {
                    buckets: Int = 0, cumCol: String = "cum_tok",
                    qualityBounds: Option[(Double, Double)] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val spark = df.sparkSession
-    val b = if (buckets > 0) buckets
-            else spark.sessionState.conf.numShufflePartitions
-
-    // negated quality is ascending in the quality-DESC pack order, so
-    // range buckets tile the pack order in ascending bucket index
-    val ord = negate(qualityCol.cast("double"))
-
-    // Phase-2 input: a narrow (stratum, order, tokens) projection —
-    // never the payload. Persisted only when the quantile pass ALSO
-    // needs it (two consumers); with static bounds it feeds exactly one
-    // aggregation and caching would be pure overhead.
-    def narrowProj = df.select(stratumCol.as("_st"), ord.as("_ord"),
-      coalesce(tokenCol.cast("long"), lit(0L)).as("_tok"))
-
-    val (bounds: Array[Double], narrow: DataFrame, cached: Boolean) =
-      qualityBounds match {
-        case _ if b <= 1 => (Array.empty[Double], narrowProj, false)
-        case Some((lo, hi)) =>
-          require(hi > lo, s"qualityBounds must satisfy hi > lo, got ($lo, $hi)")
-          // uniform grid over NEGATED quality: -hi .. -lo ascending
-          val grid = (1 until b)
-            .map(i => -hi + i * (hi - lo) / b).toArray
-          (grid, narrowProj, false)
-        case None =>
-          val n = narrowProj.persist()
-          val probes = (1 until b).map(_.toDouble / b).toArray
-          (n.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted, n, true)
-      }
-    // a NULL quality sorts last under `desc` (both engines default
-    // NULLS LAST), so null order keys must land in the LAST bucket —
-    // bucket 0 would put them before every real row's offset while the
-    // within-bucket sort still pushed them to its end
-    def bucketOf(c: Column): Column =
-      if (bounds.isEmpty) lit(0)
-      else coalesce(graft.expressions.NativeFns.range_bucket(c, bounds),
-        lit(bounds.length))
-
-    // exclusive per-stratum offsets over the tiny totals table; the
-    // EAGER localCheckpoint materializes it while `narrow` is still
-    // cached and pins the result, so phase 3's execution re-reads a few
-    // hundred checkpointed rows, not the totals aggregation
-    val wOff = Window.partitionBy(col("_st")).orderBy(col("_bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = narrow.withColumn("_bucket", bucketOf(col("_ord")))
-      .groupBy(col("_st"), col("_bucket"))
-      .agg(sum(col("_tok")).as("_total"))
-      .withColumn("_offset", coalesce(sum(col("_total")).over(wOff), lit(0L)))
-      .select(col("_st"), col("_bucket"), col("_offset"))
-      .localCheckpoint()
-    if (cached) narrow.unpersist(false)
-
-    // Phase 3 (lazy): ONE fresh pass over the source — bucket,
-    // broadcast-join the offset, within-bucket inclusive running sum.
-    // Ordered by the ORIGINAL quality column + tie-breakers, not the
-    // negated double (same exactness argument as withBundleId phase 3).
-    val w = Window.partitionBy(col("_pk_st"), col("_pk_bucket"))
-      .orderBy((qualityCol.desc +: tieBreakers): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df
-      .withColumn("_pk_st", stratumCol)
-      .withColumn("_pk_tok", coalesce(tokenCol.cast("long"), lit(0L)))
-      .withColumn("_pk_bucket", bucketOf(ord))
-      .join(broadcast(offsets.toDF("_pk_st", "_pk_bucket", "_pk_off")),
-        Seq("_pk_st", "_pk_bucket"))
-      .withColumn(cumCol, sum(col("_pk_tok")).over(w) + col("_pk_off"))
+    // Negated quality is ascending in the quality-DESC pack order, so
+    // range buckets tile the pack order in ascending bucket index; a
+    // NULL quality sorts last under `desc` (both engines default NULLS
+    // LAST), so null order keys land in the LAST bucket. The stratum is
+    // matched null-safely end to end — null-stratum rows pack as their
+    // own stratum under their own budget, never silently dropped
+    // (CurationSpec pins both).
+    PrefixSum.runningTotal(df,
+        groupCol = stratumCol,
+        ordKey = negate(qualityCol.cast("double")),
+        orderCols = qualityCol.desc +: tieBreakers,
+        valueCol = tokenCol,
+        buckets = buckets,
+        inclusive = true,
+        nullsLast = true,
+        outCol = cumCol,
+        // uniform grid over NEGATED quality: -hi .. -lo ascending
+        ordBounds = qualityBounds.map { case (lo, hi) => (-hi, -lo) })
       .filter(col(cumCol) <= budget)
-      .drop("_pk_st", "_pk_bucket", "_pk_tok", "_pk_off")
   }
 }

@@ -60,15 +60,22 @@ object Dedup {
     else {
       if (hit != null) memo.remove(key, hit) // stale: frame was evicted
       val built = build // lazy plan construction — no job, nothing persisted yet
-      val prev = memo.putIfAbsent(key, built)
-      // a lost race must STILL validate liveness (mirror of the hit
-      // path): if prev was evicted between its install and now, serving
-      // it would hand out an unpersisted plan — swap in ours and track it
-      if (prev != null && Caches.touch(prev)) prev
-      else {
-        if (prev != null) memo.replace(key, prev, built)
-        Caches.track(built); built
+      // install loop: exactly one tracked frame per key may survive. A
+      // lost race must STILL validate liveness (mirror of the hit path):
+      // if the incumbent was evicted between its install and now, serving
+      // it would hand out an unpersisted plan — swap in ours. And if a
+      // THIRD thread won that swap with a different frame, loop and serve
+      // the resident winner rather than tracking a second frame for the
+      // key (two live frames per key = double memory until eviction).
+      @annotation.tailrec
+      def install(): DataFrame = {
+        val prev = memo.putIfAbsent(key, built)
+        if (prev == null) { Caches.track(built); built }
+        else if (Caches.touch(prev)) prev
+        else if (memo.replace(key, prev, built)) { Caches.track(built); built }
+        else install()
       }
+      install()
     }
   }
 
@@ -201,9 +208,20 @@ object Dedup {
     * two-phase/alternating large-graph CC recipe (local-min
     * contraction + label propagation, cf. small-star/large-star).
     * Returns (doc_id, cluster_rep) for every vertex in the pair graph.
+    *
+    * @param broadcastVertices vertex-count ceiling below which the basin
+    *                          map is broadcast into the phase-2 joins
+    *                          (~32 B/row: the default 2M ≈ 64 MB,
+    *                          executor-safe). Beyond it the shuffle plan
+    *                          is kept, where a broadcast would be the
+    *                          thing that breaks. Both plans are
+    *                          hash-identical (SkewLineageSpec pins the
+    *                          boundary); the knob exists for memory-tight
+    *                          executors and for tests.
     */
   def clusters(pairs: DataFrame, aCol: Column, bCol: Column,
-               maxRounds: Int = 50): DataFrame = {
+               maxRounds: Int = 50,
+               broadcastVertices: Long = 2000000L): DataFrame = {
     // lazy: frames are consumed whole by round 1's single job, which
     // materializes their checkpoint blocks as a side effect
     val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
@@ -223,7 +241,7 @@ object Dedup {
     // action, paid once, independent of rounds.
     val nVertices = basins.count()
     val basinsSide =
-      if (nVertices <= 2000000) broadcast(basins) else basins
+      if (nVertices <= broadcastVertices) broadcast(basins) else basins
     // Phase 2: cross-basin quotient edges (both orientations survive
     // symmetrically, so the loop's neighbor aggregation stays valid)
     var edgesQ = edges

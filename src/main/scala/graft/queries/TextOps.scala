@@ -374,8 +374,14 @@ object TextOps extends QuerySet {
         import s.implicits._
         val words = TextFns.tokens($"text")
         val nChunks = ceil(size(words) / lit(8.0)).cast("int")
-        val chunks = transform(sequence(lit(0), nChunks - 1),
-          i => md5(array_join(slice(words, i * 8 + 1, lit(8)), " ")))
+        // Guard nChunks=0: sequence(0, -1) defaults to step -1 and yields
+        // [0, -1], which would mint a phantom md5("") chunk per token-less
+        // doc — and cross-match every pair of empty docs. DuckDB's
+        // range(0, 0) is empty, so the oracle emits no chunk row there.
+        val chunks = when(nChunks > 0,
+          transform(sequence(lit(0), nChunks - 1),
+            i => md5(array_join(slice(words, i * 8 + 1, lit(8)), " "))))
+          .otherwise(array().cast("array<string>"))
         val perDoc = Tables.load(s, d, "documents")
           .select($"doc_id", explode(array_distinct(chunks)).as("_h"))
         val dupChunks = perDoc

@@ -92,6 +92,51 @@ class CurationSpec extends SparkSpec {
     assert(packed == Set(1L, 2L, 3L))
   }
 
+  test("packByBudget packs null-stratum rows as their own stratum, never drops them") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // phase 2's groupBy and the phase-3 window both put NULL strata in
+    // one ordinary group; the offsets join must agree (<=>) — a plain
+    // equi-join would silently drop every null-stratum row
+    val docs = Seq(
+      (1L, Some("web"),  100L, 0.9), (2L, Some("web"), 100L, 0.8),
+      (3L, None,         100L, 0.9), (4L, None,        100L, 0.8),
+      (5L, None,         100L, 0.7), (6L, Some("code"), 50L, 0.5)
+    ).toDF("doc_id", "stratum", "n_tok", "quality")
+    def run(buckets: Int) =
+      Curation.packByBudget(docs, $"stratum", $"quality",
+          Seq($"doc_id".asc), $"n_tok", 200L, buckets = buckets)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // null stratum gets its OWN 200-token budget: docs 3,4 fit, 5 breaks
+    val expected = Set(1L, 2L, 3L, 4L, 6L)
+    assert(run(1) == expected, "single-bucket plan dropped/mispacked null strata")
+    assert(run(8) == expected, "bucketed plan dropped/mispacked null strata")
+  }
+
+  test("t15 segment dedup: token-less docs emit no chunks and never cross-match") {
+    import spark.implicits._
+    // sequence(0, nChunks-1) with nChunks=0 would default to step -1 and
+    // yield [0, -1] — a phantom md5("") chunk that (a) diverges from the
+    // oracle (DuckDB's range(0,0) is empty) and (b) makes every pair of
+    // token-less docs "share" a chunk and get flagged. Pin the guard.
+    val dir = tmpDir("t15-empty").getAbsolutePath
+    Seq(
+      (1L, "",        "web"),   // zero tokens
+      (2L, "... !!!", "web"),   // punctuation-only -> zero tokens
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (5L, "one two three four five six seven eight", "web")
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t15_segment_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // token-less docs produce no chunk rows, hence no output row at all —
+    // exactly the oracle's shape — and in particular are never flagged
+    assert(!out.contains(1L) && !out.contains(2L), s"phantom rows: $out")
+    // the genuine full-copy pair IS flagged; the unique doc is not
+    assert(out == Map(3L -> true, 4L -> true, 5L -> false), s"got $out")
+  }
+
   test("packByBudget is bucket-count independent, including under heavy stratum skew") {
     import spark.implicits._
     import graft.operators.Curation

@@ -211,6 +211,28 @@ class SkewLineageSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("dedup clusters: broadcast and shuffle basin-map plans are identical across the threshold") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the 2M-vertex default always broadcasts at test scale, so the
+    // shuffle side of the boundary would otherwise ship untested. Force
+    // it with broadcastVertices = 0 (every vertex count exceeds it) on a
+    // graph mixing a chain, a clique, intra-basin-only components, and
+    // singleton-free asymmetric ids — both plans must label identically.
+    val pairs = ((0L until 100L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((200L, 201L), (201L, 202L), (200L, 202L), (300L, 999L)))
+      .toDF("doc_a", "doc_b")
+    val viaBroadcast = Dedup.clusters(pairs, $"doc_a", $"doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaShuffle = Dedup.clusters(pairs, $"doc_a", $"doc_b",
+        broadcastVertices = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaShuffle == viaBroadcast,
+      "shuffle-side basin plan diverged from the broadcast plan")
+    assert(viaBroadcast.size == 105 &&
+      viaBroadcast.count(_._2 == 0L) == 100 && viaBroadcast(999L) == 300L)
+  }
+
   test("embeddingPairs: hot-cell split preserves the exact pair set") {
     import spark.implicits._
     import graft.operators.Dedup
