@@ -52,13 +52,20 @@ final class LakeCollector(spark: SparkSession, config: CompactionConfig) {
     * high-water-mark sidecar so steady-state reruns list only the
     * newest directories (monotone-arrival contract documented there;
     * delete the sidecar to force a full pass after a backfill).
+    *
+    * @param watermark fast-path policy: [[Compactor.WatermarkAuto]]
+    *                  enables the sidecar only on date-shaped layouts;
+    *                  [[Compactor.WatermarkOn]] opts any uniform `k=v`
+    *                  layout in (caller asserts monotone arrivals);
+    *                  [[Compactor.WatermarkOff]] always full anti-join
     */
-  def collectIncremental(): DataFrame = {
+  def collectIncremental(
+      watermark: Compactor.WatermarkMode = Compactor.WatermarkAuto): DataFrame = {
     implicit val s: SparkSession = spark
     require(config.codec.forall(_ == "none"),
       "incremental collection writes parquet bundles (path-tracked)")
     Compactor.compactDirectoryIncremental(config.inputDir, config.outputDir,
-      config.targetBytes, config.glob)
+      config.targetBytes, config.glob, watermark)
   }
 }
 

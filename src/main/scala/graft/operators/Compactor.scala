@@ -25,15 +25,18 @@ import org.apache.spark.sql.functions._
   *     from `approxQuantile` (deterministic Greenwald-Khanna sketch, one
   *     scan; no RangePartitioner sampling, whose boundaries can differ
   *     between jobs and would desynchronize phases 2/3);
-  *  2. per-bucket totals -> driver (≤ `buckets` rows) -> exclusive bucket
-  *     offsets, broadcast-joined back;
+  *  2. per-bucket totals -> exclusive bucket offsets, computed as a
+  *     window over the tiny totals table (never collected to the
+  *     driver), broadcast-joined back;
   *  3. within-bucket running sum (`Window.partitionBy(bucket)`), so no
   *     task ever sorts more than one bucket.
   *
   * `offset(bucket) + local_prefix == global_prefix` for ANY bucket
   * boundaries, so results do not depend on the quantile sketch accuracy —
   * only balance does. Everything is expressible as one SQL window in the
-  * DuckDB oracle.
+  * DuckDB oracle. The three phases live in [[PrefixSum.runningTotal]],
+  * shared verbatim with [[Curation.packByBudget]] (stratum = constant
+  * here).
   */
 object Compactor {
 
@@ -42,6 +45,14 @@ object Compactor {
 
   /** Assign `bundle_id = floor(exclusive_prefix_sum(size) / targetBytes)`
     * over the total order `(primaryOrder, tieBreakers...)`.
+    *
+    * The running sum is the shared [[PrefixSum.runningTotal]] recipe
+    * (range buckets from one deterministic quantile sketch, per-bucket
+    * offsets computed distributed and broadcast back — no driver
+    * collect anywhere), with one global group and an EXCLUSIVE frame.
+    * Ordering is by the ORIGINAL key, not its double image: casting a
+    * timestamp to double can collapse nearby microsecond values, which
+    * may only cost bucket balance, never order correctness.
     *
     * @param primaryOrder  orderable column used for range bucketing
     *                      (numeric/timestamp); cast to double internally
@@ -52,66 +63,18 @@ object Compactor {
   def withBundleId(df: DataFrame, primaryOrder: Column, tieBreakers: Seq[Column],
                    sizeCol: Column, targetBytes: Long, buckets: Int = 0): DataFrame = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
-    val spark = df.sparkSession
-    val b = if (buckets > 0) buckets
-            else spark.sessionState.conf.numShufflePartitions
-
-    // Phases 1-2 run on a NARROW projection (order key + size ONLY —
-    // never the payload: caching record content is exactly what cannot
-    // work at 100 TB, and columnar sources prune the payload read).
-    // Cached just for the two eager passes below, released before
-    // returning — nothing stays pinned.
-    val narrow = df
-      .select(primaryOrder.cast("double").as("_ord"),
-        coalesce(sizeCol.cast("long"), lit(0L)).as("_sz"))
-      .persist()
-
-    // Phase 1: deterministic range boundaries (one pass, driver gets b-1
-    // doubles; Greenwald-Khanna sketch — RangePartitioner sampling could
-    // differ between jobs and desynchronize phases 2/3).
-    val probes = (1 until b).map(_.toDouble / b).toArray
-    val bounds: Array[Double] =
-      if (b <= 1) Array.empty
-      else narrow.stat.approxQuantile("_ord", probes, 0.01).distinct.sorted
-
-    // Bucket index = number of boundaries <= key. Depends only on the key,
-    // so equal keys share a bucket and buckets tile the key space in order.
-    // Binary search, not a chained-when fold: the fold's generated code
-    // grows with the bucket count and falls out of whole-stage codegen
-    // at the thousands-of-buckets configs a 100x scale-up needs.
-    // A null key lands in bucket 0, same as the fold it replaced.
-    def bucketOf(ord: Column): Column =
-      if (bounds.isEmpty) lit(0)
-      else coalesce(
-        graft.expressions.NativeFns.range_bucket(ord, bounds), lit(0))
-
-    // Phase 2: per-bucket totals -> exclusive offsets (tiny; broadcast back).
-    val totals = narrow.withColumn("_bucket", bucketOf(col("_ord")))
-      .groupBy("_bucket").agg(sum("_sz").as("_total"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    narrow.unpersist(false) // both eager passes done
-    val exclusive = totals.map(_._2).scanLeft(0L)(_ + _) // len = totals.len + 1
-    val offsetsDf = spark.createDataFrame(totals.map(_._1).zip(exclusive).toSeq)
-      .toDF("_bucket", "_offset")
-
-    // Phase 3 (lazy, computed when the caller materializes): ONE fresh
-    // pass over the full source — bucket + within-bucket running sum +
-    // broadcast offset. Order by the ORIGINAL key, not the double
-    // `_ord`: casting a timestamp to double can collapse nearby
-    // microsecond values, and the tie-breaker would then reorder rows
-    // vs. an exact-key sort. `_ord` is monotone (non-strictly) in the
-    // key, so buckets still tile the exact order.
-    val w = Window.partitionBy(col("_bucket"))
-      .orderBy((primaryOrder +: tieBreakers): _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df
-      .withColumn("_sz", coalesce(sizeCol.cast("long"), lit(0L)))
-      .withColumn("_bucket", bucketOf(primaryOrder.cast("double")))
-      .join(broadcast(offsetsDf), "_bucket")
-      .withColumn("_prefix", coalesce(sum(col("_sz")).over(w), lit(0L)) + col("_offset"))
+    PrefixSum.runningTotal(df,
+        groupCol = lit(0),
+        ordKey = primaryOrder.cast("double"),
+        orderCols = primaryOrder +: tieBreakers,
+        valueCol = sizeCol,
+        buckets = buckets,
+        inclusive = false,
+        nullsLast = false, // asc order: NULLS FIRST, so bucket 0
+        outCol = "_prefix",
+        keepValueAs = Some("record_bytes"))
       .withColumn(BundleCol, floor(col("_prefix") / lit(targetBytes)))
-      .drop("_bucket", "_offset", "_prefix")
-      .withColumnRenamed("_sz", "record_bytes")
+      .drop("_prefix")
   }
 
   /** Bundle manifest — the queryable replacement for the reference's
@@ -183,9 +146,36 @@ object Compactor {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** The bundled lake's listing high-water mark: the max first-level
-    * `k=v` directory known to contain a bundled file. None when absent
-    * or unreadable (advisory metadata).
+  /** Watermark fast-path policy for [[compactDirectoryIncremental]]. */
+  sealed trait WatermarkMode
+  /** Auto-enable the high-water mark only on DATE-SHAPED layouts: every
+    * visited partition level is a `k=v` directory whose key is
+    * date-like (`date`, `dt`, `year`, `month`, `day`, `hour`, `hr`,
+    * `minute`, `min` — case-insensitive) and whose sibling values are
+    * uniform-width digit strings (zero-padded, so the mark's
+    * lexicographic compare IS the chronological compare). Any other
+    * `k=v` layout (`host=...`, `source=...`, unpadded values) keeps the
+    * full anti-join: a lexicographic mark over a non-chronological key
+    * would silently and permanently skip files backfilled into
+    * below-mark directories.
+    */
+  case object WatermarkAuto extends WatermarkMode
+  /** Opt-in: trust ANY uniform `k=v` layout. The caller asserts the
+    * monotone-arrival contract holds for their key (new files only ever
+    * land in directories `>=` the newest directory that has ever held
+    * data, under lexicographic compare).
+    */
+  case object WatermarkOn extends WatermarkMode
+  /** Never read, install, or advance the sidecar — always the full
+    * anti-join. */
+  case object WatermarkOff extends WatermarkMode
+
+  /** The bundled lake's listing high-water mark: the RELATIVE partition
+    * path (`k=v` segments joined with `/`, e.g.
+    * `year=2026/month=08/day=13`) of the newest directory known to
+    * contain a bundled file. Older sidecars holding a first-level-only
+    * mark stay valid: a shorter mark prunes at coarser granularity.
+    * None when absent or unreadable (advisory metadata).
     */
   def readWatermark(outputDir: String)
                    (implicit spark: org.apache.spark.sql.SparkSession): Option[String] =
@@ -209,31 +199,120 @@ object Compactor {
       out.close()
     } catch { case _: Exception => () } // advisory: losing it costs speed only
 
-  /** First-level directory names of `inputDir` when the layout is
-    * partition-shaped — EVERY entry a `k=v` directory (the reference
-    * flusher's own `date=.../hour=...` layout,
-    * `flushers/local_lake.py:55-60`). None for flat or mixed layouts:
-    * those keep the full-anti-join path. One driver-side listStatus —
-    * |date dirs| entries, metadata-scale.
+  private val DateLikeKeys =
+    Set("date", "dt", "year", "month", "day", "hour", "hr", "minute", "min")
+  private val KvName = "([A-Za-z0-9_.\\-]+)=(.+)".r
+
+  private def visible(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = s.getPath.getName
+    !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** One partition level's entries, validated: every visible entry a
+    * directory, all sharing ONE key name; under `requireDateLike` the
+    * key must be date-like and the values uniform-width digit strings
+    * (see [[WatermarkAuto]]). Returns (key, (status, value) pairs), or
+    * None when the level disqualifies the layout.
     */
-  private def firstLevelPartitionDirs(inputDir: String)
-      (implicit spark: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
+  private def partitionLevel(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, requireDateLike: Boolean)
+      : Option[(String, Seq[(org.apache.hadoop.fs.FileStatus, String)])] = {
+    val entries = fs.listStatus(dir).toSeq.filter(visible)
+    if (entries.isEmpty || !entries.forall(_.isDirectory)) return None
+    val parsed = entries.map(e => e.getPath.getName match {
+      case KvName(k, v) => Some((e, k, v))
+      case _            => None
+    })
+    if (parsed.exists(_.isEmpty)) return None
+    val ps = parsed.flatten
+    val keys = ps.map(_._2).distinct
+    if (keys.size != 1) return None
+    val key = keys.head
+    if (requireDateLike) {
+      if (!DateLikeKeys.contains(key.toLowerCase)) return None
+      val vals = ps.map(_._3)
+      if (vals.map(_.length).distinct.size != 1 ||
+          !vals.forall(_.matches("[0-9][0-9:.\\- T]*"))) return None
+    }
+    Some((key, ps.map(p => (p._1, p._3))))
+  }
+
+  /** Partition depth of `inputDir` when the layout is watermark-eligible
+    * under `mode`'s gate; None otherwise (flat, mixed, multi-key, or —
+    * in auto mode — not date-shaped). Walks the MAX branch only
+    * (O(depth) listStatus calls, metadata-scale): each visited level is
+    * fully validated across its siblings, unvisited sub-branches are
+    * covered by the same monotone-arrival contract the mark itself
+    * assumes and re-validated whenever a later pass's boundary chain
+    * visits them.
+    */
+  private def eligibleDepth(inputDir: String, requireDateLike: Boolean)
+      (implicit spark: org.apache.spark.sql.SparkSession): Option[Int] =
     try {
-      val p = new org.apache.hadoop.fs.Path(inputDir)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val entries = fs.listStatus(p)
-      val named = entries.toSeq.map(e => (e.isDirectory, e.getPath.getName))
-      if (named.nonEmpty && named.forall { case (d, n) =>
-            d && n.matches("[A-Za-z0-9_.\\-]+=.+") })
-        Some(named.map(_._2))
-      else None
+      val root = new org.apache.hadoop.fs.Path(inputDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      @annotation.tailrec
+      def down(dir: org.apache.hadoop.fs.Path, depth: Int): Option[Int] =
+        if (depth > 8) None // sanity bound: not a partition tree
+        else partitionLevel(fs, dir, requireDateLike) match {
+          case None =>
+            if (depth > 0) Some(depth) else None // leaf level (files)
+          case Some((key, ps)) =>
+            down(ps.maxBy(p => s"$key=${p._2}")._1.getPath, depth + 1)
+        }
+      down(root, 0) // flat layouts exit at depth 0 -> None
     } catch { case _: Exception => None }
 
-  /** First-level dir (member of `dirs`) appearing in `path`, if any. */
-  private def dirOfPath(path: String, dirs: Seq[String]): Option[String] = {
-    val ds = dirs.toSet
-    "/([^/]+=[^/]+)(?=/)".r.findAllMatchIn(path).map(_.group(1))
-      .find(ds.contains)
+  /** Pruned listing roots for the fast path: the directories whose
+    * leaves can hold files at-or-past `mark` (inclusive). Walks ONLY
+    * the boundary chain — at each level, siblings `<` the mark segment
+    * are skipped, siblings `>` it are emitted WHOLE (their entire
+    * subtree qualifies; `load` reads them recursively), and the one
+    * `==` sibling is descended. O(depth) listStatus calls regardless of
+    * tree width. A mark shorter than the tree (an old first-level
+    * sidecar) stops early and prunes at its own coarser granularity.
+    * None when any visited level disqualifies the layout — including a
+    * tree SHALLOWER than the mark (layout changed under us) — which
+    * falls back to the full anti-join.
+    */
+  private def prunedListingRoots(inputDir: String, mark: String,
+      requireDateLike: Boolean)
+      (implicit spark: org.apache.spark.sql.SparkSession): Option[Seq[String]] =
+    try {
+      val root = new org.apache.hadoop.fs.Path(inputDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val markSegs = mark.split("/").toIndexedSeq
+      def walk(dir: org.apache.hadoop.fs.Path, depth: Int,
+               rel: String): Option[List[String]] = {
+        if (depth == markSegs.length) return Some(List(rel))
+        partitionLevel(fs, dir, requireDateLike) match {
+          case None => None
+          case Some((key, ps)) =>
+            val m = markSegs(depth)
+            var out = List.empty[String]
+            for ((st, v) <- ps) {
+              val seg = s"$key=$v"
+              val r = if (rel.isEmpty) seg else s"$rel/$seg"
+              if (seg > m) out ::= r
+              else if (seg == m) walk(st.getPath, depth + 1, r) match {
+                case Some(ls) => out :::= ls
+                case None     => return None
+              }
+            }
+            Some(out)
+        }
+      }
+      walk(root, 0, "")
+    } catch { case _: Exception => None }
+
+  /** The last `depth` `k=v` segments of `path` (its relative partition
+    * path), if present. */
+  private def relPartitionOf(path: String, depth: Int): Option[String] = {
+    val segs = "/([^/=]+=[^/]+)(?=/)".r.findAllMatchIn(path)
+      .map(_.group(1)).toSeq
+    if (depth > 0 && segs.length >= depth)
+      Some(segs.takeRight(depth).mkString("/"))
+    else None
   }
 
   /** Incremental compaction pass: bundle only files not already present
@@ -250,23 +329,46 @@ object Compactor {
     * processed-set read prunes to the `path` column only.
     *
     * == High-water-mark fast path ==
-    * On partition-shaped inputs (every first-level entry a `k=v`
-    * directory — the reference flusher's `date=.../hour=...` layout) a
-    * sidecar `_graft_watermark.json` records the max first-level dir
-    * known to hold a bundled file. The next pass then lists ONLY
-    * directories `>= mark` (inclusive, so a still-filling current dir
-    * keeps catching late files) and prunes the processed-set to the
-    * same dirs — a small periodic delta costs the delta, not a
-    * million-file re-list + million-path anti-join. Assumes
-    * date-monotone arrivals (new files land in dirs at-or-past the
-    * newest dir that has ever held data — the log-shipper reality);
-    * writers that backfill OLD date dirs must delete the sidecar (or
-    * not use it — flat/mixed layouts, absent sidecar, and deleted mark
-    * dirs all fall back to the full anti-join automatically).
+    * On date-shaped inputs (every partition level a `k=v` directory
+    * with a date-like key and zero-padded values — the reference
+    * flusher's own `date=.../hour=...` and `year=/month=/day=` layouts,
+    * `flushers/local_lake.py:55-60`) a sidecar `_graft_watermark.json`
+    * records the FULL relative partition path of the newest directory
+    * known to hold a bundled file (e.g. `year=2026/month=08/day=13`).
+    * The next pass walks only the mark's boundary chain — O(depth)
+    * driver listStatus calls, independent of tree width — listing
+    * sibling subtrees `>=` the mark segment at each level (inclusive,
+    * so a still-filling current dir keeps catching late files) and
+    * prunes the processed-set to the same roots: a small periodic delta
+    * costs the delta, not a million-file re-list + million-path
+    * anti-join. On a nested `year=/month=/day=` tree the mark is
+    * day-granular, so a January-to-December lake re-lists one day, not
+    * the whole year.
+    *
+    * Assumes date-monotone arrivals (new files land in dirs at-or-past
+    * the newest dir that has ever held data — the log-shipper reality);
+    * writers that backfill OLD date dirs must delete the sidecar or
+    * pass [[WatermarkOff]]. Non-date `k=v` layouts (`host=...`,
+    * unpadded values) never auto-enable — a lexicographic mark over a
+    * non-chronological key would silently skip backfilled dirs forever
+    * — but [[WatermarkOn]] opts in when the caller knows their key is
+    * monotone. Flat/mixed layouts, absent sidecars, and deleted mark
+    * dirs all fall back to the full anti-join automatically.
     */
   def compactDirectoryIncremental(inputDir: String, outputDir: String,
-                                  targetBytes: Long, glob: Option[String] = None)
+                                  targetBytes: Long, glob: Option[String] = None,
+                                  watermark: WatermarkMode = WatermarkAuto)
                                  (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val gate = watermark == WatermarkAuto
+    // partition depth when the layout is eligible under the gate; the
+    // single source of truth for whether marks are written at all
+    def markDepth: Option[Int] =
+      if (watermark == WatermarkOff) None
+      else eligibleDepth(inputDir, gate)
+    def installMark(maxPath: Option[String]): Unit =
+      markDepth.foreach { d =>
+        maxPath.flatMap(relPartitionOf(_, d)).foreach(writeWatermark(outputDir, _))
+      }
     val prev =
       try {
         val p = spark.read.parquet(outputDir)
@@ -275,25 +377,19 @@ object Compactor {
     prev match {
       case None =>
         val mf = compactDirectory(inputDir, outputDir, targetBytes, glob)
-        firstLevelPartitionDirs(inputDir).foreach { ds =>
-          // manifest last_key is max(path) per bundle — the global max
-          // bundled path falls out of the tiny manifest frame
-          val maxPath = mf.agg(max(col("last_key"))).collect()(0).getString(0)
-          Option(maxPath).flatMap(dirOfPath(_, ds))
-            .foreach(writeWatermark(outputDir, _))
-        }
+        // manifest last_key is max(path) per bundle — the global max
+        // bundled path falls out of the tiny manifest frame
+        installMark(Option(
+          mf.agg(max(col("last_key"))).collect()(0).getString(0)))
         mf
       case Some(p) =>
         val reader = spark.read.format("binaryFile")
-        val dirs = firstLevelPartitionDirs(inputDir)
-        val mark = readWatermark(outputDir)
-        // candidate first-level dirs for the fast path; None = full scan
-        val cand: Option[Seq[String]] = (mark, dirs) match {
-          case (Some(m), Some(ds)) =>
-            val c = ds.filter(_ >= m).sorted
-            if (c.nonEmpty) Some(c) else None
-          case _ => None
-        }
+        val mark =
+          if (watermark == WatermarkOff) None else readWatermark(outputDir)
+        // pruned listing roots for the fast path; None = full scan
+        val cand: Option[Seq[String]] = mark
+          .flatMap(prunedListingRoots(inputDir, _, gate))
+          .filter(_.nonEmpty)
         val base = inputDir.stripSuffix("/")
         val files = cand match {
           case Some(c) =>
@@ -305,9 +401,9 @@ object Compactor {
           case None =>
             glob.fold(reader)(g => reader.option("pathGlobFilter", g)).load(inputDir)
         }
-        // processed-set pruned to the candidate dirs on the fast path:
-        // paths are URIs, so dir membership is a substring test (codegen
-        // disjunction over a handful of dirs), not a prefix compare
+        // processed-set pruned to the candidate roots on the fast path:
+        // paths are URIs, so root membership is a substring test (codegen
+        // disjunction over a handful of roots), not a prefix compare
         val done = cand match {
           case Some(c) =>
             p.select(col("path"))
@@ -324,11 +420,9 @@ object Compactor {
           // nothing new. Install the watermark if the layout supports
           // one and none exists yet (one narrow max(path) scan of the
           // lake buys every subsequent pass the pruned listing).
-          if (mark.isEmpty) dirs.foreach { ds =>
-            val maxPath = p.agg(max(col("path"))).collect()(0).getString(0)
-            Option(maxPath).flatMap(dirOfPath(_, ds))
-              .foreach(writeWatermark(outputDir, _))
-          }
+          if (mark.isEmpty && watermark != WatermarkOff)
+            installMark(Option(
+              p.agg(max(col("path"))).collect()(0).getString(0)))
           // empty manifest with the standard schema
           manifest(listing
             .withColumn(BundleCol, lit(0L))
@@ -353,10 +447,11 @@ object Compactor {
             .parquet(outputDir)
           // advance the watermark to the newest dir this pass bundled
           // from (max over the tiny checkpointed assignment; never
-          // regresses below the existing mark)
-          dirs.foreach { ds =>
+          // regresses below the existing mark — a full-depth new mark
+          // always compares past the shorter prefix it refines)
+          markDepth.foreach { d =>
             val maxPath = assign.agg(max(col("path"))).collect()(0).getString(0)
-            val newMark = (mark.toSeq ++ Option(maxPath).flatMap(dirOfPath(_, ds)))
+            val newMark = (mark.toSeq ++ Option(maxPath).flatMap(relPartitionOf(_, d)))
               .maxOption
             newMark.foreach(writeWatermark(outputDir, _))
           }

@@ -76,15 +76,18 @@ class ApiSpec extends SparkSpec {
     add("date=2024-01-02", 6 to 10)
     val m1 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
     assert(m1.agg(sum("n_records")).collect()(0).getLong(0) == 10)
-    // the initial pass installs the sidecar at the newest bundled dir
-    assert(Compactor.readWatermark(out.toString).contains("date=2024-01-02"))
+    // the initial pass installs the sidecar at the newest bundled dir,
+    // at FULL partition depth
+    assert(Compactor.readWatermark(out.toString)
+      .contains("date=2024-01-02/hour=00"))
 
     // a new date dir: the fast path lists only dirs >= the mark and
     // still finds exactly the delta
     add("date=2024-01-03", 11 to 12)
     val m2 = Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
     assert(m2.agg(sum("n_records")).collect()(0).getLong(0) == 2)
-    assert(Compactor.readWatermark(out.toString).contains("date=2024-01-03"))
+    assert(Compactor.readWatermark(out.toString)
+      .contains("date=2024-01-03/hour=00"))
     // late files in the CURRENT mark dir are caught (>= is inclusive)
     add("date=2024-01-03", 13 to 13)
     assert(Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L)
@@ -107,6 +110,101 @@ class ApiSpec extends SparkSpec {
     val back = spark.read.parquet(out.toString)
     assert(back.count() == 14)
     assert(back.select("path").distinct().count() == 14)
+  }
+
+  test("nested year=/month=/day= watermark: day-granular marks, month/year rollover, coarse-mark back-compat") {
+    implicit val s = spark
+    import graft.operators.Compactor
+    val in = tmpDir("nest_in"); val out = tmpDir("nest_out")
+    var seq = 0
+    def add(rel: String, n: Int): Unit = {
+      val d = Paths.get(in.toString, rel)
+      Files.createDirectories(d)
+      (1 to n).foreach { _ =>
+        seq += 1
+        val p = d.resolve(s"f$seq.json")
+        Files.write(p, s"""{"i":$seq,"pad":"${"z" * 40}"}""".getBytes("UTF-8"))
+        p.toFile.setLastModified(1700000000000L + seq * 1000L)
+      }
+    }
+    def pass() = Compactor.compactDirectoryIncremental(
+        in.toString, out.toString, 128L)
+      .agg(coalesce(sum("n_records"), lit(0L))).collect()(0).getLong(0)
+    add("year=2023/month=12/day=30", 3)
+    add("year=2023/month=12/day=31", 3)
+    add("year=2024/month=01/day=01", 2)
+    assert(pass() == 8)
+    // full-depth (day-granular) mark, not the year-granular first level
+    assert(Compactor.readWatermark(out.toString)
+      .contains("year=2024/month=01/day=01"))
+    // delta within the month, then across a month boundary — the
+    // boundary-chain walk must keep finding exactly the delta
+    add("year=2024/month=01/day=02", 2)
+    assert(pass() == 2)
+    assert(Compactor.readWatermark(out.toString)
+      .contains("year=2024/month=01/day=02"))
+    add("year=2024/month=02/day=01", 2)
+    assert(pass() == 2)
+    // a COARSE mark (an old first-level sidecar) stays valid — prunes at
+    // year granularity — and the next bundling pass refines it to full
+    // depth
+    val (fs, wm) = {
+      val p = new org.apache.hadoop.fs.Path(out.toString, Compactor.WatermarkFile)
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    }
+    val o = fs.create(wm, true)
+    o.write("""{"max_dir":"year=2024"}""".getBytes("UTF-8")); o.close()
+    add("year=2024/month=02/day=02", 1)
+    assert(pass() == 1)
+    assert(Compactor.readWatermark(out.toString)
+      .contains("year=2024/month=02/day=02"))
+    // monotone contract at day granularity: a backfill below the mark is
+    // invisible to the fast path; WatermarkOff always sees it
+    add("year=2023/month=12/day=29", 1)
+    assert(pass() == 0)
+    assert(Compactor.compactDirectoryIncremental(in.toString, out.toString,
+        128L, watermark = Compactor.WatermarkOff)
+      .agg(sum("n_records")).collect()(0).getLong(0) == 1)
+    assert(spark.read.parquet(out.toString).count() == seq)
+  }
+
+  test("watermark gate: non-date k=v layouts never auto-enable; WatermarkOn opts in") {
+    implicit val s = spark
+    import graft.operators.Compactor
+    val in = tmpDir("gate_in"); val out = tmpDir("gate_out")
+    var seq = 0
+    def add(rel: String, n: Int): Unit = {
+      val d = Paths.get(in.toString, rel)
+      Files.createDirectories(d)
+      (1 to n).foreach { _ =>
+        seq += 1
+        val p = d.resolve(s"f$seq.json")
+        Files.write(p, s"""{"i":$seq,"pad":"${"z" * 40}"}""".getBytes("UTF-8"))
+        p.toFile.setLastModified(1700000000000L + seq * 1000L)
+      }
+    }
+    def pass(mode: Compactor.WatermarkMode = Compactor.WatermarkAuto) =
+      Compactor.compactDirectoryIncremental(in.toString, out.toString, 128L,
+          watermark = mode)
+        .agg(coalesce(sum("n_records"), lit(0L))).collect()(0).getLong(0)
+    add("host=h2/part=a", 3)
+    add("host=h5/part=b", 3)
+    assert(pass() == 6)
+    // auto mode: host= is not a chronological key — no sidecar, so a
+    // "backfill" into a lexicographically-low dir is always found
+    assert(Compactor.readWatermark(out.toString).isEmpty)
+    add("host=h1/part=c", 2)
+    assert(pass() == 2)
+    // opt-in: the caller asserts monotone arrivals over their key
+    assert(pass(Compactor.WatermarkOn) == 0)
+    assert(Compactor.readWatermark(out.toString).contains("host=h5/part=b"))
+    add("host=h6/part=d", 1)
+    assert(pass(Compactor.WatermarkOn) == 1)
+    // and AUTO mode IGNORES a mark it would not have installed: the
+    // below-mark backfill is still found by the default path
+    add("host=h0/part=e", 1)
+    assert(pass() == 1)
+    assert(spark.read.parquet(out.toString).count() == seq)
   }
 
   test("LakeFlusher lifecycle: start/drain/stop, restart ships nothing twice") {
