@@ -66,10 +66,15 @@ MODES = {
         # t11/t14 are the token-budget pack whose distributed prefix-sum
         # is the r8 change — t14 puts 90% of the corpus in ONE stratum,
         # the shape the single-window plan serialized on
+        # t15 (segment dedup) is the one r8 query with explode
+        # amplification (~10 chunk rows/doc) — expected in the dedup
+        # family band; t16 (domain mix) is per-row work + a
+        # |sources|-row aggregate — expected near-flat like t13
         "sfdir": f"{REPO}/benchdata/sf10",
         "queries": ["t10_sample_stratified", "t11_token_budget_pack",
                     "t12_repetition_ratio", "t13_corpus_split",
-                    "t14_token_budget_pack_skew"],
+                    "t14_token_budget_pack_skew", "t15_segment_dedup",
+                    "t16_domain_mix"],
         "iters": 2,
         "out": f"{REPO}/BENCH_sf10_curation_probe.json",
         "scale": 100,
