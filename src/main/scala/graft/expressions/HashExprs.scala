@@ -331,6 +331,110 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** `dot_product(a, b)`: the dot-accumulation half of [[CosineSim]],
+  * for pair-scoring plans that hoist the per-row norms out of the pair
+  * loop ([[VecNorm]]). The fold is operation-for-operation CosineSim's
+  * dot term (ascending index over the common prefix, double
+  * accumulation), and IEEE addition of the dot terms is independent of
+  * the interleaved norm accumulations there, so
+  * `dot_product(a,b) / (vec_norm(a) * vec_norm(b))` is BIT-IDENTICAL
+  * to `cosine_sim(a,b)` — pinned by NativeExprParitySpec. Worth it
+  * when pairs >> rows: the per-pair kernel drops from 6 to 2 flops per
+  * element plus both trailing-norm loops.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryDelegateCodegen {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+  /** Inlined codegen (not the delegate): this kernel runs once per
+    * candidate PAIR — see CosineSim.doGenCode for why the virtual call
+    * is worth eliminating on pair-scoring paths. On the (universal in
+    * practice) UnsafeArrayData layout it goes one step further and
+    * reads the packed float region through Platform directly: the
+    * interface loop pays ~2n virtual `getFloat` dispatches per pair,
+    * which at quadratic pair counts dominates the arithmetic itself.
+    * Same memory reads in the same ascending order — `getFloat(i)` IS
+    * `Platform.getFloat(base, elemOff + 4i)` (null bits unchecked in
+    * both, exactly like CosineSim) — so the result is bit-identical.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val ua = ctx.freshName("ua"); val ub = ctx.freshName("ub")
+      val ao = ctx.freshName("ao"); val bo = ctx.freshName("bo")
+      val ap = ctx.freshName("ap"); val bp = ctx.freshName("bp")
+      val UAD = "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+      val PLT = "org.apache.spark.unsafe.Platform"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |if ($a instanceof $UAD && $b instanceof $UAD) {
+         |  $UAD $ua = ($UAD) $a;
+         |  $UAD $ub = ($UAD) $b;
+         |  Object $ao = $ua.getBaseObject();
+         |  Object $bo = $ub.getBaseObject();
+         |  long $ap = $ua.getBaseOffset() +
+         |    $UAD.calculateHeaderPortionInBytes($ua.numElements());
+         |  long $bp = $ub.getBaseOffset() +
+         |    $UAD.calculateHeaderPortionInBytes($ub.numElements());
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $PLT.getFloat($ao, $ap + (((long) $i) << 2)) *
+         |            (double) $PLT.getFloat($bo, $bp + (((long) $i) << 2));
+         |  }
+         |} else {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $a.getFloat($j) * (double) $b.getFloat($j);
+         |  }
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** `vec_norm(v)`: sqrt of the sum of squares over the FULL array —
+  * exactly [[CosineSim]]'s na/nb fold. CosineSim accumulates each norm
+  * in ascending index order (common prefix in the main loop, trailing
+  * elements after), which for a single array is one ascending pass, so
+  * the partial sums — and the sqrt — are IEEE-identical to this loop.
+  * Computed once per ROW, so the delegate-codegen path is fine.
+  */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var na = 0.0
+    var i = 0
+    while (i < a.numElements()) {
+      val x = a.getFloat(i).toDouble
+      na += x * x
+      i += 1
+    }
+    math.sqrt(na)
+  }
+  override protected def withNewChildInternal(c: Expression): VecNorm =
+    copy(child = c)
+  override def prettyName: String = "vec_norm"
+}
+
 /** `jaccard_sim(a, b)` over two string arrays: |distinct(a) ∩
   * distinct(b)| / |distinct(a) ∪ distinct(b)| as double — value-
   * identical to size(array_intersect)/size(array_union) on
@@ -495,6 +599,11 @@ object NativeFns {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vec_norm(v: Column): Column =
+    ColumnBridge.column(VecNorm(ColumnBridge.expression(v)))
   def jaccard_sim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -377,35 +377,63 @@ object Dedup {
     * n/(2·cellCap) copies of the hot cell's rows — the price of exact
     * all-pairs semantics; cap it by raising cellCap or pre-thinning the
     * cell.
+    *
+    * == Pair-kernel shape (the 100× wall) ==
+    * The candidate pair table is quadratic in cell size (sf10: 2.0G
+    * pairs from 200K rows), so everything per-pair is hot and anything
+    * per-row is free. Three consequences, measured at sf10:
+    *  - Norms are hoisted: each row carries `vec_norm(v)` (one fold per
+    *    ROW) and the per-pair kernel is dot-only —
+    *    `dot/(norm_a*norm_b)` is bit-identical to `cosine_sim` (same
+    *    fold order; pinned by NativeExprParitySpec), at 1/3 the flops.
+    *  - The cosine runs FUSED in the join stage and the old
+    *    `repartition(par)` is gone: it existed to rebalance the kernel
+    *    when the join's key count capped parallelism, but it shuffled
+    *    the full unfiltered pair table — vectors aboard — to score it
+    *    elsewhere. Balance comes from the key count instead (below).
+    *  - `cellCap` defaults to 1024, not 4096: sub-groups this size keep
+    *    a hot cell's join fan-out at g(g+1)/2 ≈ 200+ keys (smooths the
+    *    per-task pair-count spread that made the fused kernel straggle
+    *    at 150 keys), keep the SMJ buffered group under its 4096-row
+    *    in-memory threshold, and keep each group's vectors (~300 KB)
+    *    cache-resident under the 32-thread pair scan. Same output for
+    *    any cellCap — this is purely a physical knob.
     */
   def embeddingPairs(df: DataFrame, idCol: Column, vecCol: Column,
                      cellCol: Column, minCos: Double,
-                     cellCap: Int = 4096): DataFrame = {
+                     cellCap: Int = 1024): DataFrame = {
     require(cellCap >= 1)
-    val par = df.sparkSession.sessionState.conf.numShufflePartitions
     val e = df.select(idCol.as("id"), vecCol.as("v"), cellCol.as("cell"))
+      .withColumn("_nm", graft.expressions.NativeFns.vec_norm(col("v")))
     val sized = e.join(
       e.groupBy("cell").agg(count(lit(1)).as("_n")), "cell")
       .withColumn("_g", greatest(lit(1L),
         ceil(col("_n") / lit(cellCap.toDouble))).cast("int"))
       .withColumn("_my", pmod(xxhash64(col("id")), col("_g")).cast("int"))
     val a = sized.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"),
-      col("_my").as("_lo_a"),
+      col("_nm").as("_nm_a"), col("_my").as("_lo_a"),
       explode(sequence(col("_my"), col("_g") - 1)).as("_hi"))
       .withColumnRenamed("_lo_a", "_lo")
     val b = sized.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
-      col("_my").as("_hi_b"),
+      col("_nm").as("_nm_b"), col("_my").as("_hi_b"),
       explode(sequence(lit(0), col("_my"))).as("_lo"))
       .withColumnRenamed("_hi_b", "_hi")
-    a.join(b, Seq("cell", "_lo", "_hi"))
+    // Pin the pair stage's width: AQE coalesces shuffles by BYTES, and
+    // the exploded sides are small (sf10: ~600 MB) while the stage's
+    // work is quadratic in its input — left to AQE the kernel runs ~10
+    // partitions wide. An explicit hash repartition on the join keys is
+    // exempt from coalescing, feeds the SMJ with no extra exchange, and
+    // 4 waves of tasks smooth the per-key pair-count spread.
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    val aP = a.repartition(4 * par, col("cell"), col("_lo"), col("_hi"))
+    val bP = b.repartition(4 * par, col("cell"), col("_lo"), col("_hi"))
+    aP.join(bP, Seq("cell", "_lo", "_hi"))
       // same-group keys (i,i) see both orientations plus self-pairs:
       // keep one; cross-group keys see each pair once already
       .filter(col("_lo") =!= col("_hi") || col("id_a") < col("id_b"))
-      // redistribute the pair table before the compute-bound cosine:
-      // with fewer cells than cores the cell-join's output partitioning
-      // would cap parallelism at |cells|
-      .repartition(par)
-      .withColumn("cos", round(VecFns.cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("cos", round(
+        graft.expressions.NativeFns.dot_product(col("v_a"), col("v_b")) /
+          (col("_nm_a") * col("_nm_b")), 6))
       .filter(col("cos") > minCos)
       .select(col("cell"),
         least(col("id_a"), col("id_b")).as("id_a"),

@@ -129,4 +129,34 @@ class NativeExprParitySpec extends SparkSpec {
     // bitwise equality, not approx — oracles depend on it
     assert(pairs.filter(not($"native" <=> $"decl")).count() == 0)
   }
+
+  test("dot_product/(vec_norm*vec_norm) == cosine_sim (bitwise, incl. codegen)") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    // embeddingPairs hoists the norms out of its pair kernel on the
+    // claim that the decomposed form is IEEE-identical to the fused
+    // CosineSim fold — d05's oracle hash rests on this equality.
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"), ($"vec_id" % 10).as("m"))
+      .withColumn("na", NativeFns.vec_norm($"va"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"), ($"vec_id" % 10).as("m"))
+      .withColumn("nb", NativeFns.vec_norm($"vb"))
+    def cmp(): Long = a.join(b, "m").filter($"id_a" < $"id_b").limit(5000)
+      .select(
+        (NativeFns.dot_product($"va", $"vb") / ($"na" * $"nb")).as("decomposed"),
+        VecFns.cosine($"va", $"vb").as("fused"))
+      .filter(not($"decomposed" <=> $"fused")).count()
+    assert(cmp() == 0)
+    withCodegenOnly { assert(cmp() == 0) }
+    // unequal lengths: CosineSim folds trailing elements of the longer
+    // array into its norm; vec_norm runs the full array — same values
+    val ragged = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f)),
+      (Array(0.1f), Array(0.2f, 0.9f, -0.4f, 7.0f))).toDF("x", "y")
+      .select(
+        (NativeFns.dot_product($"x", $"y") /
+          (NativeFns.vec_norm($"x") * NativeFns.vec_norm($"y"))).as("decomposed"),
+        VecFns.cosine($"x", $"y").as("fused"))
+    assert(ragged.filter(not($"decomposed" <=> $"fused")).count() == 0)
+  }
 }
