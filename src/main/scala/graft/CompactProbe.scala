@@ -36,15 +36,22 @@ import org.apache.spark.sql.functions._
   *     volume (~130 MB) is tiny; it is the FILE COUNT being probed.
   *
   * Usage: runMain graft.CompactProbe <inputDir> <outputDir>
-  *        [targetBundleBytes]
-  * Emits one JSON line (last stdout line) and writes
-  * BENCH_smallfile_probe.json in the cwd.
+  *        [targetBundleBytes] [layout]
+  * `layout` (default `flat`) picks the late-delta partition path and the
+  * artifact name: `flat` drops the delta under `date=2099-01-01/hour=00`
+  * and writes BENCH_smallfile_probe.json; `nested` uses the reference
+  * flusher's own `year=/month=/day=` shape (`year=2099/month=01/day=01`)
+  * and writes BENCH_smallfile_probe_nested.json — same tree depth as the
+  * lake under probe, so the full-relative-path watermark is exercised at
+  * its real granularity.
   */
 object CompactProbe {
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
     val outDir = args(1)
     val targetBytes = if (args.length > 2) args(2).toLong else 8L << 20
+    val layout = if (args.length > 3) args(3) else "flat"
+    require(layout == "flat" || layout == "nested", s"bad layout: $layout")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -148,7 +155,10 @@ object CompactProbe {
     // rerunnable over the same tree — leaving it would make the next
     // run's "no-op" phase see 1,003,000 files and silently break
     // cross-run comparability.
-    val deltaDir = java.nio.file.Paths.get(inDir, "date=2099-01-01", "hour=00")
+    val deltaDir =
+      if (layout == "nested")
+        java.nio.file.Paths.get(inDir, "year=2099", "month=01", "day=01")
+      else java.nio.file.Paths.get(inDir, "date=2099-01-01", "hour=00")
     java.nio.file.Files.createDirectories(deltaDir)
     val deltaN = 1000
     val (deltaBundles, tIncrDelta, lakeRows2) =
@@ -166,8 +176,19 @@ object CompactProbe {
         (0 until deltaN).foreach { i =>
           java.nio.file.Files.deleteIfExists(deltaDir.resolve(f"ev-$i%05d.json"))
         }
-        java.nio.file.Files.deleteIfExists(deltaDir)
-        java.nio.file.Files.deleteIfExists(deltaDir.getParent)
+        // unwind every partition level the delta created (2 for flat,
+        // 3 for nested), stopping at the lake root
+        def empty(p: java.nio.file.Path): Boolean = {
+          val s = java.nio.file.Files.list(p)
+          try !s.findFirst().isPresent finally s.close()
+        }
+        var d = deltaDir
+        val stop = java.nio.file.Paths.get(inDir)
+        while (d != null && d != stop &&
+            java.nio.file.Files.isDirectory(d) && empty(d)) {
+          java.nio.file.Files.deleteIfExists(d)
+          d = d.getParent
+        }
       }
     require(deltaBundles > 0 && lakeRows2 == nFiles + deltaN,
       s"delta pass: bundles=$deltaBundles rows=$lakeRows2 expected=${nFiles + deltaN}")
@@ -177,7 +198,7 @@ object CompactProbe {
     val peakMb = peakHeap.get() / (1024 * 1024)
     def f2(d: Double) = math.round(d * 100.0) / 100.0
     val json =
-      s"""{"metric":"smallfile_compaction","n_files":$nFiles,""" +
+      s"""{"metric":"smallfile_compaction","layout":"$layout","n_files":$nFiles,""" +
       s""""listing_sec":${f2(tList)},"assign_sec":${f2(tAssign)},""" +
       s""""full_compact_sec":${f2(tFull)},"incr_noop_sec":${f2(tIncrNoop)},""" +
       s""""incr_noop_hwm_sec":${f2(tIncrNoopHwm)},""" +
@@ -186,8 +207,10 @@ object CompactProbe {
       s""""target_bundle_bytes":$targetBytes,""" +
       s""""peak_driver_heap_mb":$peakMb,"driver_heap_max_mb":$heapMax,""" +
       s""""open_cost_bytes":65536,"cpus":$cpus,"verified_rows":$lakeRows2,"errors":0}"""
+    val artifact = if (layout == "nested") "BENCH_smallfile_probe_nested.json"
+                   else "BENCH_smallfile_probe.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_smallfile_probe.json"),
+      java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
     println(json)
