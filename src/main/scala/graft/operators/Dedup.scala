@@ -381,23 +381,26 @@ object Dedup {
     * == Pair-kernel shape (the 100× wall) ==
     * The candidate pair table is quadratic in cell size (sf10: 2.0G
     * pairs from 200K rows), so everything per-pair is hot and anything
-    * per-row is free. Three consequences, measured at sf10:
+    * per-row or per-GROUP is free. The plan therefore never builds a
+    * pair-per-row table at all:
     *  - Norms are hoisted: each row carries `vec_norm(v)` (one fold per
     *    ROW) and the per-pair kernel is dot-only —
     *    `dot/(norm_a*norm_b)` is bit-identical to `cosine_sim` (same
-    *    fold order; pinned by NativeExprParitySpec), at 1/3 the flops.
-    *  - The cosine runs FUSED in the join stage and the old
-    *    `repartition(par)` is gone: it existed to rebalance the kernel
-    *    when the join's key count capped parallelism, but it shuffled
-    *    the full unfiltered pair table — vectors aboard — to score it
-    *    elsewhere. Balance comes from the key count instead (below).
-    *  - `cellCap` defaults to 1024, not 4096: sub-groups this size keep
-    *    a hot cell's join fan-out at g(g+1)/2 ≈ 200+ keys (smooths the
-    *    per-task pair-count spread that made the fused kernel straggle
-    *    at 150 keys), keep the SMJ buffered group under its 4096-row
-    *    in-memory threshold, and keep each group's vectors (~300 KB)
-    *    cache-resident under the 32-thread pair scan. Same output for
-    *    any cellCap — this is purely a physical knob.
+    *    fold order; pinned by NativeExprParitySpec).
+    *  - Each (cell, sub-group) collects to ONE array row of
+    *    (id, vec, norm); the triangle's group-PAIR table (g(g+1)/2 rows
+    *    per split cell — thousands of rows, not billions) is the only
+    *    join, and [[graft.expressions.ScoredPairs]] scores a whole
+    *    group-pair per call on unpacked primitive arrays, emitting only
+    *    survivors. A pair-per-row join paid ~600ns/pair of joined-row
+    *    glue and accessor dispatch — 6x the arithmetic it fed.
+    *  - A round-robin `repartition` of the group-pair table pins the
+    *    scoring stage's width: per row the work is ~cellCap²/2 dots,
+    *    which AQE — coalescing by BYTES — cannot see.
+    *  - `cellCap` (default 1024) bounds the per-call unpacked arrays
+    *    (~300 KB at dim 64) and the per-row work; the hot cell fans to
+    *    g(g+1)/2 group-pair rows. Same output for any cellCap — purely
+    *    a physical knob.
     */
   def embeddingPairs(df: DataFrame, idCol: Column, vecCol: Column,
                      cellCol: Column, minCos: Double,
@@ -410,33 +413,20 @@ object Dedup {
       .withColumn("_g", greatest(lit(1L),
         ceil(col("_n") / lit(cellCap.toDouble))).cast("int"))
       .withColumn("_my", pmod(xxhash64(col("id")), col("_g")).cast("int"))
-    val a = sized.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"),
-      col("_nm").as("_nm_a"), col("_my").as("_lo_a"),
-      explode(sequence(col("_my"), col("_g") - 1)).as("_hi"))
-      .withColumnRenamed("_lo_a", "_lo")
-    val b = sized.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"),
-      col("_nm").as("_nm_b"), col("_my").as("_hi_b"),
-      explode(sequence(lit(0), col("_my"))).as("_lo"))
-      .withColumnRenamed("_hi_b", "_hi")
-    // Pin the pair stage's width: AQE coalesces shuffles by BYTES, and
-    // the exploded sides are small (sf10: ~600 MB) while the stage's
-    // work is quadratic in its input — left to AQE the kernel runs ~10
-    // partitions wide. An explicit hash repartition on the join keys is
-    // exempt from coalescing, feeds the SMJ with no extra exchange, and
-    // 4 waves of tasks smooth the per-key pair-count spread.
+    val grouped = sized.groupBy(col("cell"), col("_my"))
+      .agg(collect_list(struct(col("id"), col("v"), col("_nm"))).as("_rows"))
+    val ga = grouped.select(col("cell"), col("_my").as("_lo"),
+      col("_rows").as("_ra"))
+    val gb = grouped.select(col("cell"), col("_my").as("_hi"),
+      col("_rows").as("_rb"))
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
-    val aP = a.repartition(4 * par, col("cell"), col("_lo"), col("_hi"))
-    val bP = b.repartition(4 * par, col("cell"), col("_lo"), col("_hi"))
-    aP.join(bP, Seq("cell", "_lo", "_hi"))
-      // same-group keys (i,i) see both orientations plus self-pairs:
-      // keep one; cross-group keys see each pair once already
-      .filter(col("_lo") =!= col("_hi") || col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        graft.expressions.NativeFns.dot_product(col("v_a"), col("v_b")) /
-          (col("_nm_a") * col("_nm_b")), 6))
-      .filter(col("cos") > minCos)
+    ga.join(gb, Seq("cell")).filter(col("_lo") <= col("_hi"))
+      // round-robin the group-pair rows: each carries ~cellCap²/2 dots
+      // of hidden work, so balance by ROW COUNT, explicitly pinned
+      // (AQE would coalesce this KB-scale-looking exchange to nothing)
+      .repartition(4 * par)
       .select(col("cell"),
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+        graft.expressions.ScoredPairs(col("_ra"), col("_rb"),
+          col("_lo") === col("_hi"), minCos).as(Seq("id_a", "id_b", "cos")))
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFns, VecFns}
 
@@ -158,5 +159,33 @@ class NativeExprParitySpec extends SparkSpec {
           (NativeFns.vec_norm($"x") * NativeFns.vec_norm($"y"))).as("decomposed"),
         VecFns.cosine($"x", $"y").as("fused"))
     assert(ragged.filter(not($"decomposed" <=> $"fused")).count() == 0)
+  }
+
+  test("scored_pairs generator == join + round(cosine) (bitwise), incl. split cells") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // embeddingPairs scores pairs inside the ScoredPairs generator:
+    // ids, rounding, survivor test, and the cosine itself must match
+    // the declarative join formulation BIT FOR BIT — d05's oracle and
+    // the sf10 checksum rest on it.
+    val e = Tables.load(spark, sf0001, "embeddings")
+    def reference(minCos: Double): DataFrame = {
+      val s = e.select($"vec_id".as("id"), $"embedding".as("v"), $"label".as("cell"))
+      val a = s.toDF("id_a", "v_a", "cell")
+      val b = s.toDF("id_b", "v_b", "cell")
+      a.join(b, "cell").filter($"id_a" < $"id_b")
+        .withColumn("cos", round(VecFns.cosine($"v_a", $"v_b"), 6))
+        .filter($"cos" > minCos)
+        .select($"cell", $"id_a", $"id_b", $"cos")
+    }
+    for (cap <- Seq(Int.MaxValue, 40)) { // unsplit cells AND the triangle path
+      val got = Dedup.embeddingPairs(e, $"vec_id", $"embedding", $"label",
+        minCos = 0.3, cellCap = cap)
+      val diff = got.toDF("cell", "id_a", "id_b", "cos_g")
+        .join(reference(0.3), Seq("cell", "id_a", "id_b"), "full_outer")
+        .filter(not($"cos_g" <=> $"cos"))
+      assert(diff.count() == 0, s"cellCap=$cap diverged")
+      assert(got.count() > 0)
+    }
   }
 }
