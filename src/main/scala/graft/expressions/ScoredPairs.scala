@@ -68,6 +68,8 @@ case class ScoredPairs(rowsA: Expression, rowsB: Expression,
     (ids, vecs, nms)
   }
 
+  @transient private lazy val preGate: Double = minCos - 1e-6
+
   /** Spark's round(x, 6) for DoubleType: HALF_UP through BigDecimal,
     * non-finite values unchanged (BigDecimal.valueOf would throw). */
   private def round6(x: Double): Double =
@@ -108,12 +110,21 @@ case class ScoredPairs(rowsA: Expression, rowsB: Expression,
             var dot = 0.0
             var k = 0
             while (k < n) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-            val cos = round6(dot / (nmsA(i) * nmsB(j - 1)))
-            // Catalyst double ordering: NaN greatest
-            if (java.lang.Double.compare(cos, minCos) > 0) {
-              val ia = idsA(i); val ib = idsB(j - 1)
-              nextRow = new GenericInternalRow(Array[Any](
-                math.min(ia, ib), math.max(ia, ib), cos))
+            val raw = dot / (nmsA(i) * nmsB(j - 1))
+            // margin prefilter: HALF_UP to 6 decimals moves a finite
+            // value by < 1e-6, so raw below minCos - 1e-6 can never
+            // round above minCos — the BigDecimal rounding (an
+            // allocation per call) runs only for the ~1% of pairs near
+            // or past the threshold. NaN falls through: Catalyst's
+            // double ordering treats it as greatest, so the exact test
+            // below must see it.
+            if (raw >= preGate || java.lang.Double.isNaN(raw)) {
+              val cos = round6(raw)
+              if (java.lang.Double.compare(cos, minCos) > 0) {
+                val ia = idsA(i); val ib = idsB(j - 1)
+                nextRow = new GenericInternalRow(Array[Any](
+                  math.min(ia, ib), math.max(ia, ib), cos))
+              } else advance()
             } else advance()
           } else advance()
         }
