@@ -3,12 +3,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object Prof {
   def main(args: Array[String]): Unit = {
+    // Prof [sfDir] — with an explicit sfDir only the dedup-stage
+    // profile runs (SPARK_GRAFT_SHUFFLE sizes the shuffle like the
+    // scale probes); with none, the full sf0.1 profile + compaction
+    // throughput sections run.
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE","32"))
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val d = "/root/testdata/sf0.1"
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     def t[A](n: String)(f: => A): Unit = {
       val t0 = System.nanoTime(); f
       println(f"$n%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s")
@@ -21,6 +26,7 @@ object Prof {
     t("lshKeys (minhash)")(keys.count())
     t("candidates")(operators.Dedup.candidatesFromShingles(sh, 16, 4).count())
     t("jaccard full")(operators.Dedup.jaccardPairs(docs, $"doc_id", $"text").count())
+    if (args.nonEmpty) { spark.stop(); return }
 
     // compaction throughput on a generated small-file lake (the
     // reference's headline workload): n files of ~2 KB each -> 1 MB

@@ -467,6 +467,47 @@ case class JaccardSim(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sim"
 }
 
+/** `jaccard_sim_sorted(a, b)`: [[JaccardSim]] for inputs that are
+  * ALREADY sorted and duplicate-free (e.g. a shingle table built with
+  * `array_sort(array_distinct(...))`) — the intersection is a single
+  * allocation-free merge walk instead of two per-pair hash-set builds.
+  * On the refinement join the pair table is quadratic in cluster size
+  * while the shingle table is linear in the corpus, so sorting once per
+  * DOC to make every PAIR cheap is the right trade at any scale.
+  * Value-identical to [[JaccardSim]] on sorted-distinct inputs (pinned
+  * by NativeExprParitySpec); on unsorted input the result is undefined.
+  * Ordering must match `array_sort`'s StringType ordering — both are
+  * `UTF8String.compareTo` (binary byte order).
+  */
+case class JaccardSimSorted(left: Expression, right: Expression)
+    extends BinaryExpression with GraftBinaryDelegateCodegen {
+  override def dataType: DataType = DoubleType
+  // empty-union inputs produce a null RESULT even for non-null children
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na + nb == 0) return null
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    inter.toDouble / union.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSimSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sim_sorted"
+}
+
 /** `hyperplane_bucket(vec, nPlanes)`: sign-LSH bucket id for an
   * `array<float>` embedding — bit p of the result is the sign of the
   * dot product with pseudo-random hyperplane p. Hyperplanes are
@@ -606,6 +647,9 @@ object NativeFns {
     ColumnBridge.column(VecNorm(ColumnBridge.expression(v)))
   def jaccard_sim(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def jaccard_sim_sorted(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSimSorted(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def hyperplane_bucket(vec: Column, nPlanes: Int, dim: Int): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec), nPlanes, dim))

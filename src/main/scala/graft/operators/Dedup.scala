@@ -106,8 +106,15 @@ object Dedup {
       val par = df.sparkSession.sessionState.conf.numShufflePartitions
       df.select(idCol.as("doc_id"), textCol.as("_text"))
         .repartition(par)
+        // sorted-distinct ONCE per doc: every consumer is set-based
+        // (minhash = min over per-element md5, so duplicates are wasted
+        // digests; the refinement jaccard is |A∩B|/|A∪B|; d08 explodes
+        // into a distinct), and pre-sorting lets the per-PAIR jaccard —
+        // the only per-candidate cost in the family — run as an
+        // allocation-free merge walk instead of two hash-set builds.
         .select(col("doc_id"),
-          graft.expressions.NativeFns.word_shingles(col("_text"), shingleN).as("sh"))
+          array_sort(array_distinct(
+            graft.expressions.NativeFns.word_shingles(col("_text"), shingleN))).as("sh"))
     }
 
   /** (doc_id, band_idx, band_hash) LSH keys from a shingle table. */
@@ -151,15 +158,24 @@ object Dedup {
     val sh = shingleTable(df, idCol, textCol, shingleN)
     // memoize the UNFILTERED scored pair table (|candidates| rows —
     // tiny), so callers at different thresholds (d04/d07 at 0.3,
-    // p01/p02 at 0.8) share one refinement join, not just the minhash
+    // p01/p02 at 0.8) share one refinement join, not just the minhash.
+    // The memo stores the RAW similarity: HALF_UP rounding to 6
+    // decimals moves a value by at most 5e-7, so a raw-margin prefilter
+    // makes the per-pair BigDecimal a survivors-only cost (the d05
+    // recipe), and the exact filter on the rounded value keeps the
+    // caller-visible threshold semantics bit-identical.
     val scored = memoized(s"jac:${dfKey(sh)}:$k:$bands") {
       candidatesFromShingles(sh, k, bands)
         .join(sh.toDF("doc_a", "sh_a"), "doc_a")
         .join(sh.toDF("doc_b", "sh_b"), "doc_b")
-        .withColumn("jaccard", round(TextFns.jaccardSim(col("sh_a"), col("sh_b")), 6))
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .withColumn("_jac_raw",
+          graft.expressions.NativeFns.jaccard_sim_sorted(col("sh_a"), col("sh_b")))
+        .select(col("doc_a"), col("doc_b"), col("_jac_raw"))
     }
-    scored.filter(col("jaccard") >= minSim)
+    scored.filter(col("_jac_raw") >= minSim - 1e-6)
+      .withColumn("jaccard", round(col("_jac_raw"), 6))
+      .filter(col("jaccard") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Per-document SimHash fingerprint (bitstring). Documents sharing the

@@ -56,6 +56,27 @@ class NativeExprParitySpec extends SparkSpec {
     assert(pairs.filter(not($"native" <=> $"decl")).count() == 0)
   }
 
+  test("sorted-merge jaccard == hash-set jaccard on sorted-distinct inputs") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    val sh = array_sort(array_distinct(NativeFns.word_shingles($"text", 3)))
+    val docs = Tables.load(spark, sf0001, "documents").select($"doc_id", sh.as("sh"))
+    val a = docs.toDF("ida", "sha").filter($"ida" % 7 === 0)
+    val b = docs.toDF("idb", "shb").filter($"idb" % 11 === 0)
+    val pairs = a.crossJoin(b)
+      .select(NativeFns.jaccard_sim_sorted($"sha", $"shb").as("merged"),
+        NativeFns.jaccard_sim($"sha", $"shb").as("hashed"))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(not($"merged" <=> $"hashed")).count() == 0)
+    // empty-vs-empty is null (0/0), empty-vs-nonempty is 0.0, null in = null out
+    val edge = Seq((Some(Seq[String]()), Some(Seq[String]())),
+      (Some(Seq[String]()), Some(Seq("a b c"))),
+      (None, Some(Seq("a b c")))).toDF("x", "y")
+      .select(NativeFns.jaccard_sim_sorted($"x", $"y").as("merged"),
+        NativeFns.jaccard_sim($"x", $"y").as("hashed"))
+    assert(edge.filter(not($"merged" <=> $"hashed")).count() == 0)
+  }
+
   test("native range_bucket == chained-when fold, including boundary hits") {
     import spark.implicits._
     import graft.expressions.NativeFns
