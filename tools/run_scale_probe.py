@@ -82,6 +82,24 @@ MODES = {
         # the pack's per-(stratum,bucket) windows sort 100x rows
         "probe_shuffle": 256,
     },
+    "ann": {
+        # the similarity/kNN family over the 100x embedding corpus —
+        # the one operator family with no prior 100x datapoint. The
+        # query side is a fixed handful of vectors, so every variant
+        # must scale ~linearly in the CORPUS: s01 brute-force streams
+        # the corpus once per probe; s02/s03 are bucketed equi-joins
+        # whose candidate sets grow with bucket occupancy; s04's cost
+        # is dominated by IVF training (sampled k-means) + the
+        # nearest-centroid corpus pass
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["s01_knn_bruteforce", "s02_knn_by_cell",
+                    "s03_knn_lsh", "s04_knn_ivf"],
+        "iters": 2,
+        "out": f"{REPO}/BENCH_sf10_ann_probe.json",
+        "scale": 100,
+        # partitions scale with data (same rule as the dedup probe)
+        "probe_shuffle": 256,
+    },
     "asof": {
         # same sf10join corpus (make_sf10_join.py scales events since
         # r7): 2M purchase events as-of 15M orders — the one heavy query
