@@ -38,17 +38,6 @@ object HashExprs {
     toHex(digest.digest(bytes))
   }
 
-  /** md5 of `prefix ++ body` without materializing the concatenation
-    * (MessageDigest streams updates; same digest, no copy).
-    */
-  private[expressions] def md5Hex2(digest: MessageDigest, prefix: Array[Byte],
-                                   body: Array[Byte]): Array[Byte] = {
-    digest.reset()
-    digest.update(prefix)
-    digest.update(body)
-    toHex(digest.digest())
-  }
-
   private def toHex(d: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](32)
     var i = 0
@@ -58,18 +47,6 @@ object HashExprs {
       i += 1
     }
     out
-  }
-
-  /** Lexicographic compare of two ascii byte arrays (hex digests are
-    * equal-length ascii, so unsigned byte order == string order).
-    */
-  private[expressions] def less(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length && i < b.length) {
-      if (a(i) != b(i)) return (a(i) & 0xff) < (b(i) & 0xff)
-      i += 1
-    }
-    a.length < b.length
   }
 
   /** Java cast/unbox for a `compute` result of the given Catalyst type. */
@@ -139,47 +116,94 @@ trait GraftBinaryDelegateCodegen extends BinaryExpression {
   }
 }
 
-/** `minhash_sig(shingles, k)`: array of k hex strings, element i =
-  * min over shingles of md5(i + ":" + shingle). Value-identical to
-  * TextFns.minhashSignature's declarative form.
+/** `minhash_sig(shingles, k)`: array of k longs, element i =
+  * min over shingles of `(A_i * x + B_i) mod (2^31 - 1)`, where `x` is
+  * the first unsigned 32-bit word of md5(shingle) and `A_i`/`B_i` are
+  * fixed per-position coefficients derived from md5("perm:i") — ONE
+  * digest per shingle and k multiply-adds, vs the salted-rehash
+  * family's k digests per shingle (the dominant cost of LSH candidate
+  * generation at scale). Independent coefficients PER POSITION are what
+  * keep band hashes decorrelated (the same construction Spark MLlib's
+  * MinHashLSH uses); a family linear in `i` itself (h_i = a + i*b) is
+  * smooth across positions and was measured to inflate the sf10
+  * candidate set ~7x. A_i < 2^30 and x < 2^32 keep every intermediate
+  * below 2^62, so the identical formula runs in DuckDB BIGINT
+  * arithmetic (hex-substr casts of the same digests) without overflow.
+  * Value-identical to TextFns.minhashSignature's declarative form
+  * (conv-on-hex), pinned by NativeExprParitySpec. Empty input yields
+  * null elements, matching `array_min([])` and DuckDB `list_min([])`.
   */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with GraftUnaryDelegateCodegen {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = child.nullable
 
   // one digest per thread: the same expression instance can be evaluated
   // concurrently by several local-mode task threads
   @transient private lazy val digestTL =
     ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
-  @transient private lazy val saltBytes: Array[Array[Byte]] =
-    Array.tabulate(k)(i => s"$i:".getBytes("UTF-8"))
+  // per-position permutation coefficients — MUST match the declarative
+  // twin and the DuckDB oracles: md5("perm:i") hex chars 1-8 (mod 2^30,
+  // +1 so A_i != 0) and 9-16
+  @transient private lazy val permA: Array[Long] =
+    Array.tabulate(k)(i => MinHashSig.word(s"perm:$i", 0) % MinHashSig.AMod + 1L)
+  @transient private lazy val permB: Array[Long] =
+    Array.tabulate(k)(i => MinHashSig.word(s"perm:$i", 1))
 
   override def nullSafeEval(input: Any): Any = {
     val digest = digestTL.get()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val shingleBytes = new Array[Array[Byte]](n)
+    // one md5 per shingle: x = bytes 0-3 unsigned BE (= hex chars 1-8)
+    val xs = new Array[Long](n)
     var j = 0
-    while (j < n) { shingleBytes(j) = arr.getUTF8String(j).getBytes; j += 1 }
+    while (j < n) {
+      digest.reset()
+      val d = digest.digest(arr.getUTF8String(j).getBytes)
+      xs(j) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8)  |  (d(3) & 0xffL)
+      j += 1
+    }
     val out = new Array[Any](k)
     var i = 0
     while (i < k) {
-      val salt = saltBytes(i)
-      var min: Array[Byte] = null
-      j = 0
-      while (j < n) {
-        val h = HashExprs.md5Hex2(digest, salt, shingleBytes(j))
-        if (min == null || HashExprs.less(h, min)) min = h
-        j += 1
+      if (n == 0) out(i) = null
+      else {
+        val a = permA(i)
+        val b = permB(i)
+        var min = Long.MaxValue
+        j = 0
+        while (j < n) {
+          val h = (a * xs(j) + b) % MinHashSig.Prime
+          if (h < min) min = h
+          j += 1
+        }
+        out(i) = min
       }
-      out(i) = if (min == null) UTF8String.EMPTY_UTF8 else UTF8String.fromBytes(min)
       i += 1
     }
     new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  /** Modulus of the permutation family (2^31 - 1, prime). */
+  val Prime: Long = 2147483647L
+  /** A_i range bound: A_i <= 2^30 keeps A_i * x < 2^62 for x < 2^32. */
+  val AMod: Long = 1073741824L
+
+  /** Unsigned 32-bit word `w` (0 or 1) of md5(text) — hex chars 1-8 /
+    * 9-16, the derivation the DuckDB oracles restate with
+    * `('0x' || substr(md5(t), 1+8*w, 8))::BIGINT`.
+    */
+  private[expressions] def word(text: String, w: Int): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(text.getBytes("UTF-8"))
+    val o = 4 * w
+    ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+      ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+  }
 }
 
 /** `simhash_bits(words, bits)`: '0'/'1' string; bit j set iff

@@ -34,11 +34,15 @@ object TextFns {
         sequence(lit(1), size(words) - (n - 1)),
         i => concat_ws(" ", slice(words, i, lit(n)))))
 
-  /** k-permutation MinHash signature: element i is the lexicographic min
-    * of `md5(i + ":" + shingle)` over all shingles. Dispatches to the
-    * native expression ([[graft.expressions.MinHashSig]]) — the
-    * declarative higher-order form below computes the identical value
-    * but pays per-element lambda interpretation, k x |shingles| times.
+  /** k-permutation MinHash signature: element i is the min over
+    * shingles of `(A_i * x + B_i) mod (2^31-1)`, where x is the first
+    * unsigned 32-bit word of md5(shingle) and A_i/B_i derive from
+    * md5("perm:i") — one digest per shingle, k multiply-adds (the
+    * salted-rehash family paid k digests per shingle). Dispatches to
+    * the native expression ([[graft.expressions.MinHashSig]], which
+    * documents the construction) — the declarative higher-order form
+    * below computes the identical value via conv-on-hex but pays
+    * per-element lambda interpretation.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     graft.expressions.NativeFns.minhash_sig(shingleCol, k)
@@ -48,8 +52,15 @@ object TextFns {
     */
   def minhashSignatureDeclarative(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+      i => {
+        val perm = md5(concat(lit("perm:"), i.cast("string")))
+        val a = conv(substring(perm, 1, 8), 16, 10).cast("long")
+          .mod(lit(graft.expressions.MinHashSig.AMod)) + lit(1L)
+        val b = conv(substring(perm, 9, 8), 16, 10).cast("long")
+        array_min(transform(shingleCol,
+          s => (a * conv(substring(md5(s), 1, 8), 16, 10).cast("long") + b)
+            .mod(lit(graft.expressions.MinHashSig.Prime))))
+      })
 
   /** LSH banding: array of `struct(band_idx, band_hash)` where band_hash
     * is md5 over `rowsPerBand` consecutive signature elements. Explode
@@ -59,8 +70,11 @@ object TextFns {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(
         b.as("band_idx"),
-        md5(concat_ws(",",
-          slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+        // sig is array<long>; decimal-stringify before hashing so the
+        // band key matches DuckDB's array_to_string(sig_slice, ',')
+        md5(array_join(transform(
+          slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          x => x.cast("string")), ","))
           .as("band_hash")))
 
   /** SimHash over word tokens (duplicates weighted by occurrence): bit j

@@ -50,7 +50,10 @@ object PipelineOps extends QuerySet {
              |  ELSE list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
              |  FROM W),
              |M AS (SELECT doc_id,
-             |  list_transform(range(0,16), i -> list_min(list_transform(sh, s2 -> md5(i::VARCHAR || ':' || s2)))) AS sig
+             |  list_transform(range(0,16), i -> list_min(list_transform(sh,
+             |    s2 -> ((('0x' || substr(md5('perm:' || i::VARCHAR),1,8))::BIGINT % 1073741824 + 1)
+             |           * ('0x' || substr(md5(s2),1,8))::BIGINT
+             |           + ('0x' || substr(md5('perm:' || i::VARCHAR),9,8))::BIGINT) % 2147483647))) AS sig
              |  FROM S),
              |B AS (SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
              |  FROM M, (SELECT unnest(range(0,4)) AS b)),
@@ -107,7 +110,10 @@ object PipelineOps extends QuerySet {
              |  ELSE list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
              |  FROM W),
              |M AS (SELECT doc_id,
-             |  list_transform(range(0,16), i -> list_min(list_transform(sh, s2 -> md5(i::VARCHAR || ':' || s2)))) AS sig
+             |  list_transform(range(0,16), i -> list_min(list_transform(sh,
+             |    s2 -> ((('0x' || substr(md5('perm:' || i::VARCHAR),1,8))::BIGINT % 1073741824 + 1)
+             |           * ('0x' || substr(md5(s2),1,8))::BIGINT
+             |           + ('0x' || substr(md5('perm:' || i::VARCHAR),9,8))::BIGINT) % 2147483647))) AS sig
              |  FROM S),
              |B AS (SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
              |  FROM M, (SELECT unnest(range(0,4)) AS b)),
