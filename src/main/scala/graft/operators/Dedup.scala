@@ -372,6 +372,61 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Incremental dedup: flag DELTA documents that duplicate the BASE
+    * corpus — the shape every real 100 TB pipeline actually runs (you
+    * never re-dedup the lake; you dedup today's crawl against it).
+    *
+    * Verdict per flagged delta doc:
+    *  - `exact`: byte-identical text exists in base (md5 equi-join —
+    *    the shuffle carries 32-hex keys, never document bodies);
+    *    match_id = the minimum matching base id.
+    *  - `near`: not exact, and some base doc's shingle-set Jaccard
+    *    >= minSim. Candidates come from the delta band keys equi-joined
+    *    against the BASE band table only (never delta×delta, never
+    *    base×base) — at scale the base band table is the persisted
+    *    index and cost is linear in the DELTA: shingle/minhash runs
+    *    over new documents only, and the candidate join touches the
+    *    index partitions the delta's band hashes land in.
+    *
+    * Unflagged delta docs are novel (absent from the result; callers
+    * anti-join to keep them). Delta-internal duplicates are out of
+    * scope by contract — run the corpus-wide pass (d02/d04/d07) inside
+    * the delta if needed.
+    */
+  def incrementalFlags(base: DataFrame, delta: DataFrame,
+                       idCol: Column, textCol: Column,
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                       minSim: Double = 0.3): DataFrame = {
+    val d = delta.select(idCol.as("doc_id"), md5(textCol).as("_h"))
+    val b = base.select(idCol.as("base_id"), md5(textCol).as("_h"))
+    val exact = d.join(b, "_h")
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("match_id"))
+
+    val shD = shingleTable(delta, idCol, textCol, shingleN)
+    val shB = shingleTable(base, idCol, textCol, shingleN)
+    val cand = lshKeysFromShingles(shD, k, bands)
+      .join(lshKeysFromShingles(shB, k, bands)
+              .toDF("base_id", "band_idx", "band_hash"),
+            Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("base_id")).distinct()
+    // the d04/d05 survivors-only rounding recipe: raw-margin prefilter
+    // (6-decimal HALF_UP moves a value <= 5e-7), exact refilter on the
+    // rounded value keeps threshold semantics bit-identical
+    val near = cand
+      .join(shD, "doc_id")
+      .join(shB.toDF("base_id", "sh_b"), "base_id")
+      .withColumn("_jac_raw",
+        graft.expressions.NativeFns.jaccard_sim_sorted(col("sh"), col("sh_b")))
+      .filter(col("_jac_raw") >= minSim - 1e-6)
+      .filter(round(col("_jac_raw"), 6) >= minSim)
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("match_id"))
+      .join(exact, Seq("doc_id"), "left_anti")
+
+    exact.withColumn("dup_kind", lit("exact"))
+      .unionByName(near.withColumn("dup_kind", lit("near")))
+      .select(col("doc_id"), col("dup_kind"), col("match_id"))
+  }
+
   /** Embedding near-dup: pairs within the same blocking cell whose
     * cosine exceeds `minCos`. Blocking (here: a caller-supplied cell
     * column, e.g. an IVF/LSH bucket or a label) keeps the join from

@@ -13,8 +13,10 @@ import graft.operators.Dedup
   */
 object DedupOps extends QuerySet {
 
-  /** Shared oracle CTE prefix: words and 3-gram shingles. */
-  private val shinglesCte =
+  /** Shared oracle CTE prefix through the band table (W words,
+    * S 3-gram shingles, M 16-perm minhash, B 4-band keys).
+    */
+  private val bandsCte =
     """WITH W AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
       |  FROM documents),
@@ -28,10 +30,13 @@ object DedupOps extends QuerySet {
       |           + ('0x' || substr(md5('perm:' || i::VARCHAR),9,8))::BIGINT) % 2147483647))) AS sig
       |  FROM S),
       |B AS (SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
-      |  FROM M, (SELECT unnest(range(0,4)) AS b)),
-      |C AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
-      |  FROM B a JOIN B c ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
-      |  AND a.doc_id < c.doc_id GROUP BY 1, 2)""".stripMargin
+      |  FROM M, (SELECT unnest(range(0,4)) AS b))""".stripMargin
+
+  /** bandsCte + C: corpus-wide candidate pairs (doc_a < doc_b). */
+  private val shinglesCte = s"""$bandsCte,
+    |C AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS n_shared_bands
+    |  FROM B a JOIN B c ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+    |  AND a.doc_id < c.doc_id GROUP BY 1, 2)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -182,6 +187,37 @@ object DedupOps extends QuerySet {
              |SELECT doc_id, count(*) AS n_hits
              |FROM E JOIN B USING (k)
              |WHERE doc_id % 29 <> 0
-             |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin))
+             |GROUP BY doc_id HAVING count(*) >= 5""".stripMargin)),
+
+    // --- Incremental dedup: flag the DELTA slice (doc_id % 5 = 4)
+    // against the BASE slice (the rest) — exact via md5 equi-join, near
+    // via delta-bands x base-bands LSH + Jaccard refinement. The real
+    // 100 TB shape: cost linear in the delta; the base band table is
+    // the persisted index.
+    Q("d09_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents")
+        Dedup.incrementalFlags(
+          docs.filter($"doc_id" % 5 =!= 4),
+          docs.filter($"doc_id" % 5 === 4),
+          $"doc_id", $"text", shingleN = 3, k = 16, bands = 4, minSim = 0.3)
+      },
+      Some(s"""$bandsCte,
+              |EX AS (SELECT d.doc_id AS doc_id, min(b.doc_id) AS match_id
+              |  FROM documents d JOIN documents b ON md5(d.text) = md5(b.text)
+              |  WHERE d.doc_id % 5 = 4 AND b.doc_id % 5 <> 4 GROUP BY 1),
+              |CAND AS (SELECT DISTINCT a.doc_id AS doc_id, c.doc_id AS base_id
+              |  FROM B a JOIN B c ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+              |  WHERE a.doc_id % 5 = 4 AND c.doc_id % 5 <> 4),
+              |NEAR AS (SELECT cand.doc_id, min(cand.base_id) AS match_id
+              |  FROM CAND cand JOIN S sa ON sa.doc_id = cand.doc_id
+              |  JOIN S sb ON sb.doc_id = cand.base_id
+              |  WHERE round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+              |      / len(list_distinct(sa.sh || sb.sh))::DOUBLE, 6) >= 0.3
+              |    AND cand.doc_id NOT IN (SELECT doc_id FROM EX)
+              |  GROUP BY 1)
+              |SELECT doc_id, 'exact' AS dup_kind, match_id FROM EX
+              |UNION ALL SELECT doc_id, 'near' AS dup_kind, match_id FROM NEAR""".stripMargin))
   )
 }

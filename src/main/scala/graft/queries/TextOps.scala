@@ -474,6 +474,52 @@ object TextOps extends QuerySet {
              |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
              |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
              |       ELSE 'test' END AS split
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // --- PII scan + redaction (graft.operators.Redact). The corpus has
+    // no digits, so PII-shaped spans are planted deterministically from
+    // doc_id — IDENTICALLY on both engines — and the oracle pins the
+    // per-rule counts AND the byte-exact redacted text (via md5).
+    // Patterns are RE2-safe so java.util.regex and DuckDB's RE2 agree.
+    Q("t17_pii_redact",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Redact
+        val m = $"doc_id" % 4
+        val planted = when(m === 0,
+            concat($"text", lit(" reach me at user"), $"doc_id".cast("string"),
+              lit("@mail.example.com today")))
+          .when(m === 1,
+            concat($"text", lit(" call 415-555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" now")))
+          .when(m === 2,
+            concat($"text", lit(" server at 10."), ($"doc_id" % 200).cast("string"),
+              lit(".0."), ($"doc_id" % 250).cast("string"), lit(" port 8080")))
+          .otherwise(
+            concat($"text", lit(" id 123-45-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        val enriched = Tables.load(s, d, "documents").select($"doc_id", planted.as("_t"))
+        enriched.select(
+          $"doc_id" +:
+            Redact.counts($"_t").map { case (n, c) => c.as(s"n_$n") } :+
+            md5(Redact.redact($"_t")).as("redacted_md5"): _*)
+      },
+      Some("""WITH E AS (SELECT doc_id, CASE doc_id % 4
+             |  WHEN 0 THEN text || ' reach me at user' || doc_id::VARCHAR || '@mail.example.com today'
+             |  WHEN 1 THEN text || ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now'
+             |  WHEN 2 THEN text || ' server at 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR || ' port 8080'
+             |  ELSE text || ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') END AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+             |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+             |  len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone,
+             |  len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g')) AS redacted_md5
+             |FROM E""".stripMargin))
   )
 }
