@@ -396,18 +396,32 @@ object Dedup {
   def incrementalFlags(base: DataFrame, delta: DataFrame,
                        idCol: Column, textCol: Column,
                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                       minSim: Double = 0.3): DataFrame = {
+                       minSim: Double = 0.3): DataFrame =
+    incrementalFlagsCore(
+      DedupIndex.frames(base, idCol, textCol, DedupIndex.Meta(shingleN, k, bands)),
+      delta, idCol, textCol, minSim)
+
+  /** [[incrementalFlags]] against a persisted [[DedupIndex]]: the base
+    * side's hashes/bands/shingles come from the index tables (never
+    * recomputed), and the delta is shingled with the index's OWN
+    * parameters — mixed-recipe probes are impossible by construction.
+    */
+  def incrementalFlagsIndexed(index: DedupIndex.Index, delta: DataFrame,
+                              idCol: Column, textCol: Column,
+                              minSim: Double = 0.3): DataFrame =
+    incrementalFlagsCore(index, delta, idCol, textCol, minSim)
+
+  private def incrementalFlagsCore(ix: DedupIndex.Index, delta: DataFrame,
+                                   idCol: Column, textCol: Column,
+                                   minSim: Double): DataFrame = {
     val d = delta.select(idCol.as("doc_id"), md5(textCol).as("_h"))
-    val b = base.select(idCol.as("base_id"), md5(textCol).as("_h"))
-    val exact = d.join(b, "_h")
+    val exact = d.join(ix.hashes, "_h")
       .groupBy(col("doc_id")).agg(min(col("base_id")).as("match_id"))
 
-    val shD = shingleTable(delta, idCol, textCol, shingleN)
-    val shB = shingleTable(base, idCol, textCol, shingleN)
-    val cand = lshKeysFromShingles(shD, k, bands)
-      .join(lshKeysFromShingles(shB, k, bands)
-              .toDF("base_id", "band_idx", "band_hash"),
-            Seq("band_idx", "band_hash"))
+    val shD = shingleTable(delta, idCol, textCol, ix.meta.shingleN)
+    val shB = ix.shingles
+    val cand = lshKeysFromShingles(shD, ix.meta.k, ix.meta.bands)
+      .join(ix.bands, Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("base_id")).distinct()
     // the d04/d05 survivors-only rounding recipe: raw-margin prefilter
     // (6-decimal HALF_UP moves a value <= 5e-7), exact refilter on the

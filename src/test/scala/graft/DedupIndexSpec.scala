@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, DedupIndex}
+
+/** Persisted-index incremental dedup: the indexed path must be
+  * row-identical to the inline base-vs-delta pass, parameters must
+  * travel with the index, and appending the novel slice must make the
+  * next identical delta fully flagged (the day-2 contract).
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def base = docs.filter(col("doc_id") % 5 =!= 4)
+  private def delta = docs.filter(col("doc_id") % 5 === 4)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("indexed flags == inline flags, with parameters taken from the index") {
+    val dir = Files.createTempDirectory("graft-dedup-index").toString
+    DedupIndex.write(dir, base, col("doc_id"), col("text"),
+      shingleN = 3, k = 16, bands = 4)
+
+    val ix = DedupIndex.load(spark, dir)
+    assert(ix.meta == DedupIndex.Meta(3, 16, 4))
+
+    val inline = rows(Dedup.incrementalFlags(
+      base, delta, col("doc_id"), col("text"),
+      shingleN = 3, k = 16, bands = 4, minSim = 0.3))
+    val indexed = rows(Dedup.incrementalFlagsIndexed(
+      ix, delta, col("doc_id"), col("text"), minSim = 0.3))
+
+    assert(inline.nonEmpty, "fixture should produce at least one flag")
+    assert(indexed == inline)
+  }
+
+  test("appendNovel folds the novel slice in; the same delta re-probed is fully flagged") {
+    val dir = Files.createTempDirectory("graft-dedup-index").toString
+    DedupIndex.write(dir, base, col("doc_id"), col("text"))
+
+    val ix = DedupIndex.load(spark, dir)
+    val day1 = Dedup.incrementalFlagsIndexed(ix, delta, col("doc_id"), col("text"))
+    val flagged1 = day1.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val novel = deltaIds -- flagged1
+    assert(novel.nonEmpty, "fixture should leave some delta docs novel")
+
+    DedupIndex.appendNovel(dir, delta, col("doc_id"), col("text"), day1)
+
+    val day2 = Dedup.incrementalFlagsIndexed(
+      DedupIndex.load(spark, dir), delta, col("doc_id"), col("text"))
+    val byId = day2.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // every delta doc now hits the index...
+    assert(byId.keySet == deltaIds)
+    // ...previously-novel docs match their own appended entry exactly
+    novel.foreach { id => assert(byId(id) == (("exact", id))) }
+    // ...and previously-flagged docs keep their day-1 verdict (their
+    // content was NOT appended, so the index is unchanged for them)
+    val day1Rows = day1.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    flagged1.foreach { id => assert(byId(id) == day1Rows(id)) }
+  }
+
+  test("loading a foreign format version fails loudly") {
+    val dir = Files.createTempDirectory("graft-dedup-index").toString
+    DedupIndex.write(dir, base, col("doc_id"), col("text"))
+    import spark.implicits._
+    Seq((99, 3, 16, 4)).toDF("version", "shingle_n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException](DedupIndex.load(spark, dir))
+    assert(e.getMessage.contains("format version"))
+  }
+}

@@ -36,9 +36,14 @@ MODES = {
     },
     "dedup": {
         "sfdir": f"{REPO}/benchdata/sf10",
+        # d09 (incremental delta-vs-base) rides along: its delta side is
+        # 1/5 of the corpus and its base side is band/shingle tables the
+        # real pipeline would read from a persisted index — the probe
+        # question is whether flag cost stays in the family band while
+        # never re-pairing base x base
         "queries": ["d02_minhash_lsh", "d04_ngram_jaccard", "d05_embedding_neardup",
                     "d07_dedup_clusters", "p01_clean_corpus", "p02_clean_corpus_clustered",
-                    "d08_decontaminate"],
+                    "d08_decontaminate", "d09_incremental_dedup"],
         # pair-generating queries run minutes at sf10; one iteration per
         # query keeps the serialized probe inside the round budget (the
         # join probe, task 1, carries the iters>=2 requirement)
@@ -71,10 +76,12 @@ MODES = {
         # family band; t16 (domain mix) is per-row work + a
         # |sources|-row aggregate — expected near-flat like t13
         "sfdir": f"{REPO}/benchdata/sf10",
+        # t17 (PII scan/redact) is pure per-row regex work over the text
+        # column — expected data-proportional like t12/t13
         "queries": ["t10_sample_stratified", "t11_token_budget_pack",
                     "t12_repetition_ratio", "t13_corpus_split",
                     "t14_token_budget_pack_skew", "t15_segment_dedup",
-                    "t16_domain_mix"],
+                    "t16_domain_mix", "t17_pii_redact"],
         "iters": 2,
         "out": f"{REPO}/BENCH_sf10_curation_probe.json",
         "scale": 100,
