@@ -46,8 +46,17 @@ MODES = {
                     "d08_decontaminate", "d09_incremental_dedup"],
         # pair-generating queries run minutes at sf10; one iteration per
         # query keeps the serialized probe inside the round budget (the
-        # join probe, task 1, carries the iters>=2 requirement)
+        # join probe, task 1, carries the iters>=2 requirement).
+        # In-JVM iters MUST stay 1 for this family anyway: iteration 2
+        # hits the corpus-pass memo (0.5s cache reads, not recompute).
+        # Fresh-JVM reps supply the best-of-N discipline instead.
         "iters": 1,
+        # r9: the round-9 host shows 2-5x run-to-run variance on identical
+        # code+data (d02 solo walls 21..97s back to back, raw-CPU and disk
+        # microbenchmarks clean, 3-6% steal during bursts) — min-of-3
+        # fresh-JVM reps per query, all walls recorded in rep_walls, so
+        # the artifact reports code cost, not host weather
+        "reps": 3,
         "out": f"{REPO}/BENCH_sf10_dedup_probe.json",
         "scale": 100,
         # partitions scale with data (the cluster-scale rule): at 100x
@@ -176,42 +185,65 @@ def main(mode: str) -> None:
     names = cfg["queries"]
     probe_sf, iters = cfg["sfdir"], cfg["iters"]
 
+    reps = cfg.get("reps", 1)
+
     # baselines are per-query FRESH JVMs, like the probe runs: a shared
     # session would let the dedup memo hand later queries a warm corpus
     # pass (d04 riding d02's shingles) and understate their solo cost
     baseline = {}
+    base_walls = {}
     for n in names:
-        print(f"== baseline: {n} @ sf0.1 solo (iters={iters})", flush=True)
-        base, _, rc, _ = run_bench("/root/testdata/sf0.1", f"^{n}$", iters)
-        assert rc == 0 and base and base["queries"][n] >= 0, (n, rc, base)
-        baseline[n] = base["queries"][n]
-        print(f"   {n}: {baseline[n]:.2f}s", flush=True)
+        walls = []
+        for r in range(reps):
+            print(f"== baseline: {n} @ sf0.1 solo (iters={iters}, "
+                  f"rep {r + 1}/{reps})", flush=True)
+            base, _, rc, _ = run_bench("/root/testdata/sf0.1", f"^{n}$", iters)
+            assert rc == 0 and base and base["queries"][n] >= 0, (n, rc, base)
+            walls.append(base["queries"][n])
+        base_walls[n] = walls
+        baseline[n] = min(walls)
+        print(f"   {n}: {baseline[n]:.2f}s (walls {walls})", flush=True)
 
     per_query, errors, flags = {}, {}, {}
+    probe_walls = {}
     total = 0.0
     shuffle = cfg.get("probe_shuffle")
     mem = cfg.get("probe_mem")
     for n in names:
-        print(f"== probe: {n} @ {probe_sf} (iters={iters}, shuffle={shuffle}, "
-              f"mem={mem})", flush=True)
-        data, wall, rc, suspicious = run_bench(probe_sf, f"^{n}$", iters,
-                                               shuffle, mem)
-        ok = rc == 0 and data is not None and n in data.get("queries", {})
-        elapsed = data["queries"][n] if ok else -wall
+        walls = []
+        suspicious_all = []
+        fail = None
+        for r in range(reps):
+            print(f"== probe: {n} @ {probe_sf} (iters={iters}, rep {r + 1}/{reps}, "
+                  f"shuffle={shuffle}, mem={mem})", flush=True)
+            data, wall, rc, suspicious = run_bench(probe_sf, f"^{n}$", iters,
+                                                   shuffle, mem)
+            ok = rc == 0 and data is not None and n in data.get("queries", {})
+            if ok:
+                walls.append(data["queries"][n])
+            else:
+                fail = (data or {}).get("errors", {}).get(n, f"rc={rc}")
+                walls.append(-wall)
+            suspicious_all.extend(suspicious)
+            print(f"   rep {r + 1}: {walls[-1]:.2f}s (run wall {wall:.0f}s)",
+                  flush=True)
+        probe_walls[n] = walls
+        good = [w for w in walls if w >= 0]
+        elapsed = min(good) if good else max(walls, key=abs)
         per_query[n] = elapsed
         total += abs(elapsed)
-        if not ok or elapsed < 0:
-            errors[n] = (data or {}).get("errors", {}).get(n, f"rc={rc}")
-        if suspicious:
-            flags[n] = suspicious[:5]
-        print(f"   {n}: {elapsed:.2f}s solo (run wall {wall:.0f}s, "
+        if not good:
+            errors[n] = fail
+        if suspicious_all:
+            flags[n] = suspicious_all[:5]
+        print(f"   {n}: {elapsed:.2f}s solo best-of-{reps} (walls {walls}, "
               f"sf0.1 solo {baseline[n]:.2f}s, "
               f"ratio {abs(elapsed) / baseline[n]:.0f}x)", flush=True)
 
     out = {
         "metric": "serialized_probe_total", "value": round(total, 2),
         "unit": "sec", "sf": probe_sf, "scale_vs_sf0.1": cfg["scale"],
-        "iters": iters, "serialized": True,
+        "iters": iters, "serialized": True, "reps": reps,
         "probe_shuffle_partitions": cfg.get("probe_shuffle") or "cpus",
         "probe_driver_mem": cfg.get("probe_mem") or "8g",
         "queries": {k: round(v, 2) for k, v in per_query.items()},
@@ -220,6 +252,15 @@ def main(mode: str) -> None:
             k: round(abs(v) / baseline[k], 1) for k, v in per_query.items()},
         "errors": errors, "plan_flags": flags,
     }
+    if reps > 1:
+        out["rep_walls"] = {k: [round(w, 2) for w in v]
+                            for k, v in probe_walls.items()}
+        out["baseline_rep_walls"] = {k: [round(w, 3) for w in v]
+                                     for k, v in base_walls.items()}
+        out["host_note"] = (
+            "r9 host shows 2-5x run-to-run wall variance on identical "
+            "code+data (CPU/disk microbenchmarks clean; steal bursts); "
+            "values are best-of-reps, rep_walls record every run")
     with open(cfg["out"], "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1), flush=True)
