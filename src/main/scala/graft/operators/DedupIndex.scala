@@ -62,18 +62,58 @@ object DedupIndex {
     writeMeta(base.sparkSession, path, ix.meta)
   }
 
-  def load(spark: SparkSession, path: String): Index = {
-    val m = spark.read.parquet(s"$path/meta").collect()
-    require(m.length == 1, s"dedup index at $path: meta must be one row, got ${m.length}")
-    val v = m(0).getAs[Int]("version")
-    require(v == FormatVersion,
-      s"dedup index at $path: format version $v, expected $FormatVersion")
+  def load(spark: SparkSession, path: String): Index =
     Index(
       spark.read.parquet(s"$path/hashes"),
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/shingles"),
-      Meta(m(0).getAs[Int]("shingle_n"), m(0).getAs[Int]("k"),
-        m(0).getAs[Int]("bands")))
+      readMeta(spark.read.parquet(s"$path/meta"), path))
+
+  /** Cluster-scale layout: the same three tables persisted as BUCKETED
+    * metastore tables, each bucketed+sorted on its probe-join key —
+    * `bands` on (band_idx, band_hash), `hashes` on `_h`, `shingles` on
+    * `base_id`. The write pays each table's shuffle ONCE; every later
+    * delta probe then plans its base-side joins with NO Exchange on the
+    * index side (only the day's delta shuffles — DedupIndexSpec asserts
+    * the exchange count drops vs the plain-parquet layout and that the
+    * scans are bucketed). At 100 TB the index is the big side by far,
+    * so this turns the daily probe from a corpus-sized shuffle into a
+    * delta-sized one. Size `buckets` so one bucket of `bands` fits an
+    * executor sort buffer (same rule as [[Bucketing]]).
+    */
+  def writeBucketed(base: DataFrame, idCol: Column, textCol: Column,
+                    prefix: String, buckets: Int,
+                    shingleN: Int = 3, k: Int = 16, bands: Int = 4): Unit = {
+    val ix = frames(base, idCol, textCol, Meta(shingleN, k, bands))
+    def save(df: DataFrame, name: String, keys: Seq[String]): Unit =
+      df.write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(s"${prefix}_$name")
+    save(ix.bands, "bands", Seq("band_idx", "band_hash"))
+    save(ix.hashes, "hashes", Seq("_h"))
+    save(ix.shingles, "shingles", Seq("base_id"))
+    import base.sparkSession.implicits._
+    Seq((FormatVersion, ix.meta.shingleN, ix.meta.k, ix.meta.bands))
+      .toDF("version", "shingle_n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").saveAsTable(s"${prefix}_meta")
+  }
+
+  def loadBucketed(spark: SparkSession, prefix: String): Index =
+    Index(
+      spark.table(s"${prefix}_hashes"),
+      spark.table(s"${prefix}_bands"),
+      spark.table(s"${prefix}_shingles"),
+      readMeta(spark.table(s"${prefix}_meta"), prefix))
+
+  private def readMeta(metaDf: DataFrame, where: String): Meta = {
+    val m = metaDf.collect()
+    require(m.length == 1, s"dedup index at $where: meta must be one row, got ${m.length}")
+    val v = m(0).getAs[Int]("version")
+    require(v == FormatVersion,
+      s"dedup index at $where: format version $v, expected $FormatVersion")
+    Meta(m(0).getAs[Int]("shingle_n"), m(0).getAs[Int]("k"),
+      m(0).getAs[Int]("bands"))
   }
 
   /** Fold the NOVEL slice of a flagged delta into the index: documents

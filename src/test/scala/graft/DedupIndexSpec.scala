@@ -68,6 +68,49 @@ class DedupIndexSpec extends SparkSpec {
     flagged1.foreach { id => assert(byId(id) == day1Rows(id)) }
   }
 
+  test("bucketed-table index: identical flags, base-side joins plan without exchanges") {
+    val dir = Files.createTempDirectory("graft-dedup-index").toString
+    DedupIndex.write(dir, base, col("doc_id"), col("text"))
+    DedupIndex.writeBucketed(base, col("doc_id"), col("text"), "dix", buckets = 4)
+
+    // force SMJ everywhere (a broadcast of the small fixture index would
+    // hide the exchange question — at scale the index side never
+    // broadcasts, which is the case the bucketing exists for)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fromParquet = Dedup.incrementalFlagsIndexed(
+        DedupIndex.load(spark, dir), delta, col("doc_id"), col("text"))
+      val fromTables = Dedup.incrementalFlagsIndexed(
+        DedupIndex.loadBucketed(spark, "dix"), delta, col("doc_id"), col("text"))
+
+      val expected = rows(fromParquet)
+      assert(expected.nonEmpty, "fixture should produce at least one flag")
+      assert(rows(fromTables) == expected)
+
+      // AQE's TreeNode collect doesn't descend into materialized stages;
+      // the rendered string does (same workaround as BucketingSpec)
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      def exchanges(plan: String): Int =
+        plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val bp = finalPlan(fromTables)
+      val pp = finalPlan(fromParquet)
+      assert(bp.contains("Bucketed: true"),
+        s"bucketed index probe must read bucketed scans:\n$bp")
+      assert(exchanges(bp) < exchanges(pp),
+        s"bucketed index must drop base-side exchanges " +
+          s"(bucketed ${exchanges(bp)} vs parquet ${exchanges(pp)}):\n$bp")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      Seq("bands", "hashes", "shingles", "meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS dix_$t"))
+    }
+  }
+
   test("loading a foreign format version fails loudly") {
     val dir = Files.createTempDirectory("graft-dedup-index").toString
     DedupIndex.write(dir, base, col("doc_id"), col("text"))
