@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+
+/** Persisted IVF index for the similarity family — the production form
+  * of the s04 contract, symmetric to [[DedupIndex]] for dedup
+  * (reference scope: lakeflush has no ANN; this is the §2.11
+  * similarity-search extension's scale path).
+  *
+  * A 100 TB corpus never re-trains its quantizer per query batch: the
+  * index is two persisted artifacts —
+  *
+  *   - `centroids` (cell, cent: array<double>) — the trained coarse
+  *     quantizer, a few KB;
+  *   - `corpus`    (vec_id, c_vec) PARTITIONED BY (cell) — every
+  *     vector under its cell's directory.
+  *
+  * The cell partitioning is the point: [[search]] resolves each
+  * query's `nprobe` probe cells against the broadcast centroids, then
+  * filters the corpus scan with a LITERAL cell list (the probe set is
+  * bounded by |queries| x nprobe — driver-side like the centroids
+  * themselves), so Catalyst partition-prunes the scan to the probed
+  * directories. Probing 3 of 64 cells reads ~3/64ths of the corpus
+  * BYTES, not just rows — the property that makes IVF an index rather
+  * than a full-scan refinement. AnnIndexSpec asserts the
+  * PartitionFilters in the physical plan and row-parity with the
+  * inline [[Similarity.knnIvf]].
+  *
+  * [[appendVectors]] absorbs corpus growth without retraining: new
+  * vectors are assigned to their nearest existing centroid and
+  * appended under that cell's directory (dynamic-partition append) —
+  * the standard IVF maintenance trade (cells drift as data drifts;
+  * retrain by rewriting the index when recall decays).
+  */
+object AnnIndex {
+
+  private val FormatVersion = 1
+
+  final case class Meta(nCells: Int, iters: Int, dim: Int)
+
+  /** A loaded index: trained centroids + cell-partitioned corpus. */
+  final case class Index(centroids: Array[Array[Double]], corpus: DataFrame,
+                         meta: Meta)
+
+  /** Train the quantizer over `corpus` (id, vec) and persist both
+    * artifacts at `path`.
+    */
+  def write(path: String, corpus: DataFrame, nCells: Int = 16,
+            iters: Int = 2, dim: Int = 64): Unit = {
+    import graft.expressions.NativeFns.nearest_centroid
+    val spark = corpus.sparkSession
+    val c = corpus.toDF("vec_id", "c_vec")
+    val cents = Similarity.trainIvfCentroids(c, nCells, iters, dim)
+    c.withColumn("cell", nearest_centroid(col("c_vec"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+    spark.createDataFrame(
+        cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
+      .toDF("cell", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    Seq((FormatVersion, nCells, iters, dim))
+      .toDF("version", "n_cells", "iters", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): Index = {
+    val m = spark.read.parquet(s"$path/meta").collect()
+    require(m.length == 1, s"ann index at $path: meta must be one row, got ${m.length}")
+    val v = m(0).getAs[Int]("version")
+    require(v == FormatVersion,
+      s"ann index at $path: format version $v, expected $FormatVersion")
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    Index(cents, spark.read.parquet(s"$path/corpus"),
+      Meta(m(0).getAs[Int]("n_cells"), m(0).getAs[Int]("iters"),
+        m(0).getAs[Int]("dim")))
+  }
+
+  /** Top-k by cosine against the persisted index: probe each query's
+    * `nprobe` nearest cells, score only those cells' vectors. Output
+    * matches [[Similarity.knnIvf]] with the same parameters row for
+    * row (same probe ranking, same 6-decimal rounding, same
+    * tie-breaks).
+    */
+  def search(ix: Index, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.createDataFrame(
+        ix.centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
+      .toDF("cell", "cent")
+    val q0 = queries.toDF("query_id", "q_vec")
+    val probes = q0.crossJoin(broadcast(cents))
+      .withColumn("score", VecFns.cosine(col("q_vec"),
+        transform(col("cent"), x => x.cast("float"))))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cell").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+    // the probe-cell set is driver-bounded (|queries| x nprobe ints);
+    // folding it into a literal IN gives the scan STATIC partition
+    // pruning — only the probed cells' directories are read
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = ix.corpus.filter(col("cell").isin(cells.toSeq: _*))
+    val scored = pruned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
+  }
+
+  /** Assign `vecs` (id, vec) to their nearest existing centroids and
+    * append them under the matching cell directories — corpus growth
+    * without retraining.
+    */
+  def appendVectors(path: String, vecs: DataFrame): Unit = {
+    import graft.expressions.NativeFns.nearest_centroid
+    val ix = load(vecs.sparkSession, path)
+    vecs.toDF("vec_id", "c_vec")
+      .withColumn("cell", nearest_centroid(col("c_vec"), ix.centroids))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+}

@@ -16,6 +16,62 @@ object SimilarityOps extends QuerySet {
       |  (sqrt(list_sum(list_transform(qv, x -> x*x))) *
       |   sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)""".stripMargin
 
+  // s04 and s05 share this oracle verbatim: the indexed search is
+  // proven row-identical to the inline IVF (same training, same
+  // probe ranking) — only the storage layout differs.
+  private lazy val ivfOracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              |  FROM embeddings),
+              |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
+              |snorm AS (SELECT cell, sv,
+              |  sqrt(list_sum(list_transform(sv, x -> x*x))) AS nrm FROM seeds),
+              |assign AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, s.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (list_sum(list_transform(range(1,65),
+              |          i -> v[i] * sv[i])) / nrm) DESC, s.cell ASC) AS rn
+              |    FROM e CROSS JOIN snorm s) WHERE rn = 1),
+              |dimsum AS (
+              |  SELECT a.cell, dim,
+              |    round(sum(v[CAST(dim AS INTEGER)]) / count(*), 6) AS m
+              |  FROM assign a JOIN e USING (vec_id)
+              |  CROSS JOIN (SELECT unnest(range(1,65)) AS dim)
+              |  GROUP BY a.cell, dim),
+              |means AS (SELECT cell, list(m ORDER BY dim) AS cv FROM dimsum GROUP BY cell),
+              |cents AS (
+              |  SELECT c.cell, coalesce(m.cv, s.sv) AS cv
+              |  FROM (SELECT unnest(range(0,16)) AS cell) c
+              |  LEFT JOIN means m USING (cell) JOIN seeds s USING (cell)),
+              |cnorm AS (SELECT cell, cv,
+              |  sqrt(list_sum(list_transform(cv, x -> x*x))) AS nrm FROM cents),
+              |cassign AS (
+              |  SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY (list_sum(list_transform(range(1,65),
+              |          i -> v[i] * cv[i])) / nrm) DESC, c.cell ASC) AS rn
+              |    FROM e CROSS JOIN cnorm c) WHERE rn = 1),
+              |ec AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
+              |qp AS (
+              |  SELECT query_id, qv, cell FROM (
+              |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              |        (list_sum(list_transform(range(1,65), i -> q.v[i] * fcv[i])) /
+              |         (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
+              |          sqrt(list_sum(list_transform(fcv, x -> x*x))))) DESC,
+              |        c.cell ASC) AS pr
+              |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
+              |    CROSS JOIN (SELECT cell,
+              |      list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS fcv
+              |      FROM cents) c) WHERE pr <= 3),
+              |sc AS (SELECT query_id, ec.vec_id, ec.v AS cv, qv
+              |  FROM qp JOIN ec USING (cell) WHERE ec.vec_id <> query_id),
+              |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
+              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 10""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // --- Exact brute-force kNN: 5 query vectors vs the whole corpus;
@@ -76,57 +132,29 @@ object SimilarityOps extends QuerySet {
           // training job chain
           k = 10, nCells = 16, iters = 1, dim = 64, nprobe = 3)
       },
-      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-              |  FROM embeddings),
-              |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
-              |snorm AS (SELECT cell, sv,
-              |  sqrt(list_sum(list_transform(sv, x -> x*x))) AS nrm FROM seeds),
-              |assign AS (
-              |  SELECT vec_id, cell FROM (
-              |    SELECT e.vec_id, s.cell,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY (list_sum(list_transform(range(1,65),
-              |          i -> v[i] * sv[i])) / nrm) DESC, s.cell ASC) AS rn
-              |    FROM e CROSS JOIN snorm s) WHERE rn = 1),
-              |dimsum AS (
-              |  SELECT a.cell, dim,
-              |    round(sum(v[CAST(dim AS INTEGER)]) / count(*), 6) AS m
-              |  FROM assign a JOIN e USING (vec_id)
-              |  CROSS JOIN (SELECT unnest(range(1,65)) AS dim)
-              |  GROUP BY a.cell, dim),
-              |means AS (SELECT cell, list(m ORDER BY dim) AS cv FROM dimsum GROUP BY cell),
-              |cents AS (
-              |  SELECT c.cell, coalesce(m.cv, s.sv) AS cv
-              |  FROM (SELECT unnest(range(0,16)) AS cell) c
-              |  LEFT JOIN means m USING (cell) JOIN seeds s USING (cell)),
-              |cnorm AS (SELECT cell, cv,
-              |  sqrt(list_sum(list_transform(cv, x -> x*x))) AS nrm FROM cents),
-              |cassign AS (
-              |  SELECT vec_id, cell FROM (
-              |    SELECT e.vec_id, c.cell,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY (list_sum(list_transform(range(1,65),
-              |          i -> v[i] * cv[i])) / nrm) DESC, c.cell ASC) AS rn
-              |    FROM e CROSS JOIN cnorm c) WHERE rn = 1),
-              |ec AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
-              |qp AS (
-              |  SELECT query_id, qv, cell FROM (
-              |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
-              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-              |        (list_sum(list_transform(range(1,65), i -> q.v[i] * fcv[i])) /
-              |         (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
-              |          sqrt(list_sum(list_transform(fcv, x -> x*x))))) DESC,
-              |        c.cell ASC) AS pr
-              |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
-              |    CROSS JOIN (SELECT cell,
-              |      list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS fcv
-              |      FROM cents) c) WHERE pr <= 3),
-              |sc AS (SELECT query_id, ec.vec_id, ec.v AS cv, qv
-              |  FROM qp JOIN ec USING (cell) WHERE ec.vec_id <> query_id),
-              |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
-              |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-              |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
-              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 10""".stripMargin)),
+      Some(ivfOracle)),
+
+    // --- The same IVF contract through the PERSISTED index
+    // ([[graft.operators.AnnIndex]]): train+write the cell-partitioned
+    // layout to a fresh temp dir, load it back, search with static
+    // partition pruning on the probe cells. Training is deterministic,
+    // so the result is row-identical to s04 and shares its oracle —
+    // what this entry adds to the gate is the write -> load -> pruned-
+    // scan -> search path.
+    Q("s05_knn_ivf_indexed",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files.createTempDirectory("graft-ann-ix").toString
+        graft.operators.AnnIndex.write(
+          dir, e.select($"vec_id", $"embedding"),
+          nCells = 16, iters = 1, dim = 64)
+        graft.operators.AnnIndex.search(
+          graft.operators.AnnIndex.load(s, dir),
+          e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
+          k = 10, nprobe = 3)
+      },
+      Some(ivfOracle)),
 
     // --- Sign-LSH ANN with Hamming-1 multi-probe (the scale path when
     // no natural cell exists). The hyperplanes are a pure function of

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Similarity}
+
+/** Persisted IVF index: the indexed search must be row-identical to
+  * the inline IVF with the same parameters, the probe scan must
+  * partition-prune to the probed cells, and appended vectors must be
+  * searchable without retraining.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def emb = Tables.load(spark, sf0001, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  private def rows(df: DataFrame): Set[(Long, Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("indexed search == inline knnIvf; the probe scan partition-prunes") {
+    val dir = Files.createTempDirectory("graft-ann-ix").toString
+    AnnIndex.write(dir, emb, nCells = 8, iters = 1, dim = 64)
+    val ix = AnnIndex.load(spark, dir)
+    assert(ix.meta == AnnIndex.Meta(8, 1, 64))
+
+    val q = emb.filter(col("vec_id") < 5)
+    val got = AnnIndex.search(ix, q, k = 5, nprobe = 2)
+    val inline = Similarity.knnIvf(q, emb, k = 5, nCells = 8, iters = 1,
+      dim = 64, nprobe = 2)
+
+    val expected = rows(inline)
+    assert(expected.nonEmpty)
+    assert(rows(got) == expected)
+
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell#"),
+      s"indexed search must partition-prune the corpus scan on cell:\n$plan")
+  }
+
+  test("appendVectors: a duplicate vector lands in its cell and is found at cos 1.0") {
+    val dir = Files.createTempDirectory("graft-ann-ix").toString
+    AnnIndex.write(dir, emb, nCells = 8, iters = 1, dim = 64)
+
+    // clone vec 0 under a fresh id: nearest_centroid is deterministic,
+    // so the clone lands in vec 0's own cell — which is also vec 0's
+    // top probe cell (both rankings maximize the same cosine)
+    val clone = emb.filter(col("vec_id") === 0)
+      .select(lit(777777L).as("vec_id"), col("embedding"))
+    AnnIndex.appendVectors(dir, clone)
+
+    val got = rows(AnnIndex.search(AnnIndex.load(spark, dir),
+      emb.filter(col("vec_id") === 0), k = 5, nprobe = 2))
+    assert(got.exists { case (qid, _, vid, cos) =>
+      qid == 0L && vid == 777777L && cos == 1.0
+    }, s"appended clone must surface as a cos-1.0 neighbor of vec 0: $got")
+  }
+
+  test("loading a foreign format version fails loudly") {
+    val dir = Files.createTempDirectory("graft-ann-ix").toString
+    AnnIndex.write(dir, emb, nCells = 4, iters = 1, dim = 64)
+    import spark.implicits._
+    Seq((99, 4, 1, 64)).toDF("version", "n_cells", "iters", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException](AnnIndex.load(spark, dir))
+    assert(e.getMessage.contains("format version"))
+  }
+}

@@ -29,9 +29,9 @@ class QueriesSpec extends SparkSpec {
     //             folds the dummy equi key away — the one-row nested
     //             loop IS the right plan)
     //   s01: brute-force kNN, the exact baseline (scan x broadcast queries)
-    //   s04: nprobe ranking against 16 broadcast centroids
+    //   s04/s05: nprobe ranking against 16 broadcast centroids
     val allow = Set("q27_important_parts", "q37_global_sales_opportunity",
-      "s01_knn_bruteforce", "s04_knn_ivf")
+      "s01_knn_bruteforce", "s04_knn_ivf", "s05_knn_ivf_indexed")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") ||
