@@ -66,6 +66,26 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  // build-once amortization, same trade as the dedup family's memoized
+  // corpus pass: an ANN index is built once and searched many times, so
+  // repeated calls for the same (corpus plan, params) reuse one on-disk
+  // build. computeIfAbsent guarantees a single build per key; training
+  // is deterministic, so any winner's bytes are the right bytes.
+  private val builtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[write]] to a managed temp dir, once per (corpus plan, params)
+    * per session; returns the index path.
+    */
+  def writeOnce(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
+                dim: Int = 64): String = {
+    val key = s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells:$iters:$dim"
+    builtDirs.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ann-ix").toString
+      write(dir, corpus, nCells, iters, dim)
+      dir
+    })
+  }
+
   def load(spark: SparkSession, path: String): Index = {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"ann index at $path: meta must be one row, got ${m.length}")
