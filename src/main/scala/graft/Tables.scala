@@ -31,18 +31,36 @@ object Tables {
     else df
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (legacy nanosAsLong) and expose
-    * BOTH `ts_ns: LONG` (exact — use for ordering, equal to DuckDB's
-    * native ns-precision order) and `ts: TIMESTAMP` (µs, integer-
-    * truncated exactly like DuckDB's ns->µs cast — use for date math).
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader only accepts as a long via legacy nanosAsLong) and plain
+    * TIMESTAMP(MICROS) (read natively as a timestamp). Adapt on the
+    * observed type and expose BOTH `ts_ns: LONG` (exact epoch ns — use
+    * for ordering/arithmetic, equal to DuckDB's `epoch_ns(ts)`) and
+    * `ts` (timestamp — use for date math and comparisons against the
+    * other timestamp columns). The ns→µs truncation in the NANOS
+    * branch matches DuckDB's ns->µs cast exactly; in the MICROS branch
+    * ts_ns is µs*1000, again equal to DuckDB's epoch_ns. The epoch
+    * arithmetic is wall-clock (timestampdiff against the NTZ epoch),
+    * so no session-timezone dependence either way.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as epoch-ns long
+        raw.withColumn("ts_ns", col("ts"))
+           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS), no tz: wall-clock diff
+        raw.withColumn("ts_ns", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampType => // TIMESTAMP(MICROS) with tz adjustment
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unsupported type $other")
+    }
   }
 
   /** Register all tables as temp views (for spark.sql paths / tests). */
