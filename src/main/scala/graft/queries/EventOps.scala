@@ -177,6 +177,51 @@ object EventOps extends QuerySet {
       },
       Some("""SELECT user_id, event_type, min(event_id) AS first_event,
              |count(*) AS n_dupes
-             |FROM events GROUP BY user_id, event_type""".stripMargin))
+             |FROM events GROUP BY user_id, event_type""".stripMargin)),
+
+    // --- Ordered, time-bounded funnel (view -> click-within-24h ->
+    // purchase-within-24h): per user, the first view, the first click
+    // inside 24 h strictly after it, the first purchase inside 24 h
+    // strictly after that; emitted as per-stage user counts. Three
+    // aggregations and two joins, ALL keyed on user_id — one logical
+    // partitioning end to end, so a co-partitioned engine runs the
+    // whole funnel without re-shuffling between stages; each stage's
+    // input is filtered to one event type before it ever shuffles. The
+    // exact ts_ns long keeps "strictly after" identical on both engines.
+    Q("e07_funnel",
+      (s, d) => {
+        import s.implicits._
+        val winNs = 86400L * 1000 * 1000 * 1000 // 24 h conversion window
+        val ev = Tables.load(s, d, "events")
+          .select($"user_id", $"event_type", $"ts_ns")
+        val fv = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts_ns").as("fv"))
+        val fc = ev.filter($"event_type" === "click").join(fv, "user_id")
+          .filter($"ts_ns" > $"fv" && $"ts_ns" <= $"fv" + winNs)
+          .groupBy($"user_id").agg(min($"ts_ns").as("fc"))
+        val fp = ev.filter($"event_type" === "purchase").join(fc, "user_id")
+          .filter($"ts_ns" > $"fc" && $"ts_ns" <= $"fc" + winNs)
+          .groupBy($"user_id").agg(min($"ts_ns").as("fp"))
+        fv.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), $"users")
+          .unionAll(fc.agg(count(lit(1)).as("users"))
+            .select(lit("2_click").as("stage"), $"users"))
+          .unionAll(fp.agg(count(lit(1)).as("users"))
+            .select(lit("3_purchase").as("stage"), $"users"))
+      },
+      Some("""WITH fv AS (SELECT user_id, min(epoch_ns(ts)) AS fv FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |fc AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS fc FROM events e
+             |  JOIN fv ON e.user_id = fv.user_id AND epoch_ns(e.ts) > fv.fv
+             |    AND epoch_ns(e.ts) <= fv.fv + 86400000000000
+             |  WHERE e.event_type = 'click' GROUP BY 1),
+             |fp AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS fp FROM events e
+             |  JOIN fc ON e.user_id = fc.user_id AND epoch_ns(e.ts) > fc.fc
+             |    AND epoch_ns(e.ts) <= fc.fc + 86400000000000
+             |  WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM fv
+             |UNION ALL
+             |SELECT '2_click' AS stage, CAST(count(*) AS BIGINT) AS users FROM fc
+             |UNION ALL
+             |SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS users FROM fp""".stripMargin))
   )
 }

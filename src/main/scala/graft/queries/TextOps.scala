@@ -520,6 +520,110 @@ object TextOps extends QuerySet {
              |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
              |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
              |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g')) AS redacted_md5
-             |FROM E""".stripMargin))
+             |FROM E""".stripMargin)),
+
+    // --- Gopher-style document quality rules (Rae et al. 2021 §A1.1
+    // family, thresholds fitted to this corpus): word-count bounds,
+    // mean-word-length bounds, stopword presence, and top-word
+    // repetition fraction, each surfaced as its own flag plus the
+    // conjunction. One explode + two map-side-combinable hash
+    // aggregations — the per-(doc,word) histogram never materializes a
+    // per-doc list, so a pathological 1 GB document costs its word
+    // count, not a single-task sort. At 100 TB this is the same plan:
+    // shuffle keyed (doc_id, word) then doc_id, both combinable.
+    Q("t18_gopher_filters",
+      (s, d) => {
+        import s.implicits._
+        Tables.load(s, d, "documents")
+          .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_tok"),
+               max($"c").as("max_c"),
+               sum($"c" * length($"w")).as("len_sum"),
+               sum(when($"w".isin(stop: _*), $"c").otherwise(0L)).as("stop_hits"))
+          .select($"doc_id", $"n_tok",
+            round($"len_sum".cast("double") / $"n_tok", 4).as("mean_tok_len"),
+            round($"max_c".cast("double") / $"n_tok", 6).as("top_word_frac"),
+            $"stop_hits",
+            ($"n_tok" >= 20 && $"n_tok" <= 80).as("ok_len"),
+            ($"len_sum".cast("double") / $"n_tok" >= 3.0 &&
+             $"len_sum".cast("double") / $"n_tok" <= 5.0).as("ok_word_len"),
+            ($"max_c".cast("double") / $"n_tok" <= 0.15).as("ok_rep"),
+            ($"stop_hits" >= 1).as("ok_stop"))
+          .withColumn("keep",
+            $"ok_len" && $"ok_word_len" && $"ok_rep" && $"ok_stop")
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |E AS (SELECT doc_id, unnest(words) AS w FROM W),
+             |C AS (SELECT doc_id, w, count(*) AS c FROM E GROUP BY 1, 2),
+             |D AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+             |  CAST(max(c) AS BIGINT) AS max_c,
+             |  CAST(sum(c * length(w)) AS BIGINT) AS len_sum,
+             |  CAST(sum(CASE WHEN w IN ('the','a','and','of','to','is')
+             |           THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+             |  FROM C GROUP BY 1)
+             |SELECT doc_id, n_tok,
+             |  round(CAST(len_sum AS DOUBLE) / n_tok, 4) AS mean_tok_len,
+             |  round(CAST(max_c AS DOUBLE) / n_tok, 6) AS top_word_frac,
+             |  stop_hits,
+             |  (n_tok >= 20 AND n_tok <= 80) AS ok_len,
+             |  (CAST(len_sum AS DOUBLE) / n_tok >= 3.0 AND
+             |   CAST(len_sum AS DOUBLE) / n_tok <= 5.0) AS ok_word_len,
+             |  (CAST(max_c AS DOUBLE) / n_tok <= 0.15) AS ok_rep,
+             |  (stop_hits >= 1) AS ok_stop,
+             |  ((n_tok >= 20 AND n_tok <= 80) AND
+             |   (CAST(len_sum AS DOUBLE) / n_tok >= 3.0 AND
+             |    CAST(len_sum AS DOUBLE) / n_tok <= 5.0) AND
+             |   (CAST(max_c AS DOUBLE) / n_tok <= 0.15) AND
+             |   (stop_hits >= 1)) AS keep
+             |FROM D""".stripMargin)),
+
+    // --- CCNet-style self-trained unigram LM scoring (Wenzek et al.
+    // 2020 §4.3 family, the perplexity stage with the corpus itself as
+    // the LM): global word frequencies -> per-document mean token
+    // log-probability -> fixed head/middle/tail cut. Two corpus passes:
+    // one map-side-combinable word count, then an explode re-join.
+    // The vocab table joins BROADCAST on purpose: post-explode the join
+    // key is Zipf-skewed ("the" alone would hot-spot a shuffle join),
+    // while a natural-language vocab (even web-scale, min-count-pruned)
+    // is millions of rows — broadcastable; skew lands on the replicated
+    // side where it costs nothing. Buckets cut on the 6dp-ROUNDED score
+    // so the classification the row carries is exactly the one its
+    // emitted score implies on both engines.
+    Q("t19_unigram_logprob",
+      (s, d) => {
+        import s.implicits._
+        val ex = Tables.load(s, d, "documents")
+          .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
+        val vocab = ex.groupBy($"w").agg(count(lit(1)).as("g"))
+        val tot = vocab.agg(sum($"g").as("tot"))
+        val scored = ex
+          .join(broadcast(vocab.crossJoin(broadcast(tot))), "w")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+               round(sum(log($"g".cast("double") / $"tot")) / count(lit(1)), 6)
+                 .as("logprob"))
+        scored.withColumn("bucket",
+          when($"logprob" >= -3.40, "head")
+            .when($"logprob" >= -3.41, "middle")
+            .otherwise("tail"))
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |E AS (SELECT doc_id, unnest(words) AS w FROM W),
+             |G AS (SELECT w, count(*) AS g FROM E GROUP BY 1),
+             |T AS (SELECT CAST(sum(g) AS DOUBLE) AS tot FROM G),
+             |D AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  round(sum(ln(CAST(g.g AS DOUBLE) / t.tot)) / count(*), 6) AS logprob
+             |  FROM E e JOIN G g ON e.w = g.w CROSS JOIN T t GROUP BY 1)
+             |SELECT doc_id, n_tok, logprob,
+             |  CASE WHEN logprob >= -3.40 THEN 'head'
+             |       WHEN logprob >= -3.41 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM D""".stripMargin))
   )
 }

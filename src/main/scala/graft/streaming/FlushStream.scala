@@ -76,6 +76,25 @@ object FlushStream {
       .start()
   }
 
+  /** Spark's event-time machinery (`withWatermark`) accepts only
+    * TIMESTAMP, but parquet sources routinely surface event time as
+    * TIMESTAMP_NTZ (any writer that omits tz annotation — including the
+    * driver's regenerated events table). Normalize at the streaming
+    * entry points: an NTZ event-time column is cast to TIMESTAMP,
+    * interpreting its wall clock in the session timezone (run streams
+    * under UTC for tz-free semantics); any other type is left alone so
+    * the engine's own type error still surfaces.
+    */
+  private def watermarked(df: DataFrame, tsCol: String,
+                          watermark: String): DataFrame = {
+    val norm = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+    norm.withWatermark(tsCol, watermark)
+  }
+
   /** Streaming sessionization over an event stream: event-time session
     * windows with a watermark (the streaming twin of batch
     * `e01_sessionize`; late data beyond the watermark is dropped rather
@@ -83,8 +102,7 @@ object FlushStream {
     */
   def sessionized(events: DataFrame, gapMinutes: Int = 30,
                   watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
       .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
@@ -99,8 +117,7 @@ object FlushStream {
     */
   def dedupedStream(events: DataFrame, keys: Seq[String],
                     watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
   /** One record headed for a bundle: collector key, a unique id, exact
@@ -301,7 +318,7 @@ object FlushStream {
       .withColumn("n_tok", size(toks).cast("long"))
       .filter(col("n_tok") >= minTokens)
       .withColumn("fp", md5(graft.functions.TextFns.normalizeText(col("text"))))
-      .withWatermark("ts", watermark)
+      .transform(watermarked(_, "ts", watermark))
       .dropDuplicatesWithinWatermark(Seq("fp"))
   }
 
@@ -320,13 +337,12 @@ object FlushStream {
     docs
       .withColumn("simhash", graft.functions.TextFns.simhashBits(
         graft.functions.TextFns.tokens(col("text")), bits))
-      .withWatermark("ts", watermark)
+      .transform(watermarked(_, "ts", watermark))
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
   /** Streaming hourly tumbling-window counts (twin of e02). */
   def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),

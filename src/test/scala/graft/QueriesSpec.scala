@@ -30,8 +30,11 @@ class QueriesSpec extends SparkSpec {
     //             loop IS the right plan)
     //   s01: brute-force kNN, the exact baseline (scan x broadcast queries)
     //   s04/s05: nprobe ranking against 16 broadcast centroids
+    //   t19: one-row corpus-total broadcast onto the vocab table (the
+    //        same global-threshold shape as q27/q37)
     val allow = Set("q27_important_parts", "q37_global_sales_opportunity",
-      "s01_knn_bruteforce", "s04_knn_ivf", "s05_knn_ivf_indexed")
+      "s01_knn_bruteforce", "s04_knn_ivf", "s05_knn_ivf_indexed",
+      "t19_unigram_logprob")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       val bad = plan.contains("BroadcastNestedLoopJoin") ||
@@ -124,5 +127,52 @@ class QueriesSpec extends SparkSpec {
     val a = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
     val b = SparkEntry.queries("d02_minhash_lsh")(spark, sf0001).collect().toSet
     assert(a == b)
+  }
+
+  test("e07 funnel stages are ordered and the 24h bound discriminates") {
+    val rows = SparkEntry.queries("e07_funnel")(spark, sf0001)
+      .orderBy("stage").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val Seq(v, c, p) = rows.map(_._2).toSeq
+    assert(v >= c && c >= p, s"funnel not monotone: $v/$c/$p")
+    // the conversion window must actually cut (an unbounded funnel on
+    // this dense fixture converts every user at every stage)
+    assert(c < v, s"24h click bound did not discriminate: $v/$c")
+  }
+
+  test("t18 gopher flags discriminate and keep is exactly their conjunction") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("t18_gopher_filters")(spark, sf0001).cache()
+    try {
+      val n = df.count()
+      val k = df.filter(col("keep")).count()
+      assert(k > 0 && k < n, s"keep does not discriminate: $k of $n")
+      val drift = df.filter(col("keep") =!=
+        (col("ok_len") && col("ok_word_len") && col("ok_rep") && col("ok_stop")))
+      assert(drift.count() == 0, "keep diverged from its component flags")
+    } finally df.unpersist()
+  }
+
+  test("t19 buckets partition the score line and the vocab join broadcasts") {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val df = SparkEntry.queries("t19_unigram_logprob")(spark, sf0001).cache()
+    try {
+      val mm = df.groupBy("bucket").agg(min("logprob"), max("logprob"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(mm.keySet == Set("head", "middle", "tail"),
+        s"expected all three buckets on the fixture, got ${mm.keySet}")
+      assert(mm("head")._1 >= -3.40 && mm("middle")._1 >= -3.41 &&
+        mm("middle")._2 < -3.40 && mm("tail")._2 < -3.41,
+        s"bucket ranges overlap the cuts: $mm")
+      // Zipf-skewed post-explode join key: the vocab side must broadcast,
+      // never shuffle (a shuffle join would hot-spot on the head word)
+      val plan = SparkEntry.queries("t19_unigram_logprob")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"vocab join is not a broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"t19 planned a shuffle join on the exploded word key:\n$plan")
+    } finally df.unpersist()
   }
 }
