@@ -86,6 +86,18 @@ object AnnIndex {
     })
   }
 
+  // serve-side twin of the build-once map: an index is loaded once and
+  // searched many times, so the driver-side artifacts (one-row meta,
+  // |cells| centroid rows) are fetched once per (session, path). The
+  // corpus DataFrame is lazy either way — only its plan is cached here.
+  private val loadedIxs = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+
+  /** [[load]] memoized per (session, path) — the serving path: meta and
+    * centroids are read once, every subsequent search reuses them.
+    */
+  def loadOnce(spark: SparkSession, path: String): Index =
+    loadedIxs.computeIfAbsent(s"${spark.hashCode()}:$path", _ => load(spark, path))
+
   def load(spark: SparkSession, path: String): Index = {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"ann index at $path: meta must be one row, got ${m.length}")
@@ -112,6 +124,9 @@ object AnnIndex {
         ix.centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq)
       .toDF("cell", "cent")
     val q0 = queries.toDF("query_id", "q_vec")
+    // |queries| x nprobe rows, used twice (cell-list collect + the
+    // scoring join): materialize ONCE — localCheckpoint truncates the
+    // lineage so the query-side scan and probe ranking never re-execute
     val probes = q0.crossJoin(broadcast(cents))
       .withColumn("score", VecFns.cosine(col("q_vec"),
         transform(col("cent"), x => x.cast("float"))))
@@ -119,6 +134,7 @@ object AnnIndex {
         Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cell").asc)))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("cell"))
+      .localCheckpoint()
     // the probe-cell set is driver-bounded (|queries| x nprobe ints);
     // folding it into a literal IN gives the scan STATIC partition
     // pruning — only the probed cells' directories are read

@@ -150,7 +150,7 @@ object SimilarityOps extends QuerySet {
           e.select($"vec_id", $"embedding"),
           nCells = 16, iters = 1, dim = 64)
         graft.operators.AnnIndex.search(
-          graft.operators.AnnIndex.load(s, dir),
+          graft.operators.AnnIndex.loadOnce(s, dir),
           e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
           k = 10, nprobe = 3)
       },
