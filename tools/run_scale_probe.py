@@ -116,6 +116,36 @@ MODES = {
         # partitions scale with data (same rule as the dedup probe)
         "probe_shuffle": 256,
     },
+    "r10": {
+        # round-10 additions over the 100x dedup corpus: t18 (Gopher
+        # rules) and t19 (unigram-LM scoring) are explode + combinable
+        # hash aggregations — expected data-proportional like t12/t13;
+        # t19 adds the broadcast vocab join (the skew-absorbing choice
+        # the probe validates at 100x corpus). s05 is the persisted IVF
+        # index: iter 1 builds+writes the cell-partitioned corpus, the
+        # reported min-over-iters is the SEARCH via partition-pruned
+        # scan — the claim being probed is that search cost tracks the
+        # probed cells' bytes, not the corpus.
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["t18_gopher_filters", "t19_unigram_logprob",
+                    "s05_knn_ivf_indexed"],
+        "iters": 2,
+        "reps": 2,
+        "out": f"{REPO}/BENCH_r10_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+    },
+    "r10ev": {
+        # e07 funnel over the 100x event stream (sf10join scales
+        # events): three aggregations + two joins all keyed on user_id
+        # — expected in the asof-family band (same corpus, same key).
+        "sfdir": f"{REPO}/benchdata/sf10join",
+        "queries": ["e07_funnel"],
+        "iters": 2,
+        "reps": 2,
+        "out": f"{REPO}/BENCH_r10ev_probe.json",
+        "scale": 100,
+    },
     "asof": {
         # same sf10join corpus (make_sf10_join.py scales events since
         # r7): 2M purchase events as-of 15M orders — the one heavy query
