@@ -67,6 +67,17 @@ final class LakeCollector(spark: SparkSession, config: CompactionConfig) {
     Compactor.compactDirectoryIncremental(config.inputDir, config.outputDir,
       config.targetBytes, config.glob, watermark)
   }
+
+  /** Parquet-lake OPTIMIZE: rewrite `inputDir`'s many small parquet
+    * files into ~targetBytes files at `outputDir`, preserving the
+    * partition layout and every row ([[Compactor.optimizeParquet]]) —
+    * the maintenance pass that keeps a streaming sink's lake scannable.
+    */
+  def optimize(): DataFrame = {
+    implicit val s: SparkSession = spark
+    Compactor.optimizeParquet(config.inputDir, config.outputDir,
+      config.targetBytes)
+  }
 }
 
 final class LakeFlusher(spark: SparkSession, config: FlushConfig) {

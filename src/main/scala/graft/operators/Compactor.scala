@@ -524,4 +524,77 @@ object Compactor {
     codec.fold(writer)(c => writer.option("compression", c)).text(outputDir)
     manifest(assign, col("path"))
   }
+
+  /** Parquet-lake OPTIMIZE — the standard lake-maintenance pass every
+    * long-running ingest needs (a streaming sink or frequent small
+    * batches leave thousands of KB-scale part files per partition;
+    * scan cost becomes per-FILE, not per-byte): rewrite the lake so
+    * each partition directory's files approach `targetBytes`,
+    * preserving the partition layout and every row.
+    *
+    * Same division of labor as [[compactDirectory]] at 100 TB:
+    *  - bundle assignment runs on the LISTING ONLY (path, size from
+    *    file status — no file is opened), one [[PrefixSum]] pass
+    *    grouped by partition directory, so the planning shuffle
+    *    carries a few dozen bytes per FILE;
+    *  - row bytes are then read once and shuffled once, hash-clustered
+    *    by (partition dir, bundle) so each task writes whole bundles
+    *    into the partitioned writer (`maxRecordsPerFile`-style row
+    *    slicing is exactly what this pass exists to undo);
+    *  - targeting is on INPUT (encoded) bytes, the unit the listing
+    *    has — output files land near `targetBytes` modulo re-encoding
+    *    drift, the same estimate-vs-exact trade as W2 gzip targeting.
+    *
+    * Non-destructive: writes the optimized lake at `outputDir`
+    * (swap-then-delete is the caller's commit policy, like every
+    * OPTIMIZE that must not race readers). Returns a per-(partition
+    * dir, bundle) manifest with file/byte counts.
+    */
+  def optimizeParquet(inputDir: String, outputDir: String, targetBytes: Long)
+                     (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val rows = spark.read.parquet(inputDir)
+    // partition columns come from the relation, not name guessing
+    val partCols: Seq[String] = rows.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.partitionSchema.fieldNames.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.getOrElse(Seq.empty)
+    // listing-only planning pass: binaryFile surfaces (path, length)
+    // from file status without opening anything
+    val listing = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .load(inputDir)
+      .select(col("path"), col("length"))
+      .withColumn("part_dir", regexp_extract(col("path"), "^(.*)/[^/]+$", 1))
+    val assign = Caches.track(
+      PrefixSum.runningTotal(listing,
+          groupCol = col("part_dir"),
+          ordKey = col("length").cast("double"),
+          orderCols = Seq(col("length").asc, col("path").asc),
+          valueCol = col("length"),
+          buckets = 0,
+          inclusive = false,
+          nullsLast = false,
+          outCol = "_prefix",
+          keepValueAs = Some("file_bytes"))
+        .withColumn(BundleCol, floor(col("_prefix") / lit(targetBytes)))
+        .drop("_prefix"))
+    rows
+      .withColumn("_path", col("_metadata.file_path"))
+      // AQE broadcasts the file-level assignment while it fits; the row
+      // payload shuffles exactly once either way
+      .join(assign.select(col("path").as("_path"), col("part_dir"), col(BundleCol)), "_path")
+      .repartition(col("part_dir"), col(BundleCol))
+      .drop("_path", "part_dir", BundleCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(outputDir)
+    assign.groupBy(col("part_dir"), col(BundleCol))
+      .agg(count(lit(1)).as("n_files"), sum(col("file_bytes")).as("total_bytes"))
+  }
 }

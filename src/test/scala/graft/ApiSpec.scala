@@ -235,4 +235,45 @@ class ApiSpec extends SparkSpec {
     q3.awaitTermination(60000)
     flusher.stop()
   }
+
+  test("optimize rewrites a fragmented partitioned parquet lake: rows exact, files collapsed, layout kept") {
+    import spark.implicits._
+    val in = tmpDir("opt_in"); val out = tmpDir("opt_out")
+    // a streaming-sink-shaped lake: 2 partitions x 16 tiny part files
+    val src = (1 to 2000).map(i => (i.toLong, s"payload_${i}_${"x" * 40}", i % 2))
+      .toDF("id", "payload", "p")
+    src.repartition(16).write.mode("overwrite").partitionBy("p").parquet(in.toString)
+    val inFiles = Files.walk(Paths.get(in.toString)).iterator()
+    val nIn = { var n = 0; while (inFiles.hasNext) {
+      if (inFiles.next().toString.endsWith(".parquet")) n += 1 }; n }
+    assert(nIn >= 20, s"fixture not fragmented enough: $nIn files")
+
+    val manifest = new LakeCollector(spark,
+      CompactionConfig(in.toString, out.toString, targetBytes = 1L << 20)).optimize()
+    // every input file planned into exactly one bundle
+    assert(manifest.agg(sum("n_files")).collect()(0).getLong(0) == nIn)
+
+    // rows preserved EXACTLY (values and partition column round-trip)
+    val back = spark.read.parquet(out.toString)
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+    assert(back.count() == 2000)
+    assert(src.exceptAll(back.select("id", "payload", "p")).isEmpty &&
+           back.select("id", "payload", "p").exceptAll(src).isEmpty)
+
+    // files collapsed: at 1 MiB target this tiny lake fits one file per
+    // partition dir; layout preserved means pruning still works
+    val outFiles = Files.walk(Paths.get(out.toString)).iterator()
+    var byDir = Map.empty[String, Int]
+    while (outFiles.hasNext) {
+      val f = outFiles.next()
+      if (f.toString.endsWith(".parquet"))
+        byDir = byDir.updated(f.getParent.getFileName.toString,
+          byDir.getOrElse(f.getParent.getFileName.toString, 0) + 1)
+    }
+    assert(byDir.keySet == Set("p=0", "p=1"), s"partition layout lost: $byDir")
+    assert(byDir.values.forall(_ == 1), s"not collapsed: $byDir")
+    val pruned = back.filter($"p" === 1).queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(p"),
+      s"partition pruning lost on the optimized lake:\n$pruned")
+  }
 }

@@ -62,7 +62,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 ev = pq.read_table(f"{SRC}/events.parquet")
-assert str(ev.schema.field("ts").type) == "timestamp[ns]", ev.schema
+# testdata generations ship ts as either TIMESTAMP(NANOS) or
+# TIMESTAMP(MICROS); preserve whichever physical type the source has
+# (the engine's loadEvents adapts on the observed type)
+ts_type = str(ev.schema.field("ts").type)
+assert ts_type in ("timestamp[ns]", "timestamp[us]"), ev.schema
 parts = []
 for k in range(K):
     t2 = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
@@ -73,8 +77,8 @@ for k in range(K):
 out = pa.concat_tables(parts)
 pq.write_table(out, f"{DST}/events.parquet", version="2.6")
 got = str(pq.read_schema(f"{DST}/events.parquet").field("ts").type)
-assert got == "timestamp[ns]", got
-print(f"events: {out.num_rows} rows (ns preserved)")
+assert got == ts_type, (got, ts_type)
+print(f"events: {out.num_rows} rows ({ts_type} preserved)")
 emit("documents", f"doc_id + k*{D} AS doc_id")
 emit("embeddings", f"vec_id + k*{V} AS vec_id")
 
