@@ -446,6 +446,74 @@ class FlushStreamSpec extends SparkSpec {
     assert(got.min == expected.getDouble(2) && got.max == expected.getDouble(3))
   }
 
+  test("streaming funnel matches the batch twin on a single drain and across an in-order split") {
+    import spark.implicits._
+    import graft.streaming.FunnelStream
+    val W = 40L * 86400 * 1000 * 1000 * 1000 // > fixture span: no timeouts,
+    // so the stream's restart trade can't fire and batch parity is exact
+    val stages = Seq("view", "click", "purchase")
+
+    // batch expectation, computed with the e07 recipe at the same window
+    val ev = Tables.load(spark, sf0001, "events")
+      .select($"user_id", $"event_type", $"ts_ns")
+    val fv = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts_ns").as("a"))
+    val fc = ev.filter($"event_type" === "click").join(fv, "user_id")
+      .filter($"ts_ns" > $"a" && $"ts_ns" <= $"a" + W)
+      .groupBy($"user_id").agg(min($"ts_ns").as("a"))
+    val fp = ev.filter($"event_type" === "purchase").join(fc, "user_id")
+      .filter($"ts_ns" > $"a" && $"ts_ns" <= $"a" + W)
+      .groupBy($"user_id").agg(min($"ts_ns").as("a"))
+    val expected = Seq(1 -> fv, 2 -> fc, 3 -> fp).map { case (i, df) =>
+      i -> df.select($"user_id", $"a").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }.toMap
+
+    def drain(srcDir: String, name: String, maxFiles: Option[Int]): Unit = {
+      val ckpt = tmpDir(s"${name}_ckpt")
+      var reader = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+      maxFiles.foreach(m => reader = reader.option("maxFilesPerTrigger", m))
+      val q = FunnelStream.funnelStream(
+          reader.parquet(srcDir), stages, W, watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def got(name: String): Map[Int, Set[(Long, Long)]] =
+      spark.table(name).collect()
+        .map(r => (r.getAs[Int]("stage_idx"), (r.getAs[Long]("user_id"), r.getAs[Long]("ts_ns"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // single drain: all files in one batch
+    val src1 = tmpDir("funnel_src1")
+    Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .coalesce(1).write.mode("overwrite").parquet(src1.toString)
+    drain(src1.toString, "funnel1", None)
+    assert(got("funnel1") == expected, "single-batch drain diverged from batch twin")
+
+    // two in-order batches: split at the median ts, one flat file each
+    // (mtime order drives FileStreamSource's single-file triggers)
+    val src2 = tmpDir("funnel_src2")
+    val all = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"ts_ns")
+    val mid = all.agg(expr("percentile_approx(ts_ns, 0.5)")).collect()(0).getLong(0)
+    Seq(("b1", all.filter($"ts_ns" <= mid)), ("b2", all.filter($"ts_ns" > mid)))
+      .zipWithIndex.foreach { case ((name, df), i) =>
+        val stage = tmpDir(s"funnel_stage_$name")
+        df.drop("ts_ns").coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = Paths.get(src2.toString, s"$name.parquet")
+        Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    drain(src2.toString, "funnel2", Some(1))
+    assert(got("funnel2") == expected, "split drain diverged from batch twin")
+  }
+
   test("streaming sessionization emits session windows with AvailableNow") {
     import spark.implicits._
     val src = tmpDir("events_src"); val ckpt = tmpDir("sess_ckpt")
