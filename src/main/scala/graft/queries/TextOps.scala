@@ -624,6 +624,60 @@ object TextOps extends QuerySet {
              |  CASE WHEN logprob >= -3.40 THEN 'head'
              |       WHEN logprob >= -3.41 THEN 'middle'
              |       ELSE 'tail' END AS bucket
-             |FROM D""".stripMargin))
+             |FROM D""".stripMargin)),
+
+    // --- Pairwise source-overlap matrix (corpus forensics: "how much
+    // does source A duplicate source B" — the cross-source
+    // contamination report run before mixing corpora). Shared distinct
+    // 3-gram shingles per source pair, plus the shingle-set Jaccard
+    // via inclusion-exclusion. Scale shape: the DISTINCT (source,
+    // shingle) table bounds the self-join's key multiplicity by
+    // |sources| — a shingle shared by every source fans out to
+    // |sources|^2/2 pairs, never |docs|^2; the whole pass is two
+    // map-side-combinable aggregations around one equi-join, linear in
+    // corpus shingles. Like t15, the shuffle carries a fixed-width
+    // md5-derived 60-bit key, never raw shingle text (collisions are
+    // 2^-60-rare and DETERMINISTIC — both engines hash identically, so
+    // the compare stays exact). The per-source totals join is a
+    // |sources|-row broadcast.
+    Q("t20_source_overlap",
+      (s, d) => {
+        import s.implicits._
+        val sh = Tables.load(s, d, "documents")
+          .select($"source",
+            explode(TextFns.shingles(TextFns.tokens($"text"), 3)).as("g"))
+          .select($"source",
+            conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("sh"))
+          .distinct()
+        val cnt = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+        sh.toDF("src_a", "sh").join(sh.toDF("src_b", "sh"), "sh")
+          .filter($"src_a" < $"src_b")
+          .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(cnt.toDF("src_a", "na")), "src_a")
+          .join(broadcast(cnt.toDF("src_b", "nb")), "src_b")
+          .select($"src_a", $"src_b", $"n_shared",
+            round($"n_shared".cast("double") /
+              ($"na" + $"nb" - $"n_shared"), 6).as("jaccard"))
+      },
+      Some("""WITH W AS (SELECT source,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |S AS (SELECT source, unnest(CASE WHEN len(words) < 3
+             |  THEN [array_to_string(words, ' ')]
+             |  ELSE list_transform(range(1, len(words)-1),
+             |         i -> array_to_string(words[i:i+2], ' ')) END) AS g
+             |  FROM W),
+             |D AS (SELECT DISTINCT source,
+             |  ('0x' || substr(md5(g), 1, 15))::BIGINT AS sh FROM S),
+             |C AS (SELECT source, count(*) AS n FROM D GROUP BY 1),
+             |I AS (SELECT a.source AS src_a, b.source AS src_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM D a JOIN D b ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, n_shared,
+             |  round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) AS jaccard
+             |FROM I
+             |JOIN C ca ON ca.source = I.src_a
+             |JOIN C cb ON cb.source = I.src_b""".stripMargin))
   )
 }

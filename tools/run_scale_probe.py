@@ -135,6 +135,20 @@ MODES = {
         "scale": 100,
         "probe_shuffle": 256,
     },
+    "r10b": {
+        # t20 source-overlap at 100x: the distinct (source, shingle)
+        # self-join's fanout is bounded by |sources|^2 per shingle, so
+        # cost must track corpus shingles, never doc pairs — the exact
+        # property the 100-copy corpus stresses (every shingle's
+        # source multiplicity saturates).
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["t20_source_overlap"],
+        "iters": 2,
+        "reps": 2,
+        "out": f"{REPO}/BENCH_r10b_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+    },
     "r10ev": {
         # e07 funnel over the 100x event stream (sf10join scales
         # events): three aggregations + two joins all keyed on user_id
