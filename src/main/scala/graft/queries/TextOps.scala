@@ -643,9 +643,12 @@ object TextOps extends QuerySet {
     Q("t20_source_overlap",
       (s, d) => {
         import s.implicits._
+        // native WordShingles: the declarative shingles(tokens(..))
+        // chain is interpreted per shingle and dominated the 100x wall
+        // (32.6 of 41 s attributed to shingle construction alone)
         val sh = Tables.load(s, d, "documents")
           .select($"source",
-            explode(TextFns.shingles(TextFns.tokens($"text"), 3)).as("g"))
+            explode(graft.expressions.NativeFns.word_shingles($"text", 3)).as("g"))
           .select($"source",
             conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("sh"))
           .distinct()
