@@ -110,9 +110,29 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
       if (l < 0) -1.0 else math.round(l * 100.0) / 100.0
     }
+    // Settle gate (same contract as tools/run_scale_probe.py::settle):
+    // wait for the 1-min loadavg to decay below SPARK_GRAFT_SETTLE_LOAD
+    // (default 4.0; 0 disables) before EACH timed iteration, capped at
+    // SPARK_GRAFT_SETTLE_WAIT seconds (default 150). r10's artifact
+    // carried a 51.96 s ambient-contaminated iteration and 10-30 s
+    // phantom per-query entries; gating makes a contaminated run either
+    // wait it out or advertise itself via settled:false.
+    val settleTarget = sys.env.getOrElse("SPARK_GRAFT_SETTLE_LOAD", "4.0").toDouble
+    val settleWaitS = sys.env.getOrElse("SPARK_GRAFT_SETTLE_WAIT", "150").toDouble
+    def settle(): Boolean = {
+      if (settleTarget <= 0) return true
+      val t0 = System.nanoTime()
+      var l = sysLoad()
+      while (l > settleTarget && (System.nanoTime() - t0) / 1e9 < settleWaitS) {
+        Thread.sleep(5000); l = sysLoad()
+      }
+      l <= settleTarget
+    }
     val loadBefore = sysLoad()
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
-    val runs = (1 to iters).map(_ => oneIteration())
+    val settledFlags = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val runs = (1 to iters).map { _ => settledFlags += settle(); oneIteration() }
+    val settledAll = settledFlags.forall(identity)
     val loadAfter = sysLoad()
     val iterWallList = runs.map(r => f"${r._1}%.2f")
     val iterWalls = iterWallList.mkString("[", ",", "]")
@@ -122,7 +142,8 @@ object Bench {
     // the per-query budget below also subtracts the actual headline
     // overhead rather than assuming a fixed size
     val iterWallsSummary = iterWallList.take(8).mkString("[", ",", "]")
-    val loadJson = s"""{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus}"""
+    val loadJson =
+      s"""{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,"settled":$settledAll}"""
     val total = runs.map(_._1).min
     // per-query minimum over iterations; a query erring in EVERY
     // iteration stays an error (negative sentinel elapsed), one clean

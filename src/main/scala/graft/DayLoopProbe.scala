@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Compactor, Dedup, DedupIndex}
+
+/** Day-N composed ingest loop probe (VERDICT r10 task 7): the pieces
+  * all exist with their own numbers — incremental compaction, the
+  * persisted dedup index, `appendNovel` — but no artifact showed the
+  * COMPOSED daily loop a production lake actually runs:
+  *
+  *   day d:  crawl delta lands as small files
+  *           -> compact the delta (optimizeParquet on the day dir)
+  *           -> flag the compacted delta against the persisted index
+  *           -> fold the novel slice into the index (appendNovel)
+  *           -> day d+1 probes an index that grew by day d's novelty
+  *
+  * The claim under test is the incremental contract: per-day wall
+  * tracks the DELTA, not the lake. By day 3 the corpus is 4x the
+  * delta and the index has absorbed three days of novelty — if any
+  * stage re-shingled the lake or re-compacted history, its wall would
+  * grow ~linearly in day number instead of staying flat.
+  *
+  * Each day's delta is half exact duplicates of the base corpus
+  * (id-shifted, text identical — must ALL be flagged `exact`) and
+  * half novel synthetic docs (day-salted md5-token text, no shingle
+  * overlap with anything prior — must ALL land unflagged and be
+  * folded). Those two set equalities are asserted per day, so the
+  * probe is also a correctness witness for the composition, not just
+  * a stopwatch.
+  *
+  * Usage: runMain graft.DayLoopProbe [sfDir] [workDir] [nDays]
+  * [baseCopies]. Defaults give a ~50k-doc base (10x sf0.1 documents =
+  * the sf1 shape) and ~50k-doc daily deltas. Writes
+  * BENCH_dayloop_probe.json in cwd; last stdout line is the JSON.
+  */
+object DayLoopProbe {
+
+  private def f2(d: Double) = math.round(d * 100.0) / 100.0
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/root/repo/benchdata/dayloop"
+    val nDays = if (args.length > 2) args(2).toInt else 3
+    val copies = if (args.length > 3) args(3).toInt else 10
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    val ixPath = s"$work/dedup_index"
+    val lake = s"$work/lake"
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val D = docs0.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+
+    // base corpus: `copies` id-shifted replicas (text per replica made
+    // unique with a replica salt so the base itself is dup-free and the
+    // index starts at |base| representatives)
+    val base = docs0.crossJoin(spark.range(copies).select(col("id").as("_k")))
+      .select((col("doc_id") + col("_k") * D).as("doc_id"),
+        concat(col("text"), lit(" basecopy "), col("_k").cast("string")).as("text"))
+    val (_, baseIxSec) = timed {
+      DedupIndex.write(ixPath, base, col("doc_id"), col("text"))
+    }
+    val baseN = base.count()
+
+    // synthetic novel text: 24 md5 tokens salted by (day, id) — no
+    // shingle overlap with the base or any other day, deterministic
+    def novelText(day: Int) = concat_ws(" ", (0 until 24).map(i =>
+      md5(concat(lit(s"d$day:t$i:"), col("id").cast("string")))): _*)
+
+    val dayRows = (1 to nDays).map { day =>
+      // ids: dup slice and novel slice each get a day-unique range
+      val dupOff = (copies + (day - 1) * 2).toLong * D * copies
+      val novOff = dupOff + D * copies
+      val dupHalf = base.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + lit(dupOff)).as("doc_id"), col("text"))
+      val novHalf = spark.range(baseN / 2)
+        .select((col("id") + lit(novOff)).as("doc_id"),
+          novelText(day).as("text"))
+      val incoming = s"$work/incoming/date=2026-08-$day"
+      val compacted = s"$lake/date=2026-08-$day"
+      // the day's crawl residue: 200 small part files
+      dupHalf.unionByName(novHalf).repartition(200)
+        .write.mode("overwrite").parquet(incoming)
+
+      val (_, compactSec) = timed {
+        Compactor.optimizeParquet(incoming, compacted, 128L * 1024 * 1024)
+      }
+      val delta = spark.read.parquet(compacted)
+      val ((flags, nExact, nNear), flagSec) = timed {
+        val ix = DedupIndex.load(spark, ixPath)
+        val f = Dedup.incrementalFlagsIndexed(ix, delta, col("doc_id"), col("text"))
+          .localCheckpoint() // one materialization serves count + fold
+        val byKind = f.groupBy(col("dup_kind")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (f, byKind.getOrElse("exact", 0L), byKind.getOrElse("near", 0L))
+      }
+      val (_, foldSec) = timed {
+        DedupIndex.appendNovel(ixPath, delta, col("doc_id"), col("text"), flags)
+      }
+      val deltaN = delta.count()
+      val novelN = deltaN - flags.select("doc_id").distinct().count()
+      // composition correctness, not just walls: every dup flagged
+      // exact, every synthetic doc novel
+      require(nExact == dupHalf.count(),
+        s"day $day: expected all ${dupHalf.count()} dups exact, got $nExact")
+      require(novelN == baseN / 2,
+        s"day $day: expected ${baseN / 2} novel, got $novelN")
+      val total = compactSec + flagSec + foldSec
+      println(f"[dayloop] day $day: compact $compactSec%.2f flag $flagSec%.2f " +
+        f"fold $foldSec%.2f total $total%.2f (delta $deltaN rows, $novelN novel)")
+      s"""{"day":$day,"delta_rows":$deltaN,"exact_flags":$nExact,""" +
+      s""""near_flags":$nNear,"novel":$novelN,"compact_sec":${f2(compactSec)},""" +
+      s""""flag_sec":${f2(flagSec)},"fold_sec":${f2(foldSec)},""" +
+      s""""total_sec":${f2(total)}}"""
+    }
+
+    val ixRows = spark.read.parquet(s"$ixPath/hashes").count()
+    val json =
+      s"""{"metric":"dayloop_probe","base_rows":$baseN,"days":$nDays,""" +
+      s""""base_index_build_sec":${f2(baseIxSec)},""" +
+      s""""index_rows_final":$ixRows,""" +
+      s""""per_day":${dayRows.mkString("[", ",", "]")}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_dayloop_probe.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(json)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    spark.stop()
+  }
+}

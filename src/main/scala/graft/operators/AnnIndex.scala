@@ -64,6 +64,7 @@ object AnnIndex {
     Seq((FormatVersion, nCells, iters, dim))
       .toDF("version", "n_cells", "iters", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    invalidate(spark, path)
   }
 
   // build-once amortization, same trade as the dedup family's memoized
@@ -89,14 +90,46 @@ object AnnIndex {
   // serve-side twin of the build-once map: an index is loaded once and
   // searched many times, so the driver-side artifacts (one-row meta,
   // |cells| centroid rows) are fetched once per (session, path). The
-  // corpus DataFrame is lazy either way — only its plan is cached here.
+  // corpus DataFrame is lazy either way — only its plan (and its file
+  // LISTING, frozen at load time) is cached here.
   private val loadedIxs = new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
-  /** [[load]] memoized per (session, path) — the serving path: meta and
-    * centroids are read once, every subsequent search reuses them.
+  // Content fingerprint of the on-disk index: (name, length, mtime) of
+  // the meta + centroids files and the corpus TOP-LEVEL entries (the
+  // cell=N directories — a dir's mtime moves when files are added under
+  // it). Keying the memo on this makes retrain-by-rewrite and
+  // out-of-process appends at the same path visible to loadOnce without
+  // scanning any data: three driver-side listStatus calls, each a
+  // handful (|cells|) of entries.
+  private def fingerprint(spark: SparkSession, path: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sig(sub: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) "absent"
+      else fs.listStatus(p)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(";")
+    }
+    java.util.Objects.hash(sig("meta"), sig("centroids"), sig("corpus")).toString
+  }
+
+  // same-session writers don't even need the fingerprint to roll: drop
+  // every cached load of this path eagerly (covers appends landing
+  // within one fs-mtime granule)
+  private def invalidate(spark: SparkSession, path: String): Unit =
+    loadedIxs.keySet.removeIf(_.startsWith(s"${spark.hashCode()}:$path:"))
+
+  /** [[load]] memoized per (session, path, on-disk content) — the
+    * serving path: meta and centroids are read once, every subsequent
+    * search reuses them. The content term in the key (file
+    * lengths/mtimes, no data read) means a retrained-by-rewrite or
+    * appended index at the same path is re-loaded, never served stale.
     */
   def loadOnce(spark: SparkSession, path: String): Index =
-    loadedIxs.computeIfAbsent(s"${spark.hashCode()}:$path", _ => load(spark, path))
+    loadedIxs.computeIfAbsent(
+      s"${spark.hashCode()}:$path:${fingerprint(spark, path)}",
+      _ => load(spark, path))
 
   def load(spark: SparkSession, path: String): Index = {
     val m = spark.read.parquet(s"$path/meta").collect()
@@ -161,5 +194,6 @@ object AnnIndex {
     vecs.toDF("vec_id", "c_vec")
       .withColumn("cell", nearest_centroid(col("c_vec"), ix.centroids))
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+    invalidate(vecs.sparkSession, path)
   }
 }

@@ -549,6 +549,9 @@ object Compactor {
     * (swap-then-delete is the caller's commit policy, like every
     * OPTIMIZE that must not race readers). Returns a per-(partition
     * dir, bundle) manifest with file/byte counts.
+    * [[commitOptimized]] is the packaged form of that commit policy —
+    * two directory renames that retire the fragmented lake and promote
+    * the optimized one at the original path.
     */
   def optimizeParquet(inputDir: String, outputDir: String, targetBytes: Long)
                      (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
@@ -584,6 +587,25 @@ object Compactor {
           keepValueAs = Some("file_bytes"))
         .withColumn(BundleCol, floor(col("_prefix") / lit(targetBytes)))
         .drop("_prefix"))
+    // Guard against silent row loss: the row scan reads EVERY data file
+    // of the relation, but the listing is '*.parquet'-globbed — a data
+    // file with any other extension would plan into the relation yet
+    // miss the bundle assignment, and the inner join below would drop
+    // its rows without a trace. Both file sets are already driver-side
+    // listings (inputFiles comes from the relation's file index, the
+    // assignment manifest is file-level), so the check costs a set
+    // diff, not a data pass. Fail loudly; never "optimize" rows away.
+    def norm(p: String): String = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
+    val listed = assign.select(col("path")).collect().map(r => norm(r.getString(0))).toSet
+    val unassigned = rows.inputFiles.map(norm).filterNot(listed.contains)
+    require(unassigned.isEmpty,
+      s"optimizeParquet($inputDir): ${unassigned.length} data file(s) in the " +
+        s"relation have no bundle assignment (non-'*.parquet' names or files " +
+        s"the listing missed) — refusing to drop their rows. First few: " +
+        unassigned.take(3).mkString(", "))
     rows
       .withColumn("_path", col("_metadata.file_path"))
       // AQE broadcasts the file-level assignment while it fits; the row
@@ -596,5 +618,57 @@ object Compactor {
       .parquet(outputDir)
     assign.groupBy(col("part_dir"), col(BundleCol))
       .agg(count(lit(1)).as("n_files"), sum(col("file_bytes")).as("total_bytes"))
+  }
+
+  /** The swap-then-delete commit [[optimizeParquet]] delegates to the
+    * caller, packaged: retire the fragmented lake and promote the
+    * optimized copy AT THE ORIGINAL PATH via two directory renames —
+    *
+    *   1. `lakeDir`      -> `lakeDir.pre-optimize-<millis>`  (retire)
+    *   2. `optimizedDir` -> `lakeDir`                        (promote)
+    *
+    * On HDFS and POSIX filesystems each rename is an atomic metadata
+    * operation, so a reader either resolves the old directory or the
+    * new one — never a half-written mix — and the retired copy stays
+    * intact for rollback until the caller deletes it (returned path).
+    * The window BETWEEN the renames is the recipe's known gap: a
+    * listing issued in that instant sees no directory, which is why
+    * the swap must run outside reader traffic or behind a catalog
+    * repoint. In-flight scans that already resolved file blocks keep
+    * reading the retired inode either way.
+    *
+    * NOT for object stores: S3 "rename" is copy+delete per object —
+    * neither atomic nor cheap. There the commit is a metastore/catalog
+    * pointer swap (the table location moves from `lakeDir` to
+    * `optimizedDir`); this helper refuses non-`file`/`hdfs` schemes
+    * rather than fake atomicity.
+    *
+    * If promotion fails after the retire rename succeeded, the retire
+    * is rolled back so the lake never stays missing.
+    *
+    * @return the retired directory's path (delete after readers drain)
+    */
+  def commitOptimized(lakeDir: String, optimizedDir: String)
+                     (implicit spark: org.apache.spark.sql.SparkSession): String = {
+    import org.apache.hadoop.fs.Path
+    val lake = new Path(lakeDir)
+    val opt = new Path(optimizedDir)
+    val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    require(scheme == "file" || scheme == "hdfs",
+      s"commitOptimized: directory rename is not atomic on scheme '$scheme' — " +
+        "commit via a catalog pointer swap instead")
+    require(fs.exists(opt) && fs.listStatus(opt).nonEmpty,
+      s"commitOptimized: optimized lake at $optimizedDir is missing or empty")
+    require(fs.exists(lake), s"commitOptimized: lake at $lakeDir does not exist")
+    val retired = new Path(s"$lakeDir.pre-optimize-${System.currentTimeMillis()}")
+    require(fs.rename(lake, retired),
+      s"commitOptimized: failed to retire $lakeDir -> $retired")
+    if (!fs.rename(opt, lake)) {
+      fs.rename(retired, lake) // roll back: the lake must never stay missing
+      throw new IllegalStateException(
+        s"commitOptimized: failed to promote $optimizedDir -> $lakeDir; retire rolled back")
+    }
+    retired.toString
   }
 }

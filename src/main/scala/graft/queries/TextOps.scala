@@ -13,6 +13,23 @@ object TextOps extends QuerySet {
 
   private val stop = Seq("the", "a", "and", "of", "to", "is")
 
+  /** t19 head/tail vocab split point, as a RELATIVE corpus share:
+    * tokens with count >= share * total join BROADCAST, the residue
+    * joins by shuffle. A relative cut (unlike an absolute min-count)
+    * carries two scale-free guarantees at once:
+    *   - head size <= 1/share rows by construction (at most 1/share
+    *     tokens can each hold a >= share slice), so the broadcast
+    *     build is bounded NO MATTER how large the corpus grows;
+    *   - every residue key carries < share of all exploded rows, so
+    *     the residue shuffle has a hard per-reducer skew ceiling.
+    * Semantics are split-point-independent — every token lands in
+    * exactly one side — so the value only tunes that trade. 0.002
+    * (head <= 500 tokens) keeps BOTH paths exercised at every test
+    * scale; a web deployment would run ~1e-6 (head <= 1M rows, a
+    * tens-of-MB broadcast; residue keys <= a millionth of the corpus).
+    */
+  private[graft] val VocabHeadShare = 0.002
+
   val all: Seq[Q] = Seq(
 
     // --- Token & char counting (whitespace tokenizer). Regex kept to the
@@ -584,24 +601,49 @@ object TextOps extends QuerySet {
     // --- CCNet-style self-trained unigram LM scoring (Wenzek et al.
     // 2020 §4.3 family, the perplexity stage with the corpus itself as
     // the LM): global word frequencies -> per-document mean token
-    // log-probability -> fixed head/middle/tail cut. Two corpus passes:
-    // one map-side-combinable word count, then an explode re-join.
-    // The vocab table joins BROADCAST on purpose: post-explode the join
-    // key is Zipf-skewed ("the" alone would hot-spot a shuffle join),
-    // while a natural-language vocab (even web-scale, min-count-pruned)
-    // is millions of rows — broadcastable; skew lands on the replicated
-    // side where it costs nothing. Buckets cut on the 6dp-ROUNDED score
-    // so the classification the row carries is exactly the one its
-    // emitted score implies on both engines.
+    // log-probability -> fixed head/middle/tail cut.
+    // == The vocab-join plan (the 100 TB shape) ==
+    // Post-explode the join key is Zipf-skewed ("the" alone would
+    // hot-spot a shuffle join), so the HOT side must join broadcast —
+    // but a raw web-crawl vocab is billions of rows (UUID/typo tail)
+    // and broadcasting it whole would OOM the driver. The split below
+    // is the standard skew remedy, and it is EXACT, not approximate:
+    //  - head  = tokens holding >= VocabHeadShare of all exploded
+    //    rows. ALL the Zipf skew lives here by construction (a token
+    //    can only be hot if its share is large), and the head is
+    //    PROVABLY <= 1/share rows — broadcastable no matter the corpus
+    //    size; skew lands on the replicated side where it costs
+    //    nothing.
+    //  - tail  = the residue. Every residue key carries < share of the
+    //    rows (a hard per-reducer ceiling), and only the ex rows that
+    //    missed the head (a broadcast LEFT ANTI, no shuffle of ex) are
+    //    shuffled — the residue fraction of the corpus, not the corpus.
+    // Every token lands in exactly one side, so head-join ∪ tail-join
+    // partitions ex exactly and the scores are bit-identical to the
+    // single-join form (QueriesSpec pins the plan: broadcast on the
+    // head path, none on the unpruned vocab). The extra corpus
+    // tokenization pass the split costs is the textbook price of skew
+    // isolation; the vocab itself is built once (persisted via the
+    // cache registry) and reused by both filters and the total.
+    // Buckets cut on the 6dp-ROUNDED score so the classification the
+    // row carries is exactly the one its emitted score implies on both
+    // engines.
     Q("t19_unigram_logprob",
       (s, d) => {
         import s.implicits._
         val ex = Tables.load(s, d, "documents")
           .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
-        val vocab = ex.groupBy($"w").agg(count(lit(1)).as("g"))
+        val vocab = graft.operators.Caches.track(
+          ex.groupBy($"w").agg(count(lit(1)).as("g")))
         val tot = vocab.agg(sum($"g").as("tot"))
-        val scored = ex
-          .join(broadcast(vocab.crossJoin(broadcast(tot))), "w")
+        val vt = vocab.crossJoin(broadcast(tot))
+        val cut = $"tot".cast("double") * lit(VocabHeadShare)
+        val head = vt.filter($"g" >= cut)
+        val headJoined = ex.join(broadcast(head), "w")
+        val tailJoined = ex
+          .join(broadcast(head.select($"w")), Seq("w"), "left_anti")
+          .join(vt.filter($"g" < cut), "w")
+        val scored = headJoined.unionByName(tailJoined)
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_tok"),
                round(sum(log($"g".cast("double") / $"tot")) / count(lit(1)), 6)

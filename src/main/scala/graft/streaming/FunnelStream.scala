@@ -70,6 +70,20 @@ object FunnelStream {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val wmMs = state.getCurrentWatermarkMs()
+            // A live state whose deadline the watermark has already
+            // passed is one the event-time timeout WOULD have evicted,
+            // except this batch delivered data for the key first (data
+            // invocations preempt the timeout callback). No admissible
+            // event can advance it — anything at or above the watermark
+            // is past anchor + window — so evict it HERE, before
+            // processing, exactly as the timeout would have: this
+            // batch's events may then anchor a fresh attempt, and we
+            // never re-register a timeout at or below the watermark
+            // (Spark rejects that with IllegalArgumentException,
+            // failing the whole query).
+            if (st.stage > 0 && (st.anchorNs + windowNs) / 1000000L <= wmMs)
+              st = FunnelState(0, Long.MinValue)
             val out = Seq.newBuilder[FunnelHit]
             // deterministic within-batch order — one AvailableNow batch
             // therefore reproduces the batch twin exactly
@@ -90,7 +104,16 @@ object FunnelStream {
               // outlive anchor + window — the eviction that keeps state
               // bounded by recent starters, not user history.
               state.update(st)
-              state.setTimeoutTimestamp((st.anchorNs + windowNs) / 1000000L)
+              // clamp: a fresh anchor is >= the watermark (it was
+              // admitted), but ms-flooring of anchor + a sub-ms window
+              // can still land the deadline AT the watermark — one ms
+              // later is the earliest Spark accepts
+              state.setTimeoutTimestamp(
+                math.max((st.anchorNs + windowNs) / 1000000L, wmMs + 1L))
+            } else if (state.exists) {
+              // pre-processing eviction above cleared a dead attempt
+              // and nothing re-anchored: drop the stored state too
+              state.remove()
             }
             // stage 0 stores nothing: a user who never starts costs 0 bytes
             out.result().iterator

@@ -58,6 +58,28 @@ class AnnIndexSpec extends SparkSpec {
     }, s"appended clone must surface as a cos-1.0 neighbor of vec 0: $got")
   }
 
+  test("loadOnce never serves stale centroids after retrain-by-rewrite at the same path") {
+    // The serve-path memo used to key on (session, path) alone: after a
+    // retrain-by-rewrite — the maintenance write() itself recommends —
+    // searches combined the OLD centroids with the NEW cell layout and
+    // silently returned wrong neighbors. The memo now keys on on-disk
+    // content (file lengths/mtimes) and writers invalidate eagerly.
+    val dir = Files.createTempDirectory("graft-ann-ix").toString
+    AnnIndex.write(dir, emb, nCells = 4, iters = 1, dim = 64)
+    val first = AnnIndex.loadOnce(spark, dir)
+    assert(first.meta.nCells == 4 && first.centroids.length == 4)
+
+    AnnIndex.write(dir, emb, nCells = 8, iters = 1, dim = 64)
+    val second = AnnIndex.loadOnce(spark, dir)
+    assert(second.meta.nCells == 8 && second.centroids.length == 8,
+      "loadOnce served the pre-rewrite index")
+    // and the refreshed index actually serves: parity with inline IVF
+    // on the new geometry
+    val q = emb.filter(col("vec_id") < 3)
+    assert(rows(AnnIndex.search(second, q, k = 3, nprobe = 2)) ==
+      rows(Similarity.knnIvf(q, emb, k = 3, nCells = 8, iters = 1, dim = 64, nprobe = 2)))
+  }
+
   test("loading a foreign format version fails loudly") {
     val dir = Files.createTempDirectory("graft-ann-ix").toString
     AnnIndex.write(dir, emb, nCells = 4, iters = 1, dim = 64)

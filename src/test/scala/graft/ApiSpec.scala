@@ -276,4 +276,58 @@ class ApiSpec extends SparkSpec {
     assert(pruned.contains("PartitionFilters: [isnotnull(p"),
       s"partition pruning lost on the optimized lake:\n$pruned")
   }
+
+  test("optimize refuses a lake with non-'*.parquet' data files instead of dropping their rows") {
+    // The row scan reads every file of the relation; the planning
+    // listing is '*.parquet'-globbed. A mismatched extension used to
+    // mean the inner join silently dropped that file's rows from the
+    // "optimized" output — now it must fail loudly before writing.
+    import spark.implicits._
+    val in = tmpDir("opt_guard_in"); val out = tmpDir("opt_guard_out")
+    (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(in.toString)
+    val parts = Files.walk(Paths.get(in.toString)).iterator()
+    var renamed = false
+    while (parts.hasNext && !renamed) {
+      val f = parts.next()
+      if (f.toString.endsWith(".parquet")) {
+        Files.move(f, f.resolveSibling("data.dat")); renamed = true
+      }
+    }
+    assert(renamed, "fixture: no part file found to rename")
+    val e = intercept[IllegalArgumentException] {
+      new LakeCollector(spark,
+        CompactionConfig(in.toString, out.toString, targetBytes = 1L << 20)).optimize()
+    }
+    assert(e.getMessage.contains("no bundle assignment"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("commitOptimized swaps the optimized lake in at the original path, retiring a rollback copy") {
+    import spark.implicits._
+    import graft.operators.Compactor
+    val in = tmpDir("opt_commit_in"); val out = tmpDir("opt_commit_out")
+    (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.mode("overwrite").parquet(in.toString)
+    def nParts(dir: String) = {
+      val it = Files.walk(Paths.get(dir)).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    }
+    assert(nParts(in.toString) == 8)
+
+    Compactor.optimizeParquet(in.toString, out.toString, 1L << 20)(spark)
+    val retired = Compactor.commitOptimized(in.toString, out.toString)(spark)
+
+    // the ORIGINAL path now serves the collapsed lake, rows intact
+    assert(nParts(in.toString) == 1, "promoted lake not collapsed")
+    assert(spark.read.parquet(in.toString).count() == 500)
+    // the fragmented copy is retired beside it, intact for rollback
+    assert(Paths.get(retired).getFileName.toString.startsWith(
+      in.getName + ".pre-optimize-"))
+    assert(nParts(retired) == 8 && spark.read.parquet(retired).count() == 500)
+    // and the staging path is gone — no second copy to double-read
+    assert(!Files.exists(Paths.get(out.toString)))
+  }
 }

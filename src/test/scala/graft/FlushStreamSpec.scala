@@ -514,6 +514,58 @@ class FlushStreamSpec extends SparkSpec {
     assert(got("funnel2") == expected, "split drain diverged from batch twin")
   }
 
+  test("funnel stream survives a data batch whose stored deadline the watermark already passed") {
+    // Regression: with state anchored at T and window W, a later batch
+    // that BOTH advances the watermark past T+W and carries new data
+    // for the key invokes the function with data (the timeout callback
+    // is preempted), and re-registering the stale deadline threw
+    // IllegalArgumentException ("timeout timestamp <= watermark"),
+    // failing the whole query. The fix evicts the dead attempt at
+    // entry — exactly what the timeout would have done — and lets the
+    // batch's events anchor a fresh funnel.
+    import spark.implicits._
+    import graft.streaming.FunnelStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val W = 1L * 1000 * 1000 * 1000 // 1 s window, far below the batch gap
+    val src = tmpDir("funnel_late_src")
+    val batches = Seq(
+      // b1: user 1 anchors at t=1000 (deadline 1001); user 2 at t=1100
+      // pushes the post-batch watermark to 1100 (delay 0s)
+      Seq((1L, "view", ts(1000)), (2L, "view", ts(1100))),
+      // b2: user 1 gets a fresh admitted view at t=1101 — data
+      // invocation with stored deadline 1001 < watermark 1100
+      Seq((1L, "view", ts(1101))))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = tmpDir(s"funnel_late_b$i")
+      rows.toDF("user_id", "event_type", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dest = Paths.get(src.toString, s"b$i.parquet")
+      Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    val ckpt = tmpDir("funnel_late_ckpt")
+    val q = FunnelStream.funnelStream(
+        spark.readStream.schema(spark.read.parquet(src.toString).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src.toString),
+        Seq("view", "click", "purchase"), W, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty,
+      s"funnel stream died on the late-deadline batch: ${q.exception}")
+    val got = spark.table("funnel_late").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage_idx"), r.getAs[Long]("ts_ns")))
+      .toSet
+    // user 1's expired attempt was evicted and the t=1101 view anchored
+    // a NEW attempt — both stage-1 hits must be present
+    assert(got == Set((1L, 1, 1000L * 1000000000L), (2L, 1, 1100L * 1000000000L),
+                      (1L, 1, 1101L * 1000000000L)),
+      s"unexpected funnel output: $got")
+  }
+
   test("streaming sessionization emits session windows with AvailableNow") {
     import spark.implicits._
     val src = tmpDir("events_src"); val ckpt = tmpDir("sess_ckpt")

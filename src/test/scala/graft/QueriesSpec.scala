@@ -44,6 +44,46 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("t19 broadcasts only the min-count-pruned vocab head; the residue joins by shuffle") {
+    // The r10 weak mark: broadcasting the UNPRUNED distinct-token vocab
+    // OOMs the driver at web scale (billions of typo/UUID-tail rows).
+    // Pin the skew-split shape: both count-threshold filters present, a
+    // broadcast join for the head AND the anti-split, and a genuine
+    // shuffle join (SMJ/ShuffledHash) for the rare-token residue — the
+    // shape that proves the full vocab is never a broadcast build side.
+    // size-based auto-broadcast off: at sf0.001 Catalyst would happily
+    // broadcast EVERYTHING (all inputs are tiny), hiding the intent.
+    // With it off, only the explicit broadcast() hints survive — which
+    // is exactly the 100 TB plan, where no input is auto-broadcastable.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      SparkEntry.queries("t19_unigram_logprob")(spark, sf0001)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert("0.002".r.findAllIn(plan).size >= 2,
+      s"t19 lost the head/tail share-threshold split filters:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"t19 head join and anti-split must both be broadcast joins:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"t19 must route non-head rows via a broadcast LEFT ANTI:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"t19 residue must shuffle-join (full vocab must never broadcast):\n$plan")
+    // and the fixture must exercise BOTH paths, or the split is untested
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cut = org.apache.spark.sql.functions.expr(
+      s"sum(g) over () * ${graft.queries.TextOps.VocabHeadShare}")
+    val g = Tables.load(spark, sf0001, "documents")
+      .select(explode(graft.functions.TextFns.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("g"))
+      .withColumn("cut", cut)
+      .agg(sum(when($"g" >= $"cut", 1).otherwise(0)).as("nHead"),
+           sum(when($"g" < $"cut", 1).otherwise(0)).as("nTail")).collect()(0)
+    assert(g.getLong(0) > 0 && g.getLong(1) > 0,
+      s"sf0.001 vocab does not exercise both split paths: $g")
+  }
+
   test("q25 filters lineitem BELOW the per-(partkey,suppkey) aggregation") {
     // The round-6 plan-audit finding: joining the p_size filter in AFTER
     // the aggregations made both agg levels chew ~3.5x the needed input
