@@ -111,6 +111,58 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("composed day loop: compact -> flag vs index -> fold novel; day 2 dups of day 1 novelty flag via the fold") {
+    // The DayLoopProbe composition at spec scale: each day's crawl
+    // residue is compacted with optimizeParquet, flagged against the
+    // persisted index, and its novel slice folded with appendNovel.
+    // Day 2's duplicate half replicates DAY 1'S NOVEL docs — text the
+    // index only knows because day 1's fold ran — so the day-2 exact
+    // flags are a witness for the loop itself, not just for write().
+    val work = Files.createTempDirectory("graft-dayloop").toString
+    val ixPath = s"$work/ix"
+    DedupIndex.write(ixPath, base, col("doc_id"), col("text"))
+    val D = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+
+    def novelHalf(day: Int, n: Long) = spark.range(n).select(
+      (col("id") + lit((10 * day + 5) * D)).as("doc_id"),
+      concat_ws(" ", (0 until 24).map(i =>
+        md5(concat(lit(s"d$day:t$i:"), col("id").cast("string")))): _*).as("text"))
+
+    def runDay(day: Int, dupSrc: org.apache.spark.sql.DataFrame,
+               nNovel: Long): org.apache.spark.sql.DataFrame = {
+      val dupHalf = dupSrc.select(
+        (col("doc_id") + lit(10L * day * D)).as("doc_id"), col("text"))
+      val incoming = s"$work/in/day$day"
+      val compacted = s"$work/lake/day$day"
+      dupHalf.unionByName(novelHalf(day, nNovel)).repartition(8)
+        .write.parquet(incoming)
+      graft.operators.Compactor.optimizeParquet(
+        incoming, compacted, 64L * 1024 * 1024)(spark)
+      val delta = spark.read.parquet(compacted)
+      val flags = Dedup.incrementalFlagsIndexed(
+        DedupIndex.load(spark, ixPath), delta,
+        col("doc_id"), col("text")).localCheckpoint()
+      val nDup = dupHalf.count()
+      val exactIds = flags.filter(col("dup_kind") === "exact")
+        .select("doc_id").distinct().count()
+      assert(exactIds == nDup,
+        s"day $day: all $nDup replicated docs must flag exact, got $exactIds")
+      val novelN = delta.count() - flags.select("doc_id").distinct().count()
+      assert(novelN == nNovel,
+        s"day $day: all $nNovel salted docs must stay novel, got $novelN")
+      DedupIndex.appendNovel(ixPath, delta, col("doc_id"), col("text"), flags)
+      delta
+    }
+
+    val ixRows0 = spark.read.parquet(s"$ixPath/hashes").count()
+    runDay(1, base.filter(col("doc_id") % 2 === 0), nNovel = 40)
+    val ixRows1 = spark.read.parquet(s"$ixPath/hashes").count()
+    assert(ixRows1 == ixRows0 + 40, "fold must grow the index by day 1's novelty only")
+    runDay(2, novelHalf(1, 40), nNovel = 40)
+    assert(spark.read.parquet(s"$ixPath/hashes").count() == ixRows1 + 40,
+      "fold must grow the index by day 2's novelty only")
+  }
+
   test("loading a foreign format version fails loudly") {
     val dir = Files.createTempDirectory("graft-dedup-index").toString
     DedupIndex.write(dir, base, col("doc_id"), col("text"))
