@@ -723,6 +723,46 @@ object TextOps extends QuerySet {
              |  round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) AS jaccard
              |FROM I
              |JOIN C ca ON ca.source = I.src_a
-             |JOIN C cb ON cb.source = I.src_b""".stripMargin))
+             |JOIN C cb ON cb.source = I.src_b""".stripMargin)),
+
+    // --- Deterministic seeded corpus shard + order: the training-data
+    // "global shuffle". Every epoch-writer needs a stable, seeded,
+    // rerun-reproducible permutation of the corpus into N shards with
+    // a defined order inside each shard — NOT `orderBy(rand())`, whose
+    // output changes per run and whose global sort is a single
+    // total-order range shuffle. Here the permutation key is
+    // md5(seed, doc_id): shard = first two hex digits (256 shards),
+    // position = rank of the key within the shard.
+    // Scale shape: shard assignment is pure per-row codegen (zero
+    // shuffle); ordering is ONE hash-partition shuffle on the shard id
+    // followed by independent in-partition sorts — embarrassingly
+    // parallel, no global total order anywhere, and md5 uniformity
+    // balances shard sizes to |corpus|/256 +- sqrt. At 100 TB you widen
+    // the prefix (3 hex chars = 4096 shards, 4 = 65536) so one shard
+    // fits an executor's sort buffer; the plan shape is unchanged.
+    // Cross-engine exactness: both engines order by the same lowercase
+    // hex string (fixed-width hex compares like the number it encodes)
+    // and both parse the same 2-char prefix as the shard id — the t20
+    // conv-vs-'0x'-cast pattern.
+    Q("t21_shard_assign",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val h = md5(concat(lit("graft-shard:42:"), $"doc_id".cast("string")))
+        Tables.load(s, d, "documents")
+          .select($"doc_id", h.as("h"))
+          .withColumn("shard", conv(substring($"h", 1, 2), 16, 10).cast("long"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"shard").orderBy($"h", $"doc_id")).cast("long"))
+          .select($"doc_id", $"shard", $"pos")
+      },
+      Some("""WITH H AS (SELECT doc_id,
+             |  md5('graft-shard:42:' || CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents)
+             |SELECT doc_id,
+             |  ('0x' || h[1:2])::BIGINT AS shard,
+             |  CAST(row_number() OVER (PARTITION BY h[1:2]
+             |    ORDER BY h, doc_id) AS BIGINT) AS pos
+             |FROM H""".stripMargin))
   )
 }

@@ -181,6 +181,39 @@ class QueriesSpec extends SparkSpec {
     assert(c < v, s"24h click bound did not discriminate: $v/$c")
   }
 
+  test("t21 shard assignment: balanced seeded shards, dense in-shard order, no global sort") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("t21_shard_assign")(spark, sf0001).cache()
+    try {
+      // shard ids are the 2-hex-digit prefix domain, and md5 uniformity
+      // must spread the fixture across many of them
+      val stats = df.agg(min(col("shard")), max(col("shard")),
+        countDistinct(col("shard")), count(lit(1))).collect()(0)
+      assert(stats.getLong(0) >= 0 && stats.getLong(1) <= 255)
+      assert(stats.getLong(2) > 100,
+        s"only ${stats.getLong(2)} of 256 shards hit — not uniform")
+      // positions are a dense 1..n ranking inside every shard
+      val badPos = df.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
+          max(col("pos")).as("hi"), countDistinct(col("pos")).as("d"))
+        .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("d") =!= col("n"))
+      assert(badPos.count() == 0, "in-shard positions are not dense 1..n")
+      // seeded determinism: a rerun is row-identical
+      val rerun = SparkEntry.queries("t21_shard_assign")(spark, sf0001)
+      assert(df.exceptAll(rerun).isEmpty && rerun.exceptAll(df).isEmpty,
+        "shard assignment must be stable across runs")
+    } finally df.unpersist()
+    // the 100 TB shape: ONE hash shuffle on the shard id, independent
+    // in-partition sorts, and NO total-order range exchange anywhere —
+    // the plan property that separates this from orderBy(rand())
+    val plan = SparkEntry.queries("t21_shard_assign")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"t21 must never global-sort:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"t21 must shuffle exactly once, on the shard id:\n$plan")
+  }
+
   test("t18 gopher flags discriminate and keep is exactly their conjunction") {
     import org.apache.spark.sql.functions.col
     val df = SparkEntry.queries("t18_gopher_filters")(spark, sf0001).cache()
