@@ -222,6 +222,56 @@ object EventOps extends QuerySet {
              |UNION ALL
              |SELECT '2_click' AS stage, CAST(count(*) AS BIGINT) AS users FROM fc
              |UNION ALL
-             |SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS users FROM fp""".stripMargin))
+             |SELECT '3_purchase' AS stage, CAST(count(*) AS BIGINT) AS users FROM fp""".stripMargin)),
+
+    // --- Last-touch attribution: each purchase's revenue credited to
+    // the user's most recent click/view at-or-before it, but only if
+    // that touch landed within the 6 h attribution window — else the
+    // purchase books as 'unattributed'. The per-purchase match is the
+    // [[graft.operators.AsOf]] cogrouped MERGE (each side shuffles
+    // once on user_id, two-pointer walk, output exactly |purchases| —
+    // never the (purchase x earlier-touch) pair table the rank form
+    // would materialize; at 100 TB a hot user's thousands of touches
+    // cost a sort, not a blowup). The window cut runs AFTER the merge
+    // on the single matched row — semantics identical to cutting
+    // inside the match, because backward picks the LATEST touch and
+    // any other in-window touch is no later. The oracle states the
+    // declarative join-then-rank form; hash-equality proves the merge
+    // implements it. Final rollup is |channels| rows.
+    Q("e08_attribution",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.AsOf
+        val winNs = 6L * 3600 * 1000 * 1000 * 1000
+        val ev = Tables.load(s, d, "events")
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts_ns".as("lt"), $"value")
+        val touches = ev.filter($"event_type".isin("click", "view"))
+          .select($"user_id", $"event_id".as("touch_id"),
+            $"event_type".as("touch_type"), $"ts_ns".as("rt"))
+        AsOf.backward(purchases, touches, "user_id", "lt", "rt", "touch_id")
+          .withColumn("channel",
+            when($"rt".isNotNull && ($"lt" - $"rt") <= winNs, $"touch_type")
+              .otherwise(lit("unattributed")))
+          .groupBy($"channel")
+          .agg(count(lit(1)).as("n_purchases"),
+               round(sum($"value"), 2).as("revenue"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS lt, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, event_id AS touch_id,
+             |  event_type AS touch_type, epoch_ns(ts) AS rt
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |j AS (SELECT p.event_id, p.value, t.touch_type, t.rt, p.lt,
+             |  row_number() OVER (PARTITION BY p.event_id
+             |    ORDER BY t.rt DESC, t.touch_id DESC) AS rn
+             |  FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.rt <= p.lt),
+             |a AS (SELECT CASE WHEN rt IS NOT NULL
+             |    AND lt - rt <= 21600000000000
+             |    THEN touch_type ELSE 'unattributed' END AS channel, value
+             |  FROM j WHERE rn = 1)
+             |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+             |  round(sum(value), 2) AS revenue
+             |FROM a GROUP BY 1""".stripMargin))
   )
 }

@@ -744,6 +744,76 @@ object TextOps extends QuerySet {
     // hex string (fixed-width hex compares like the number it encodes)
     // and both parse the same 2-char prefix as the shard id — the t20
     // conv-vs-'0x'-cast pattern.
+    // --- Boilerplate-chunk removal (C4/RefinedWeb family): strip every
+    // 8-word chunk whose document frequency is >= 4 (headers, footers,
+    // nav text — content shared across many documents), RECONSTRUCTING
+    // the cleaned text from the surviving chunks in order. t15 FLAGS
+    // documents by duplicate-chunk fraction; this is the stage that
+    // actually edits them. Scale shape: chunk document-frequency is a
+    // map-side-combinable hash agg keyed by the fixed-width md5 (never
+    // raw chunk text on the shuffle beyond the doc-local explode); the
+    // boilerplate set joins back LEFT ANTI on that key; reconstruction
+    // is ONE shuffle keyed by doc_id with an in-group sort bounded by
+    // the doc's own chunk count — no global sort, no pair blowup, and
+    // a pathological mega-doc costs its own length. The final right
+    // join restores fully-boilerplate (and token-less) docs with empty
+    // clean_text, so output stays exactly |documents|.
+    Q("t22_boilerplate_strip",
+      (s, d) => {
+        import s.implicits._
+        val words = TextFns.tokens($"text")
+        val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+        // same sequence(0,-1) guard as t15: a token-less doc must yield
+        // zero chunk rows, not a phantom empty chunk
+        val chunkArr = when(nChunks > 0,
+          transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(words, i * 8 + 1, lit(8)), " ")))
+          .otherwise(array().cast("array<string>"))
+        val docs = Tables.load(s, d, "documents")
+        val chunked = docs
+          .select($"doc_id", posexplode(chunkArr).as(Seq("idx", "chunk")))
+          .withColumn("h", md5($"chunk"))
+        val boiler = chunked.select($"doc_id", $"h").distinct()
+          .groupBy($"h").agg(count(lit(1)).as("df"))
+          .filter($"df" >= 4).select($"h")
+        val kept = chunked.join(boiler, Seq("h"), "left_anti")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct($"idx", $"chunk"))),
+              c => c.getField("chunk")), " ").as("clean_text"))
+        chunked.groupBy($"doc_id").agg(count(lit(1)).as("n_chunks"))
+          .join(kept, Seq("doc_id"), "left")
+          .join(docs.select($"doc_id"), Seq("doc_id"), "right")
+          .select($"doc_id",
+            coalesce($"n_chunks", lit(0L)).as("n_chunks"),
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            coalesce($"clean_text", lit("")).as("clean_text"))
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |C AS (SELECT doc_id, idx,
+             |  array_to_string(words[idx*8+1:idx*8+8], ' ') AS chunk
+             |  FROM (SELECT doc_id, words,
+             |    unnest(range(0, CAST(ceil(len(words) / 8.0) AS INT))) AS idx
+             |    FROM W)),
+             |H AS (SELECT doc_id, idx, chunk, md5(chunk) AS h FROM C),
+             |B AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM H)
+             |  GROUP BY h HAVING count(*) >= 4),
+             |K AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |  array_to_string(list(chunk ORDER BY idx), ' ') AS clean_text
+             |  FROM H WHERE h NOT IN (SELECT h FROM B) GROUP BY doc_id),
+             |N AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+             |  FROM H GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(N.n_chunks, 0) AS n_chunks,
+             |  COALESCE(K.n_kept, 0) AS n_kept,
+             |  COALESCE(K.clean_text, '') AS clean_text
+             |FROM documents d
+             |LEFT JOIN N ON N.doc_id = d.doc_id
+             |LEFT JOIN K ON K.doc_id = d.doc_id""".stripMargin)),
+
     Q("t21_shard_assign",
       (s, d) => {
         import s.implicits._

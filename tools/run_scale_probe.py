@@ -160,6 +160,33 @@ MODES = {
         "out": f"{REPO}/BENCH_r10ev_probe.json",
         "scale": 100,
     },
+    "r11": {
+        # round-11 additions over the 100x dedup corpus: t21 (seeded
+        # shard assignment) is per-row codegen + ONE hash shuffle on a
+        # 256-ary shard id — expected near-flat like t13; t22
+        # (boilerplate-chunk strip) is t15's explode/agg shape plus a
+        # collect_list reconstruction shuffle keyed by doc_id —
+        # expected in the t15 band (~5x), with the in-group sort
+        # bounded by each doc's own chunk count.
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["t21_shard_assign", "t22_boilerplate_strip"],
+        "iters": 2,
+        "reps": 2,
+        "out": f"{REPO}/BENCH_r11_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+    },
+    "r11ev": {
+        # e08 last-touch attribution over the 100x event stream: the
+        # AsOf cogrouped merge on user_id (e05's plan) + a |channels|-
+        # row rollup — expected in the asof-family band (2.5-3.3x).
+        "sfdir": f"{REPO}/benchdata/sf10join",
+        "queries": ["e08_attribution"],
+        "iters": 2,
+        "reps": 2,
+        "out": f"{REPO}/BENCH_r11ev_probe.json",
+        "scale": 100,
+    },
     "asof": {
         # same sf10join corpus (make_sf10_join.py scales events since
         # r7): 2M purchase events as-of 15M orders — the one heavy query
