@@ -214,6 +214,45 @@ class QueriesSpec extends SparkSpec {
       s"t21 must shuffle exactly once, on the shard id:\n$plan")
   }
 
+  test("t22 strip discriminates, and untouched docs reconstruct their exact token stream") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = SparkEntry.queries("t22_boilerplate_strip")(spark, sf0001).cache()
+    try {
+      val stripped = df.filter(col("n_kept") < col("n_chunks")).count()
+      assert(stripped > 0, "fixture must exercise the strip path")
+      assert(stripped < df.count(), "strip must not hit every doc")
+      // reconstruction identity: a doc that lost nothing must emit its
+      // token stream verbatim (chunks rejoined in order == tokens
+      // joined) — the invariant that catches any ordering or
+      // chunk-boundary bug in the collect_list/sort_array rebuild
+      val orig = Tables.load(spark, sf0001, "documents")
+        .select(col("doc_id"),
+          array_join(graft.functions.TextFns.tokens(col("text")), " ").as("norm"))
+      val drift = df.filter(col("n_kept") === col("n_chunks"))
+        .join(orig, "doc_id").filter(col("clean_text") =!= col("norm"))
+      assert(drift.count() == 0, "untouched docs must reconstruct verbatim")
+    } finally df.unpersist()
+  }
+
+  test("e08 attribution conserves purchases and revenue across channels") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("e08_attribution")(spark, sf0001).cache()
+    try {
+      assert(df.count() >= 2, "fixture must produce multiple channels")
+      val ev = Tables.load(spark, sf0001, "events")
+        .filter(col("event_type") === "purchase")
+      val total = ev.count()
+      val attributed = df.agg(sum(col("n_purchases"))).collect()(0).getLong(0)
+      assert(attributed == total,
+        s"every purchase books exactly once: $attributed of $total")
+      val rev = df.agg(sum(col("revenue"))).collect()(0).getDouble(0)
+      val exact = ev.agg(sum(col("value"))).collect()(0).getDouble(0)
+      assert(math.abs(rev - exact) < 0.05 * df.count(),
+        s"revenue conserved up to per-channel 2dp rounding: $rev vs $exact")
+    } finally df.unpersist()
+  }
+
   test("t18 gopher flags discriminate and keep is exactly their conjunction") {
     import org.apache.spark.sql.functions.col
     val df = SparkEntry.queries("t18_gopher_filters")(spark, sf0001).cache()
