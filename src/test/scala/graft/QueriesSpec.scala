@@ -181,6 +181,25 @@ class QueriesSpec extends SparkSpec {
     assert(c < v, s"24h click bound did not discriminate: $v/$c")
   }
 
+  test("no query plans a range-partitioned (global-sort) exchange") {
+    // The q32 bug class, pinned repo-wide: Spark 4.1's decorrelation of
+    // LATERAL ... ORDER BY ... LIMIT planned a total-order
+    // rangepartitioning Exchange over the whole fact table — 9.7 s at
+    // the 100x probe where the rank-filter form costs 1.8 s. No query
+    // in the suite needs a global sort: top-k compiles to
+    // TakeOrderedAndProject (sort only what survives the limit,
+    // per-partition, then a driver merge of k-row heads), ordering
+    // within groups is a window over a hash exchange. A
+    // rangepartitioning Exchange appearing anywhere is a planner
+    // regression or a new query shipping an at-scale serialization
+    // point — fail it here, at sf0.001, before a probe has to find it.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"$name plans a global-sort exchange:\n$plan")
+    }
+  }
+
   test("t21 shard assignment: balanced seeded shards, dense in-shard order, no global sort") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("t21_shard_assign")(spark, sf0001).cache()
