@@ -288,6 +288,100 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** `winnow_fp(norm, k, gram)`: the k lexicographically-smallest md5
+  * hex digests over all `gram`-char windows of the (already
+  * normalized) string, joined with "," — one pass, a k-element
+  * insertion set over RAW 16-byte digests (unsigned byte order ==
+  * fixed-width lowercase-hex order, so the comparison is exactly the
+  * declarative `array_sort` on hex strings).
+  *
+  * Why native: the declarative t08 chain
+  * `array_join(slice(array_sort(transform(sequence(1, len-7),
+  * i => md5(substr(i, 8)))), 1, 3), ",")` materializes one 32-char hex
+  * string per CHARACTER of the document and then sorts that array —
+  * the per-row transform is interpreted, and at sf1 t08 was the
+  * suite's worst query (41 s) once full-row materialization stopped
+  * hiding projection cost. Here: no array, no sort, no hex until the
+  * k survivors; only the k=3 digests are ever kept.
+  *
+  * Window semantics mirror the declarative form exactly: positions
+  * 1..max(len-gram+1, 1), the tail window truncated (len < gram gives
+  * ONE short window; len == 0 gives md5("")). ASCII fast path works on
+  * the UTF8String bytes in place (post-normalizeText input is ASCII);
+  * multibyte input falls back to char-based substrings = `substr`.
+  */
+case class WinnowFp(child: Expression, k: Int, gram: Int)
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
+  require(k >= 1 && gram >= 1)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val md = MessageDigest.getInstance("MD5")
+    val best = new Array[Array[Byte]](k)
+    var nBest = 0
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < 16) {
+        val x = (a(i) & 0xff) - (b(i) & 0xff)
+        if (x != 0) return x
+        i += 1
+      }
+      0
+    }
+    def offer(d: Array[Byte]): Unit = {
+      var j =
+        if (nBest < k) { best(nBest) = d; nBest += 1; nBest - 1 }
+        else if (cmp(d, best(k - 1)) < 0) { best(k - 1) = d; k - 1 }
+        else return
+      while (j > 0 && cmp(best(j), best(j - 1)) < 0) {
+        val t = best(j); best(j) = best(j - 1); best(j - 1) = t; j -= 1
+      }
+    }
+    val nb = u.numBytes
+    if (u.numChars == nb) {
+      val bytes = u.getBytes
+      val m = math.max(nb - (gram - 1), 1)
+      var i = 0
+      while (i < m) {
+        md.reset()
+        md.update(bytes, i, math.min(gram, nb - i))
+        offer(md.digest())
+        i += 1
+      }
+    } else {
+      val s = u.toString
+      val len = s.length
+      val m = math.max(len - (gram - 1), 1)
+      var i = 0
+      while (i < m) {
+        md.reset()
+        offer(md.digest(s.substring(i, math.min(i + gram, len))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+    }
+    val hex = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(nBest * 33)
+    var j = 0
+    while (j < nBest) {
+      if (j > 0) sb.append(',')
+      val d = best(j)
+      var b = 0
+      while (b < 16) {
+        sb.append(hex.charAt((d(b) >> 4) & 0xf)).append(hex.charAt(d(b) & 0xf))
+        b += 1
+      }
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowFp =
+    copy(child = c)
+  override def prettyName: String = "winnow_fp"
+}
+
 /** `cosine_sim(a, b)` over two `array<float>` columns: widens each
   * element to double and folds dot/norms strictly left-to-right in ONE
   * pass — bit-identical to the declarative
@@ -683,4 +777,6 @@ object NativeFns {
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
   def range_bucket(v: Column, bounds: Array[Double]): Column =
     ColumnBridge.column(RangeBucket(ColumnBridge.expression(v), bounds))
+  def winnow_fp(norm: Column, k: Int, gram: Int): Column =
+    ColumnBridge.column(WinnowFp(ColumnBridge.expression(norm), k, gram))
 }

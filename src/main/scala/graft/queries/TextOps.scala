@@ -168,13 +168,16 @@ object TextOps extends QuerySet {
     Q("t08_winnow_fingerprint",
       (s, d) => {
         import s.implicits._
-        val norm = TextFns.normalizeText($"text")
-        val grams = transform(
-          sequence(lit(1), greatest(length(norm) - 7, lit(1))),
-          i => md5(norm.substr(i, lit(8))))
+        // native one-pass kernel: the declarative chain (transform ->
+        // md5-per-position -> array_sort -> slice) materializes one hex
+        // string per CHARACTER and sorts it per row — sf1's worst query
+        // (41 s) under full-row materialization. WinnowFp keeps only
+        // the 3 smallest raw digests; NativeExprParitySpec pins
+        // row-identity to the declarative form.
         Tables.load(s, d, "documents")
           .select($"doc_id",
-            array_join(slice(array_sort(grams), 1, 3), ",").as("winnow_fp"))
+            graft.expressions.NativeFns
+              .winnow_fp(TextFns.normalizeText($"text"), 3, 8).as("winnow_fp"))
       },
       Some("""WITH N AS (SELECT doc_id,
              |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm

@@ -44,6 +44,30 @@ class NativeExprParitySpec extends SparkSpec {
     assert(edge.filter(not($"native" <=> $"decl")).count() == 0)
   }
 
+  test("native winnow_fp == declarative sorted-md5-grams chain") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    def decl(norm: org.apache.spark.sql.Column) = {
+      val grams = transform(
+        sequence(lit(1), greatest(length(norm) - 7, lit(1))),
+        i => md5(norm.substr(i, lit(8))))
+      array_join(slice(array_sort(grams), 1, 3), ",")
+    }
+    val df = Tables.load(spark, sf0001, "documents")
+      .select(NativeFns.winnow_fp(TextFns.normalizeText($"text"), 3, 8).as("native"),
+        decl(TextFns.normalizeText($"text")).as("decl"))
+    assert(df.filter(not($"native" <=> $"decl")).count() == 0)
+    // edge shapes the window arithmetic must match exactly: empty
+    // (md5("") once), shorter than one gram, exactly one gram, one
+    // char over, fewer than k grams, duplicate-gram text, multibyte
+    // (char-based substr fallback)
+    val edge = Seq("", "abc", "abcdefgh", "abcdefghi", "abcdefghij",
+      "aaaaaaaaaaaaaaaa", "héllo wörld çharacters beyond ascii")
+      .toDF("t")
+      .select(NativeFns.winnow_fp($"t", 3, 8).as("native"), decl($"t").as("decl"))
+    assert(edge.filter(not($"native" <=> $"decl")).count() == 0)
+  }
+
   test("native jaccard == declarative jaccard") {
     import spark.implicits._
     val sh = TextFns.shingles(TextFns.tokens($"text"), 3)
@@ -135,8 +159,10 @@ class NativeExprParitySpec extends SparkSpec {
           TextFns.minhashSignature($"sh", 8).as("mh"),
           NativeFns.jaccard_sim($"sh", $"sh").as("js"),
           NativeFns.simhash_bits($"sh", 32).as("sim"),
+          NativeFns.winnow_fp(lit("alpha beta gamma delta"), 3, 8).as("wf"),
           $"rb")
-      assert(df.filter($"js" === 1.0 && $"rb".isNotNull).count() == 1000)
+      assert(df.filter($"js" === 1.0 && $"rb".isNotNull && length($"wf") === 98)
+        .count() == 1000)
     }
   }
 
