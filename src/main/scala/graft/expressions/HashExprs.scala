@@ -288,6 +288,78 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** `word_chunks(text, n, hashed)`: tokenize like [[WordShingles]]
+  * (lowercase, [a-z0-9]+ runs), group into NON-overlapping n-word
+  * chunks joined by " " (last chunk short), and return the chunk
+  * texts — or their lowercase-hex md5s when `hashed` (tokenize +
+  * chunk + digest in one pass, no intermediate arrays). Zero tokens
+  * give an EMPTY array: the same guard the declarative t15/t22 chains
+  * carry against `sequence(0, -1)` minting a phantom md5("") chunk.
+  *
+  * Why native: the declarative form
+  * `transform(sequence(0, ceil(n_words/8)-1), i ->
+  * md5(array_join(slice(words, i*8+1, 8), " ")))` is an interpreted
+  * lambda allocating a slice + join per chunk — with t08's kernel
+  * swap it was the remaining interpreted hot path in the two
+  * chunk-shaped queries (t15 22 s, t22 17 s at sf1).
+  */
+case class WordChunks(child: Expression, n: Int, hashed: Boolean)
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val lower = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val len = lower.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val md = if (hashed) MessageDigest.getInstance("MD5") else null
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var words = 0
+    def flush(): Unit = {
+      if (words > 0) {
+        val chunk =
+          if (!hashed) sb.toString
+          else {
+            md.reset()
+            val d = md.digest(sb.toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hex = "0123456789abcdef"
+            val h = new java.lang.StringBuilder(32)
+            var b = 0
+            while (b < 16) {
+              h.append(hex.charAt((d(b) >> 4) & 0xf))
+                .append(hex.charAt(d(b) & 0xf))
+              b += 1
+            }
+            h.toString
+          }
+        out += UTF8String.fromString(chunk)
+        sb.setLength(0); words = 0
+      }
+    }
+    while (i < len) {
+      while (i < len && !isTok(lower.charAt(i))) i += 1
+      val start = i
+      while (i < len && isTok(lower.charAt(i))) i += 1
+      if (i > start) {
+        if (words > 0) sb.append(' ')
+        sb.append(lower, start, i)
+        words += 1
+        if (words == n) flush()
+      }
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+  @inline private def isTok(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+  override protected def withNewChildInternal(c: Expression): WordChunks =
+    copy(child = c)
+  override def prettyName: String = "word_chunks"
+}
+
 /** `winnow_fp(norm, k, gram)`: the k lexicographically-smallest md5
   * hex digests over all `gram`-char windows of the (already
   * normalized) string, joined with "," — one pass, a k-element
@@ -779,4 +851,6 @@ object NativeFns {
     ColumnBridge.column(RangeBucket(ColumnBridge.expression(v), bounds))
   def winnow_fp(norm: Column, k: Int, gram: Int): Column =
     ColumnBridge.column(WinnowFp(ColumnBridge.expression(norm), k, gram))
+  def word_chunks(text: Column, n: Int, hashed: Boolean = false): Column =
+    ColumnBridge.column(WordChunks(ColumnBridge.expression(text), n, hashed))
 }

@@ -392,16 +392,13 @@ object TextOps extends QuerySet {
     Q("t15_segment_dedup",
       (s, d) => {
         import s.implicits._
-        val words = TextFns.tokens($"text")
-        val nChunks = ceil(size(words) / lit(8.0)).cast("int")
-        // Guard nChunks=0: sequence(0, -1) defaults to step -1 and yields
-        // [0, -1], which would mint a phantom md5("") chunk per token-less
-        // doc — and cross-match every pair of empty docs. DuckDB's
-        // range(0, 0) is empty, so the oracle emits no chunk row there.
-        val chunks = when(nChunks > 0,
-          transform(sequence(lit(0), nChunks - 1),
-            i => md5(array_join(slice(words, i * 8 + 1, lit(8)), " "))))
-          .otherwise(array().cast("array<string>"))
+        // native WordChunks(hashed): tokenize + chunk + md5 in one
+        // pass — the interpreted transform/slice/array_join chain was
+        // the remaining per-row hot path at sf1 (22 s). Token-less
+        // docs yield an EMPTY array (the sequence(0,-1) phantom-chunk
+        // guard, now inside the kernel); NativeExprParitySpec pins
+        // chunk-level identity to the declarative form.
+        val chunks = graft.expressions.NativeFns.word_chunks($"text", 8, hashed = true)
         val perDoc = Tables.load(s, d, "documents")
           .select($"doc_id", explode(array_distinct(chunks)).as("_h"))
         val dupChunks = perDoc
@@ -764,14 +761,11 @@ object TextOps extends QuerySet {
     Q("t22_boilerplate_strip",
       (s, d) => {
         import s.implicits._
-        val words = TextFns.tokens($"text")
-        val nChunks = ceil(size(words) / lit(8.0)).cast("int")
-        // same sequence(0,-1) guard as t15: a token-less doc must yield
-        // zero chunk rows, not a phantom empty chunk
-        val chunkArr = when(nChunks > 0,
-          transform(sequence(lit(0), nChunks - 1),
-            i => array_join(slice(words, i * 8 + 1, lit(8)), " ")))
-          .otherwise(array().cast("array<string>"))
+        // native WordChunks (chunk TEXTS — reconstruction needs them);
+        // the per-chunk md5 below is the codegen'd builtin. Token-less
+        // docs yield an empty array (the phantom-chunk guard, in the
+        // kernel).
+        val chunkArr = graft.expressions.NativeFns.word_chunks($"text", 8)
         val docs = Tables.load(s, d, "documents")
         val chunked = docs
           .select($"doc_id", posexplode(chunkArr).as(Seq("idx", "chunk")))

@@ -68,6 +68,37 @@ class NativeExprParitySpec extends SparkSpec {
     assert(edge.filter(not($"native" <=> $"decl")).count() == 0)
   }
 
+  test("native word_chunks (text + hashed) == declarative chunk chain") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    def declText(text: org.apache.spark.sql.Column) = {
+      val words = TextFns.tokens(text)
+      val nChunks = ceil(size(words) / lit(8.0)).cast("int")
+      when(nChunks > 0,
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(words, i * 8 + 1, lit(8)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    def declHash(text: org.apache.spark.sql.Column) =
+      transform(declText(text), c => md5(c))
+    val df = Tables.load(spark, sf0001, "documents")
+      .select(NativeFns.word_chunks($"text", 8).as("nt"),
+        declText($"text").as("dt"),
+        NativeFns.word_chunks($"text", 8, hashed = true).as("nh"),
+        declHash($"text").as("dh"))
+    assert(df.filter(not($"nt" <=> $"dt") || not($"nh" <=> $"dh")).count() == 0)
+    // edges: empty -> EMPTY array (no phantom chunk), sub-chunk, exact
+    // chunk, one over, separators, caps
+    val edge = Seq("", "   --  ", "one two", "a b c d e f g h",
+      "a b c d e f g h i", "Mixed CASE and-42 seps")
+      .toDF("text")
+      .select(NativeFns.word_chunks($"text", 8).as("nt"),
+        declText($"text").as("dt"),
+        NativeFns.word_chunks($"text", 8, hashed = true).as("nh"),
+        declHash($"text").as("dh"))
+    assert(edge.filter(not($"nt" <=> $"dt") || not($"nh" <=> $"dh")).count() == 0)
+  }
+
   test("native jaccard == declarative jaccard") {
     import spark.implicits._
     val sh = TextFns.shingles(TextFns.tokens($"text"), 3)
