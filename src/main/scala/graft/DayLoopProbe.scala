@@ -21,13 +21,27 @@ import graft.operators.{Compactor, Dedup, DedupIndex}
   * stage re-shingled the lake or re-compacted history, its wall would
   * grow ~linearly in day number instead of staying flat.
   *
-  * Each day's delta is half exact duplicates of the base corpus
-  * (id-shifted, text identical — must ALL be flagged `exact`) and
-  * half novel synthetic docs (day-salted md5-token text, no shingle
-  * overlap with anything prior — must ALL land unflagged and be
-  * folded). Those two set equalities are asserted per day, so the
-  * probe is also a correctness witness for the composition, not just
-  * a stopwatch.
+  * Each day's delta is three slices:
+  *   - exact-duplicate slice: half the base corpus, id-shifted, text
+  *     identical — must ALL be flagged `exact`;
+  *   - novel slice: day-salted md5-token docs, no shingle overlap
+  *     with anything prior — must ALL land unflagged and be folded;
+  *   - NEAR-DUPLICATE slice (round 12): last-token-dropout copies of
+  *     the PREVIOUS day's novel docs (23 of 24 tokens kept => shingle
+  *     Jaccard 21/22 ~ 0.95) — this forces the band-key x
+  *     Jaccard-refinement path to probe index content that was FOLDED
+  *     on an earlier day, which is the persisted-shingle machinery's
+  *     whole reason to exist. Day 1 perturbs a "day 0" novelty batch
+  *     that ships inside the base index build.
+  *
+  * Assertions per day: every exact dup flagged `exact`; every `near`
+  * flag is a planted near-dup AND points at its true source doc
+  * (match_id arithmetic — zero tolerance); near detection rate >= 98%
+  * (banding at J=0.954 with k=16/bands=4 misses a doc with p~8e-4 —
+  * deterministic for fixed text, but the a-priori bound is what the
+  * assertion encodes); the novel fold count equals the novel slice
+  * plus the (few) banding misses. So the probe is also a correctness
+  * witness for the composition, not just a stopwatch.
   *
   * Usage: runMain graft.DayLoopProbe [sfDir] [workDir] [nDays]
   * [baseCopies]. Defaults give a ~50k-doc base (10x sf0.1 documents =
@@ -72,29 +86,51 @@ object DayLoopProbe {
     val base = docs0.crossJoin(spark.range(copies).select(col("id").as("_k")))
       .select((col("doc_id") + col("_k") * D).as("doc_id"),
         concat(col("text"), lit(" basecopy "), col("_k").cast("string")).as("text"))
-    val (_, baseIxSec) = timed {
-      DedupIndex.write(ixPath, base, col("doc_id"), col("text"))
-    }
     val baseN = base.count()
+    val plantedN = baseN / 4
 
     // synthetic novel text: 24 md5 tokens salted by (day, id) — no
-    // shingle overlap with the base or any other day, deterministic
-    def novelText(day: Int) = concat_ws(" ", (0 until 24).map(i =>
-      md5(concat(lit(s"d$day:t$i:"), col("id").cast("string")))): _*)
+    // shingle overlap with the base or any other day, deterministic.
+    // `nTok` < 24 builds the near-dup slice: the same tokens with the
+    // tail dropped (23 => shingle Jaccard 21/22 ~ 0.954)
+    def novelText(day: Int, nTok: Int = 24) = concat_ws(" ",
+      (0 until nTok).map(i =>
+        md5(concat(lit(s"d$day:t$i:"), col("id").cast("string")))): _*)
+
+    // "day 0" novelty: folded with the base build so day 1's near-dup
+    // slice probes index content exactly the way later days probe
+    // earlier days' folded novelty
+    val nov0Off = copies.toLong * D
+    val nov0 = spark.range(plantedN)
+      .select((col("id") + lit(nov0Off)).as("doc_id"), novelText(0).as("text"))
+    val (_, baseIxSec) = timed {
+      DedupIndex.write(ixPath, base.unionByName(nov0), col("doc_id"), col("text"))
+    }
+
+    // day d's novel ids live at novOff(d); day 0's inside the base
+    def novOff(day: Int): Long =
+      if (day == 0) nov0Off
+      else (copies + (day - 1) * 3).toLong * D * copies + D * copies
 
     val dayRows = (1 to nDays).map { day =>
-      // ids: dup slice and novel slice each get a day-unique range
-      val dupOff = (copies + (day - 1) * 2).toLong * D * copies
-      val novOff = dupOff + D * copies
+      // ids: dup / novel / near slices each get a day-unique range
+      val dupOff = (copies + (day - 1) * 3).toLong * D * copies
+      val nearOff = dupOff + 2L * D * copies
       val dupHalf = base.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + lit(dupOff)).as("doc_id"), col("text"))
       val novHalf = spark.range(baseN / 2)
-        .select((col("id") + lit(novOff)).as("doc_id"),
+        .select((col("id") + lit(novOff(day))).as("doc_id"),
           novelText(day).as("text"))
+      // near-dup slice: 23-token prefixes of YESTERDAY's novel docs —
+      // same ids 0..plantedN, so the true source of near doc
+      // (nearOff + i) is index doc (novOff(day-1) + i)
+      val nearSlice = spark.range(plantedN)
+        .select((col("id") + lit(nearOff)).as("doc_id"),
+          novelText(day - 1, nTok = 23).as("text"))
       val incoming = s"$work/incoming/date=2026-08-$day"
       val compacted = s"$lake/date=2026-08-$day"
       // the day's crawl residue: 200 small part files
-      dupHalf.unionByName(novHalf).repartition(200)
+      dupHalf.unionByName(novHalf).unionByName(nearSlice).repartition(200)
         .write.mode("overwrite").parquet(incoming)
 
       val (_, compactSec) = timed {
@@ -115,16 +151,31 @@ object DayLoopProbe {
       val deltaN = delta.count()
       val novelN = deltaN - flags.select("doc_id").distinct().count()
       // composition correctness, not just walls: every dup flagged
-      // exact, every synthetic doc novel
+      // exact; every near flag is a planted near-dup AND its match_id
+      // is the true source (id arithmetic, zero tolerance); detection
+      // >= 98% of planted; the novel fold absorbs exactly the novel
+      // slice plus the banding misses
       require(nExact == dupHalf.count(),
         s"day $day: expected all ${dupHalf.count()} dups exact, got $nExact")
-      require(novelN == baseN / 2,
-        s"day $day: expected ${baseN / 2} novel, got $novelN")
+      val badNear = flags.filter(col("dup_kind") === "near")
+        .filter(col("doc_id") < nearOff || col("doc_id") >= nearOff + plantedN ||
+          col("match_id") =!= col("doc_id") - nearOff + novOff(day - 1))
+        .count()
+      require(badNear == 0,
+        s"day $day: $badNear near flags outside the planted slice or " +
+          "pointing at the wrong source")
+      require(nNear >= (plantedN * 98) / 100,
+        s"day $day: near detection $nNear of planted $plantedN < 98%")
+      require(novelN == baseN / 2 + (plantedN - nNear),
+        s"day $day: expected ${baseN / 2} novel + ${plantedN - nNear} " +
+          s"banding misses, got $novelN")
       val total = compactSec + flagSec + foldSec
       println(f"[dayloop] day $day: compact $compactSec%.2f flag $flagSec%.2f " +
-        f"fold $foldSec%.2f total $total%.2f (delta $deltaN rows, $novelN novel)")
+        f"fold $foldSec%.2f total $total%.2f (delta $deltaN rows, " +
+        f"$novelN novel, near $nNear/$plantedN)")
       s"""{"day":$day,"delta_rows":$deltaN,"exact_flags":$nExact,""" +
-      s""""near_flags":$nNear,"novel":$novelN,"compact_sec":${f2(compactSec)},""" +
+      s""""near_planted":$plantedN,"near_flags":$nNear,""" +
+      s""""novel":$novelN,"compact_sec":${f2(compactSec)},""" +
       s""""flag_sec":${f2(flagSec)},"fold_sec":${f2(foldSec)},""" +
       s""""total_sec":${f2(total)}}"""
     }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Composed corpus-pipeline probe (VERDICT r11 task 4): every curation
+  * stage has a solo 100x artifact, but a curator runs them as ONE job —
+  * gopher-filter -> exact+near dedup -> decontaminate -> PII-redact ->
+  * token-budget pack -> shard-assign ([[graft.operators.CorpusPipeline]]).
+  * This records the per-stage and end-to-end walls plus the survivor
+  * counts at each stage, and asserts the composition facts:
+  *
+  *   - the corpus is shingled ONCE (near-dedup + decontamination share
+  *     the memoized pass — Dedup.shingleBuilds delta == 1);
+  *   - survivor counts are monotone non-increasing through the filter
+  *     stages; the pack emits a subset; the shard stage is a
+  *     row-count-preserving permutation with dense per-shard positions.
+  *
+  * Usage: runMain graft.PipelineProbe [sfDir] [budgetPerStratum].
+  * Writes BENCH_pipeline_probe.json; last stdout line is the JSON.
+  */
+object PipelineProbe {
+
+  private def f2(d: Double) = math.round(d * 100.0) / 100.0
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/repo/benchdata/sf1"
+    val budgetArg = if (args.length > 1) Some(args(1).toLong) else None
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline-probe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inRows = docs.count()
+    // default budget: 60% of the per-stratum DISTINCT-text tokens, so
+    // the pack stage provably BITES at every sf — sizing on raw input
+    // tokens would leave the pack a no-op wherever the corpus is
+    // dup-heavy (sf1 is 10x-replicated by construction: dedup removes
+    // 90% of tokens before the pack ever sees them)
+    val budget = budgetArg.getOrElse {
+      val total = docs.dropDuplicates("text")
+        .agg(sum(size(graft.functions.TextFns.tokens(col("text")))))
+        .collect()(0).getLong(0)
+      total * 6 / 10 / 4
+    }
+
+    val sb0 = graft.operators.Dedup.shingleBuilds
+    val t0 = System.nanoTime()
+    val res = graft.operators.CorpusPipeline.run(
+      docs, benchPred = col("doc_id") % 499 === 0,
+      budgetPerStratum = budget, nShards = 64)
+    val e2e = (System.nanoTime() - t0) / 1e9
+    val shingleBuilds = graft.operators.Dedup.shingleBuilds - sb0
+
+    // composition assertions (the probe is a correctness witness too)
+    require(shingleBuilds == 1,
+      s"corpus must be shingled exactly once, got $shingleBuilds builds")
+    val survivors = res.stats.take(4).map(_.rowsOut) // filter stages
+    require(survivors == survivors.sorted.reverse,
+      s"filter-stage survivors must be non-increasing: $survivors")
+    require(res.rowsAfter("token_pack") <= res.rowsAfter("pii_redact"),
+      "pack must emit a subset of its input")
+    require(res.rowsAfter("shard_assign") == res.rowsAfter("token_pack"),
+      "shard assignment must be a permutation of the packed set")
+    val badPos = res.out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
+        max(col("pos")).as("hi"), countDistinct(col("pos")).as("d"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("d") =!= col("n"))
+      .count()
+    require(badPos == 0, s"$badPos shards with non-dense positions")
+
+    res.stats.foreach(s =>
+      println(f"[pipeline] ${s.stage}%-22s rows ${s.rowsOut}%9d wall ${s.sec}%6.2fs"))
+    println(f"[pipeline] end-to-end $e2e%.2fs over $inRows rows")
+
+    val stageJson = res.stats.map(s =>
+      s"""{"stage":"${s.stage}","rows_out":${s.rowsOut},"sec":${f2(s.sec)}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"pipeline_probe","sf":"$sfDir","input_rows":$inRows,""" +
+      s""""budget_per_stratum":$budget,"shingle_builds":$shingleBuilds,""" +
+      s""""e2e_sec":${f2(e2e)},"stages":$stageJson}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_pipeline_probe.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

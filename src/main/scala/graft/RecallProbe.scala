@@ -12,10 +12,21 @@ import graft.operators.Similarity
   * (every approximate path is deterministic, so DuckDB can replay it);
   * what they deliberately do not measure is how good the approximation
   * IS — the recall/cost dial a user actually turns (nprobe for IVF,
-  * multi-probe for sign-LSH). This probe quantifies that dial on the
-  * organic sf0.1 embeddings (NOT the 100x-replicated sf10 corpus,
-  * whose exact duplicate clusters would hand every variant free
-  * recall): per variant, mean recall@10 over the query set plus the
+  * multi-probe for sign-LSH, and — new this round — the seeding mode
+  * of the coarse quantizer). Two corpora, because they bracket the
+  * user's reality:
+  *
+  *   - ORGANIC: the sf embeddings fixture — near-uniform synthetic
+  *     vectors, ANN's documented adversarial floor (no cluster
+  *     structure to exploit, so candidate fraction buys recall almost
+  *     linearly).
+  *   - CLUSTERED: a deterministic 32-blob corpus (seeded RNG — same
+  *     bytes every run) with noise comparable to real embedding
+  *     manifolds. This is the favorable case users actually have:
+  *     text/image embeddings cluster, and IVF's whole bet is that
+  *     cells align with that structure.
+  *
+  * Per variant: mean/worst recall@10 over the query set plus the
   * scored-candidate fraction — the fraction of the corpus each query
   * actually paid to score, which is the cost side of the dial.
   *
@@ -25,6 +36,23 @@ import graft.operators.Similarity
 object RecallProbe {
 
   private def f4(d: Double) = math.round(d * 10000.0) / 10000.0
+
+  /** Deterministic clustered corpus: `nClusters` gaussian centers,
+    * each point = center + sigma * noise (per-dim), floats. Seeded
+    * generator — byte-identical across runs.
+    */
+  def clusteredCorpus(spark: SparkSession, n: Int, dim: Int,
+                      nClusters: Int, sigma: Double,
+                      seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      val v = Array.tabulate(dim)(j => (c(j) + sigma * rnd.nextGaussian()).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -38,95 +66,123 @@ object RecallProbe {
       .appName("graft-ann-recall-probe")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
-    val corpusN = e.count()
-    val queries = e.filter(col("vec_id") < nQ)
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-
-    // ground truth: exact cosine top-k per query (the s01 operator)
     def ids(df: DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "vec_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet }
-    val (truth, truthSec) = timed(
-      ids(Similarity.knnBruteForce(queries, e, k)))
-
-    // candidate fraction: rows scored per query / corpus size, the cost
-    // the variant pays. Computed from the same candidate join the
-    // search runs (cell-equi or probe-cell-equi), counted not ranked.
-    def recallRow(name: String, df: => DataFrame,
-                  candPerQuery: => Double): String = {
-      val (got, sec) = timed(ids(df))
-      val recalls = truth.map { case (q, t) =>
-        got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
-      val mean = recalls.sum / recalls.size
-      val worst = recalls.foldLeft(1.0)(math.min)
-      val frac = candPerQuery / corpusN
-      println(f"[recall] $name%-22s recall@$k mean $mean%.4f worst $worst%.4f " +
-        f"cand-frac $frac%.4f wall $sec%.2fs")
-      s"""{"variant":"$name","recall_mean":${f4(mean)},""" +
-      s""""recall_worst":${f4(worst)},"cand_frac":${f4(frac)},""" +
-      s""""wall_sec":${f4(sec)}}"""
-    }
 
     import graft.expressions.NativeFns.{hyperplane_bucket, nearest_centroid}
-    def lshCand(nPlanes: Int, multiProbe: Boolean): Double = {
-      val c = e.withColumn("cell", hyperplane_bucket(col("embedding"), nPlanes, 64))
-      val base = hyperplane_bucket(col("embedding"), nPlanes, 64)
-      val probes =
-        if (!multiProbe) array(base)
-        else array((base +: (0 until nPlanes).map(p => base.bitwiseXOR(lit(1 << p)))): _*)
-      val q = queries.withColumn("cell", explode(probes))
-        .select(col("vec_id").as("query_id"), col("cell"))
-      c.join(q, Seq("cell")).count().toDouble / nQ
-    }
-    def ivfCand(nCells: Int, nprobe: Int): Double = {
-      val cents = Similarity.trainIvfCentroids(e, nCells, iters = 2, dim = 64)
-      val c = e.withColumn("cell", nearest_centroid(col("embedding"), cents))
-      val cellSizes = c.groupBy("cell").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val centDf = spark.createDataFrame(
-        cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq).toDF("cell", "cent")
-      queries.crossJoin(broadcast(centDf))
-        .withColumn("score", graft.functions.VecFns.cosine(col("embedding"),
-          transform(col("cent"), x => x.cast("float"))))
-        .withColumn("pr", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-            .orderBy(col("score").desc, col("cell").asc)))
-        .filter(col("pr") <= nprobe)
-        .select("cell").collect()
-        .map(r => cellSizes.getOrElse(r.getInt(0), 0L)).sum.toDouble / nQ
+
+    /** One corpus section: ground truth + a list of named variants. */
+    def section(label: String, e: DataFrame, queries: DataFrame): Seq[String] = {
+      val corpusN = e.count()
+      // ADVICE r11: denominator is the MEASURED query count, not the
+      // requested nQ — sparse/offset vec_ids would misscale the frac
+      val qN = queries.count()
+      val (truth, truthSec) = timed(ids(Similarity.knnBruteForce(queries, e, k)))
+      println(f"[recall] == $label: corpus $corpusN queries $qN " +
+        f"(truth wall $truthSec%.1fs)")
+
+      def recallRow(name: String, df: => DataFrame,
+                    candPerQuery: => Double): String = {
+        val (got, sec) = timed(ids(df))
+        val recalls = truth.map { case (q, t) =>
+          got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+        val mean = recalls.sum / recalls.size
+        val worst = recalls.foldLeft(1.0)(math.min)
+        val frac = candPerQuery / corpusN
+        println(f"[recall] $name%-28s recall@$k mean $mean%.4f worst $worst%.4f " +
+          f"cand-frac $frac%.4f wall $sec%.2fs")
+        s"""{"corpus":"$label","variant":"$name","recall_mean":${f4(mean)},""" +
+        s""""recall_worst":${f4(worst)},"cand_frac":${f4(frac)},""" +
+        s""""wall_sec":${f4(sec)}}"""
+      }
+
+      def lshCand(nPlanes: Int, multiProbe: Boolean): Double = {
+        val c = e.withColumn("cell", hyperplane_bucket(col("embedding"), nPlanes, 64))
+        val base = hyperplane_bucket(col("embedding"), nPlanes, 64)
+        val probes =
+          if (!multiProbe) array(base)
+          else array((base +: (0 until nPlanes).map(p => base.bitwiseXOR(lit(1 << p)))): _*)
+        val q = queries.withColumn("cell", explode(probes))
+          .select(col("vec_id").as("query_id"), col("cell"))
+        c.join(q, Seq("cell")).count().toDouble / qN
+      }
+      // train ONCE per (seedMode, iters) config, reuse for every nprobe
+      // row — probing is the dial, training is the index
+      def ivfCandFromCents(cents: Array[Array[Double]], nprobe: Int): Double = {
+        val c = e.withColumn("cell", nearest_centroid(col("embedding"), cents))
+        val cellSizes = c.groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val centDf = spark.createDataFrame(
+          cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq).toDF("cell", "cent")
+        queries.crossJoin(broadcast(centDf))
+          .withColumn("score", graft.functions.VecFns.cosine(col("embedding"),
+            transform(col("cent"), x => x.cast("float"))))
+          .withColumn("pr", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+              .orderBy(col("score").desc, col("cell").asc)))
+          .filter(col("pr") <= nprobe)
+          .select("cell").collect()
+          .map(r => cellSizes.getOrElse(r.getInt(0), 0L)).sum.toDouble / qN
+      }
+
+      val nCells = if (label.startsWith("clustered")) 32 else 16
+      val lshRows = Seq(
+        recallRow("lsh_p4_single",
+          Similarity.knnHyperplaneLSH(queries, e, k, nPlanes = 4, multiProbe = false),
+          lshCand(4, multiProbe = false)),
+        recallRow("lsh_p4_multiprobe",
+          Similarity.knnHyperplaneLSH(queries, e, k, nPlanes = 4, multiProbe = true),
+          lshCand(4, multiProbe = true)))
+      // legacy training (lowid/i2, round-11 s04) vs shipped
+      // k-means++-style (kcenter/i6, round-12 s04), both at i2/i6 so
+      // seeding and iteration gains attribute separately
+      val ivfRows = for {
+        (seedMode, iters) <- Seq(("lowid", 2), ("lowid", 6),
+          ("kcenter", 2), ("kcenter", 6))
+        cents = Similarity.trainIvfCentroids(e, nCells, iters, 64, seedMode)
+        np <- Seq(1, 2, 4, 8)
+      } yield {
+        val tag = if (seedMode == "kcenter") "kpp" else seedMode
+        recallRow(s"ivf_c${nCells}_np${np}_i${iters}_$tag",
+          Similarity.knnIvf(queries, e, k, nCells = nCells, iters = iters,
+            nprobe = np, trained = Some(cents)),
+          ivfCandFromCents(cents, np))
+      }
+      lshRows ++ ivfRows
     }
 
-    val variants = Seq(
-      recallRow("lsh_p4_single",
-        Similarity.knnHyperplaneLSH(queries, e, k, nPlanes = 4, multiProbe = false),
-        lshCand(4, multiProbe = false)),
-      recallRow("lsh_p4_multiprobe",
-        Similarity.knnHyperplaneLSH(queries, e, k, nPlanes = 4, multiProbe = true),
-        lshCand(4, multiProbe = true)),
-      recallRow("ivf_c16_np1",
-        Similarity.knnIvf(queries, e, k, nCells = 16, nprobe = 1),
-        ivfCand(16, 1)),
-      recallRow("ivf_c16_np2",
-        Similarity.knnIvf(queries, e, k, nCells = 16, nprobe = 2),
-        ivfCand(16, 2)),
-      recallRow("ivf_c16_np4",
-        Similarity.knnIvf(queries, e, k, nCells = 16, nprobe = 4),
-        ivfCand(16, 4)))
+    val organic = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val organicRows = section("organic", organic,
+      organic.filter(col("vec_id") < nQ))
 
+    // two cluster tightnesses bracket real embedding corpora: sigma 0.7
+    // = well-separated blobs (easy case), 1.8 = heavily overlapping
+    // (hard case; between it and organic's no-structure floor)
+    val easy = clusteredCorpus(spark, n = 20000, dim = 64,
+      nClusters = 32, sigma = 0.7, seed = 20260814L).localCheckpoint()
+    val easyRows = section("clustered_s07", easy,
+      easy.filter(col("vec_id") < nQ))
+    val hard = clusteredCorpus(spark, n = 20000, dim = 64,
+      nClusters = 32, sigma = 1.8, seed = 20260814L).localCheckpoint()
+    val hardRows = section("clustered_s18", hard,
+      hard.filter(col("vec_id") < nQ))
+
+    val all = organicRows ++ easyRows ++ hardRows
     val json =
-      s"""{"metric":"ann_recall","corpus_rows":$corpusN,"queries":$nQ,""" +
-      s""""k":$k,"truth_wall_sec":${f4(truthSec)},""" +
-      s""""variants":${variants.mkString("[", ",", "]")}}"""
+      s"""{"metric":"ann_recall","k":$k,""" +
+      s""""clustered_spec":{"n":20000,"dim":64,"clusters":32,"sigmas":[0.7,1.8]},""" +
+      s""""variants":${all.mkString("[", ",", "]")}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_ann_recall.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -380,7 +380,10 @@ case class WordChunks(child: Expression, n: Int, hashed: Boolean)
   * 1..max(len-gram+1, 1), the tail window truncated (len < gram gives
   * ONE short window; len == 0 gives md5("")). ASCII fast path works on
   * the UTF8String bytes in place (post-normalizeText input is ASCII);
-  * multibyte input falls back to char-based substrings = `substr`.
+  * multibyte input falls back to CODEPOINT-indexed substrings —
+  * windows count codepoints exactly as `substr` slices UTF-8 chars,
+  * including supplementary-plane input where java.lang.String's UTF-16
+  * units would disagree.
   */
 case class WinnowFp(child: Expression, k: Int, gram: Int)
     extends UnaryExpression with GraftUnaryDelegateCodegen {
@@ -423,14 +426,28 @@ case class WinnowFp(child: Expression, k: Int, gram: Int)
         i += 1
       }
     } else {
+      // windows count CODEPOINTS, matching substr (which slices UTF-8
+      // chars): java.lang.String length/substring count UTF-16 units,
+      // so supplementary-plane input needs the offset table below —
+      // cpOff(i) is the UTF-16 offset of codepoint i, cpOff(lenCp) the
+      // string end
       val s = u.toString
-      val len = s.length
-      val m = math.max(len - (gram - 1), 1)
+      val lenCp = s.codePointCount(0, s.length)
+      val cpOff = new Array[Int](lenCp + 1)
+      var ci = 0; var off = 0
+      while (ci < lenCp) {
+        cpOff(ci) = off
+        off += Character.charCount(s.codePointAt(off))
+        ci += 1
+      }
+      cpOff(lenCp) = s.length
+      val m = math.max(lenCp - (gram - 1), 1)
       var i = 0
       while (i < m) {
         md.reset()
-        offer(md.digest(s.substring(i, math.min(i + gram, len))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        offer(md.digest(
+          s.substring(cpOff(i), cpOff(math.min(i + gram, lenCp)))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         i += 1
       }
     }

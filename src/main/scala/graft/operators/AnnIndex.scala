@@ -37,9 +37,11 @@ import graft.functions.VecFns
   */
 object AnnIndex {
 
-  private val FormatVersion = 1
+  // v2: adds seed_mode / seed_every (k-means++-style k-center seeding)
+  private val FormatVersion = 2
 
-  final case class Meta(nCells: Int, iters: Int, dim: Int)
+  final case class Meta(nCells: Int, iters: Int, dim: Int,
+                        seedMode: String, seedEvery: Int)
 
   /** A loaded index: trained centroids + cell-partitioned corpus. */
   final case class Index(centroids: Array[Array[Double]], corpus: DataFrame,
@@ -49,11 +51,13 @@ object AnnIndex {
     * artifacts at `path`.
     */
   def write(path: String, corpus: DataFrame, nCells: Int = 16,
-            iters: Int = 2, dim: Int = 64): Unit = {
+            iters: Int = 2, dim: Int = 64,
+            seedMode: String = "lowid", seedEvery: Int = 1): Unit = {
     import graft.expressions.NativeFns.nearest_centroid
     val spark = corpus.sparkSession
     val c = corpus.toDF("vec_id", "c_vec")
-    val cents = Similarity.trainIvfCentroids(c, nCells, iters, dim)
+    val cents = Similarity.trainIvfCentroids(c, nCells, iters, dim,
+      seedMode, seedEvery)
     c.withColumn("cell", nearest_centroid(col("c_vec"), cents))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
     spark.createDataFrame(
@@ -61,8 +65,8 @@ object AnnIndex {
       .toDF("cell", "cent")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     import spark.implicits._
-    Seq((FormatVersion, nCells, iters, dim))
-      .toDF("version", "n_cells", "iters", "dim")
+    Seq((FormatVersion, nCells, iters, dim, seedMode, seedEvery))
+      .toDF("version", "n_cells", "iters", "dim", "seed_mode", "seed_every")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     invalidate(spark, path)
   }
@@ -78,11 +82,13 @@ object AnnIndex {
     * per session; returns the index path.
     */
   def writeOnce(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
-                dim: Int = 64): String = {
-    val key = s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells:$iters:$dim"
+                dim: Int = 64, seedMode: String = "lowid",
+                seedEvery: Int = 1): String = {
+    val key = s"${corpus.queryExecution.analyzed.semanticHash()}:" +
+      s"$nCells:$iters:$dim:$seedMode:$seedEvery"
     builtDirs.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-ann-ix").toString
-      write(dir, corpus, nCells, iters, dim)
+      write(dir, corpus, nCells, iters, dim, seedMode, seedEvery)
       dir
     })
   }
@@ -142,7 +148,8 @@ object AnnIndex {
       .sortBy(_._1).map(_._2)
     Index(cents, spark.read.parquet(s"$path/corpus"),
       Meta(m(0).getAs[Int]("n_cells"), m(0).getAs[Int]("iters"),
-        m(0).getAs[Int]("dim")))
+        m(0).getAs[Int]("dim"), m(0).getAs[String]("seed_mode"),
+        m(0).getAs[Int]("seed_every")))
   }
 
   /** Top-k by cosine against the persisted index: probe each query's

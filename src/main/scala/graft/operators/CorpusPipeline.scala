@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** The composed corpus-curation pipeline a training-data curator
+  * actually runs as ONE job — every stage exists solo with its own
+  * oracle (t18, d01, d02/d04, d08, t17, t11, t21); this operator
+  * chains them over a single corpus and keeps the composition honest:
+  *
+  *   gopher-filter -> exact dedup -> near dedup + decontaminate
+  *   (SHARED shingle pass) -> PII redact -> token-budget pack ->
+  *   shard assign
+  *
+  * Composition properties this operator owns (and PipelineE2ESpec +
+  * PipelineProbe assert):
+  *
+  *   - near-dedup and decontamination both probe the SAME memoized
+  *     shingle table of the post-exact corpus — the lake is shingled
+  *     ONCE ([[Dedup.shingleBuilds]] counts memo misses). At 100 TB
+  *     re-shingling is the difference between one corpus pass and
+  *     three.
+  *   - both run from the post-exact survivor set and their drops are
+  *     unioned; neither depends on the other's verdicts, so Spark is
+  *     free to share their scan subtree instead of serializing them.
+  *   - survivor counts are monotone non-increasing through the filter
+  *     stages, the pack emits a subset of its input, and the shard
+  *     stage is a permutation of the packed set (row-count identity).
+  *
+  * Every stage is declarative DataFrame composition — no collects, no
+  * loops; the only driver-side values are the stage row counts the
+  * caller asked to have measured (one scalar agg each).
+  */
+object CorpusPipeline {
+
+  final case class StageStat(stage: String, rowsOut: Long, sec: Double)
+
+  final case class Result(out: DataFrame, stats: Seq[StageStat]) {
+    def rowsAfter(stage: String): Long =
+      stats.find(_.stage == stage).map(_.rowsOut)
+        .getOrElse(sys.error(s"no stage $stage"))
+  }
+
+  /** Run the composed pipeline over `docs` (doc_id, text, source).
+    *
+    * @param benchPred    membership predicate for the decontamination
+    *                     blocklist (columns of `docs`)
+    * @param budgetPerStratum token budget the pack keeps per stratum
+    * @param nShards      shard count for the final assignment
+    * @param minSim       near-dup Jaccard threshold (0.8 default =
+    *                     the p01/p02 cleaning-pipeline setting; 0.3
+    *                     is the aggressive d04/d07 dedup setting)
+    * @param contamMinHits shared-shingle count that drops a doc as
+    *                     contaminated. The d08 REPORT threshold (5) is
+    *                     deliberately low — right for surfacing overlap,
+    *                     corpus-destroying as a drop rule on templated
+    *                     text (measured: 87% of the sf fixture shares
+    *                     >= 5 tri-shingles with a 3%-of-corpus bench
+    *                     set). A composed pipeline drops on a stricter
+    *                     bar by default.
+    */
+  def run(docs: DataFrame, benchPred: Column,
+          budgetPerStratum: Long, nShards: Int = 64,
+          minSim: Double = 0.8, contamMinHits: Long = 20): Result = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    def staged(name: String)(df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val pinned = df.localCheckpoint() // materialize: stage walls attribute
+      val n = pinned.count()
+      stats += StageStat(name, n, (System.nanoTime() - t0) / 1e9)
+      pinned
+    }
+
+    // -- stage 1: gopher-style quality filter (t18 rules, floor set) --
+    val stop = Seq("the", "a", "and", "of", "to", "is")
+    val s1 = staged("gopher_filter") {
+      val flags = docs
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"), max(col("c")).as("max_c"),
+          sum(col("c") * length(col("w"))).as("len_sum"),
+          sum(when(col("w").isin(stop: _*), col("c")).otherwise(0L)).as("stop_hits"))
+        .filter(col("n_tok") >= 10 &&
+          col("len_sum").cast("double") / col("n_tok") >= 2.0 &&
+          col("len_sum").cast("double") / col("n_tok") <= 8.0 &&
+          col("max_c").cast("double") / col("n_tok") <= 0.3 &&
+          col("stop_hits") >= 1)
+        .select(col("doc_id"))
+      docs.join(flags, "doc_id") // inner on the id set = semi-join shape
+    }
+
+    // -- stage 2: exact dedup (keep the lowest doc_id per text) --
+    val s2 = staged("exact_dedup") {
+      Dedup.exactFirst(s1, Seq(md5(col("text"))), Seq(col("doc_id").asc))
+        .select(docs.columns.map(col): _*)
+    }
+
+    // -- stage 3+4: near dedup and decontamination, ONE shingle pass --
+    // both probe shingleTable(s2) (same frame, same n => same memo
+    // entry); their drop sets union afterwards because neither verdict
+    // depends on the other
+    val nearDrops = {
+      val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
+        minSim = minSim, k = 16, bands = 4)
+      // greedy representative rule, transitively closed: a doc is
+      // dropped iff its cluster representative (min id, two-phase CC)
+      // is not itself
+      val cl = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
+      cl.filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id"))
+    }
+    val contamDrops = Dedup.decontaminate(s2, col("doc_id"), col("text"),
+      benchPred, shingleN = 3, minHits = contamMinHits).select(col("doc_id"))
+    val s4 = staged("near_dedup_decontam") {
+      s2.join(nearDrops.unionByName(contamDrops).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+
+    // -- stage 5: PII redaction (text rewrite, count tracked) --
+    val s5 = staged("pii_redact") {
+      s4.withColumn("text", Redact.redact(col("text")))
+    }
+
+    // -- stage 6: token-budget pack (t11 quality, per-stratum budget) --
+    val s6 = staged("token_pack") {
+      val words = TextFns.tokens(col("text"))
+      val nTok = size(words).cast("long")
+      val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
+      val lenSat = least(lit(1.0), nTok.cast("double") / lit(50.0))
+      val quality = round(lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5, 6)
+      val base = s5.select(col("doc_id"), (col("doc_id") % 4).as("stratum"),
+        nTok.as("n_tok"), quality.as("quality"))
+      Curation.packByBudget(base, col("stratum"), col("quality"),
+        Seq(col("doc_id").asc), col("n_tok"), budgetPerStratum,
+        qualityBounds = Some((0.0, 1.0)))
+        .select(col("doc_id"), col("stratum"), col("n_tok"))
+    }
+
+    // -- stage 7: shard assignment (t21 seeded permutation) --
+    val s7 = staged("shard_assign") {
+      val h = md5(concat(lit("graft-shard:42:"), col("doc_id").cast("string")))
+      s6.withColumn("h", h)
+        .withColumn("shard",
+          (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % nShards)
+            .cast("long"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col("stratum"), col("n_tok"),
+          col("shard"), col("pos"))
+    }
+
+    Result(s7, stats.toSeq)
+  }
+}

@@ -100,9 +100,16 @@ object Dedup {
     * At cluster scale, persist to an intermediate parquet instead and
     * drop the round-robin shuffle once inputs arrive in many splits.
     */
+  // observability for pipeline composition: how many times the corpus
+  // was actually re-shingled (memo MISSES). CorpusPipeline asserts the
+  // near-dedup + decontamination stages share ONE pass.
+  private val shingleBuildCounter = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def shingleBuilds: Long = shingleBuildCounter.get
+
   def shingleTable(df: DataFrame, idCol: Column, textCol: Column,
                    shingleN: Int): DataFrame =
     memoized(s"sh:${dfKey(df)}:$idCol:$textCol:$shingleN") {
+      shingleBuildCounter.incrementAndGet()
       val par = df.sparkSession.sessionState.conf.numShufflePartitions
       df.select(idCol.as("doc_id"), textCol.as("_text"))
         .repartition(par)

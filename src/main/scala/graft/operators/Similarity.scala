@@ -67,8 +67,84 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
   }
 
-  /** Deterministic IVF training (k-means-lite): seeds are the k
-    * lowest-id vectors; `iters` Lloyd rounds of assign-by-max-cosine +
+  /** Deterministic k-means++-style seeding (greedy k-center /
+    * farthest-first traversal): seed 0 is the lowest-id vector; each
+    * subsequent seed is the sample vector FARTHEST from the seeds
+    * chosen so far — i.e. with the minimal max-cosine to any chosen
+    * seed — ties to the lowest vec_id. No RNG anywhere, so a DuckDB
+    * oracle can replay the traversal CTE-for-CTE.
+    *
+    * Runs driver-side over a deterministic sample (`vec_id %
+    * seedEvery == 0`; `seedEvery = 1` takes the whole corpus). The
+    * collect is the scale knob: at 100 TB the caller sets `seedEvery`
+    * so the sample is ~10^5 rows (k-center quality degrades gracefully
+    * under uniform sampling — seeds only need to SPREAD, not be
+    * optimal), and the O(k * |sample| * dim) traversal is sub-second
+    * on the driver while Lloyd refinement stays fully distributed.
+    *
+    * Arithmetic parity contract (the oracle replays it bit-for-bit):
+    * floats widen to double (exact), dot/norm fold strictly
+    * left-to-right, cos = dot / (|v| * |s|), comparisons on RAW
+    * doubles (same ops both sides => same bits => same argmin).
+    */
+  def kcenterSeeds(corpus: DataFrame, k: Int,
+                   seedEvery: Int = 1,
+                   trimFrac: Double = 0.0): Array[Array[Double]] = {
+    val c = corpus.toDF("vec_id", "vec")
+    val sampled =
+      if (seedEvery <= 1) c
+      else c.filter(pmod(col("vec_id"), lit(seedEvery)) === 0)
+    val rows = sampled.orderBy(col("vec_id")).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val n = rows.length
+    require(n > 0, "kcenterSeeds: empty corpus sample")
+    val norms = rows.map { v =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j).toDouble * v(j).toDouble; j += 1 }
+      math.sqrt(s)
+    }
+    val k2 = math.min(k, n)
+    val chosen = new Array[Int](k2)
+    chosen(0) = 0 // rows are vec_id-sorted: index 0 IS the lowest id
+    val mc = Array.fill(n)(Double.NegativeInfinity)
+    var s = 0
+    while (s + 1 < k2) {
+      val sv = rows(chosen(s)); val sn = norms(chosen(s))
+      var i = 0
+      while (i < n) {
+        val vi = rows(i)
+        val m = math.min(vi.length, sv.length)
+        var d = 0.0; var j = 0
+        while (j < m) { d += vi(j).toDouble * sv(j).toDouble; j += 1 }
+        val cos = d / (norms(i) * sn)
+        if (cos > mc(i)) mc(i) = cos
+        i += 1
+      }
+      // next seed: the candidate at rank floor(trimFrac * (n-1)) of
+      // the (mc ASC, vec_id ASC) ordering — trimFrac = 0 is the pure
+      // farthest point (argmin over raw mc, strict < keeps the
+      // earliest = lowest id); a small trimFrac skips the most extreme
+      // outliers, the standard robust-farthest-first fix
+      if (trimFrac <= 0.0) {
+        var best = 0; var bestV = Double.PositiveInfinity
+        i = 0
+        while (i < n) { if (mc(i) < bestV) { bestV = mc(i); best = i }; i += 1 }
+        chosen(s + 1) = best
+      } else {
+        val rank = math.floor(trimFrac * (n - 1)).toInt
+        val order = Array.range(0, n).sortBy(i => (mc(i), i))
+        chosen(s + 1) = order(rank)
+      }
+      s += 1
+    }
+    chosen.map(i => rows(i).map(_.toDouble))
+  }
+
+  /** Deterministic IVF training (k-means-lite): seeds are either the k
+    * lowest-id vectors (`seedMode = "lowid"`, the cheap legacy mode) or
+    * the greedy k-center traversal of [[kcenterSeeds]] (`seedMode =
+    * "kcenter"`, the k-means++-style spread that recall measurements
+    * favor); then `iters` Lloyd rounds of assign-by-max-cosine +
     * per-dimension mean. Centroids are rounded to 6 decimals each round
     * so parallel-summation ulp noise can't flip near-tie assignments
     * between runs. Per round: one pass over the corpus for assignment
@@ -77,7 +153,8 @@ object Similarity {
     * (cell, dim) — fully parallel). Returns the trained centroids.
     */
   def trainIvfCentroids(corpus: DataFrame, k: Int, iters: Int,
-                        dim: Int): Array[Array[Double]] = {
+                        dim: Int, seedMode: String = "lowid",
+                        seedEvery: Int = 1): Array[Array[Double]] = {
     import graft.expressions.NativeFns.nearest_centroid
     // Session-builder note (NOT set here): ObjectHashAggregate falls
     // back to sort-based aggregation once its hash map holds 128 keys
@@ -91,8 +168,18 @@ object Similarity {
     // larger per-key buffers, shifting their OOM risk — so the knob
     // stays a session-level decision.
     val c = corpus.toDF("vec_id", "vec")
-    var centroids: Array[Array[Double]] = c.orderBy(col("vec_id")).limit(k)
-      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    // seedMode: "lowid" | "kcenter" | "kcenter@<trimFrac>" (e.g.
+    // "kcenter@0.1" picks each next seed at the 10th percentile of the
+    // farthest-first ranking instead of the absolute farthest)
+    var centroids: Array[Array[Double]] = seedMode match {
+      case "kcenter" => kcenterSeeds(c, k, seedEvery)
+      case m if m.startsWith("kcenter@") =>
+        kcenterSeeds(c, k, seedEvery, m.stripPrefix("kcenter@").toDouble)
+      case "lowid" => c.orderBy(col("vec_id")).limit(k)
+        .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      case other => throw new IllegalArgumentException(
+        s"trainIvfCentroids: unknown seedMode '$other' (lowid|kcenter[@trim])")
+    }
     // corpora smaller than k seed fewer centroids; size everything by
     // the actual seed count or the empty-cell loop walks off the array
     val k2 = centroids.length
@@ -137,9 +224,11 @@ object Similarity {
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
              nCells: Int = 16, iters: Int = 2, dim: Int = 64,
              nprobe: Int = 2,
-             trained: Option[Array[Array[Double]]] = None): DataFrame = {
+             trained: Option[Array[Array[Double]]] = None,
+             seedMode: String = "lowid", seedEvery: Int = 1): DataFrame = {
     import graft.expressions.NativeFns.nearest_centroid
-    val cacheKey = s"${corpus.queryExecution.analyzed.semanticHash()}:$nCells:$iters:$dim"
+    val cacheKey = s"${corpus.queryExecution.analyzed.semanticHash()}:" +
+      s"$nCells:$iters:$dim:$seedMode:$seedEvery"
     // train OUTSIDE the cache lock (training runs Spark jobs); a lost
     // race costs one redundant training, and training is deterministic
     // so either result is byte-identical
@@ -147,7 +236,7 @@ object Similarity {
       val hit = ivfCache.synchronized(ivfCache.get(cacheKey))
       if (hit != null) hit
       else {
-        val t = trainIvfCentroids(corpus, nCells, iters, dim)
+        val t = trainIvfCentroids(corpus, nCells, iters, dim, seedMode, seedEvery)
         ivfCache.synchronized {
           val prev = ivfCache.get(cacheKey)
           if (prev != null) prev else { ivfCache.put(cacheKey, t); t }

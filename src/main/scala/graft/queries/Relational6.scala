@@ -18,32 +18,50 @@ object Relational6 extends QuerySet {
   val all: Seq[Q] = Seq(
 
     // --- Q21 shape: suppliers who were the ONLY late shipper of a
-    // multi-supplier finalized order. One semi-join (another supplier
-    // exists in the order) and one anti-join (no OTHER supplier was
-    // late) against lineitem itself; both plan as hash joins on the
-    // order key with the supplier inequality as a residual condition.
+    // multi-supplier finalized order. The EXISTS/NOT-EXISTS pair is
+    // rewritten to per-order supplier stats (r12, the q25 recipe):
+    //   EXISTS another supplier        <=> distinct suppliers >= 2
+    //   NOT EXISTS another LATE suppl. <=> distinct LATE suppliers = 1
+    //     (the probed row is itself late, so it is in that set)
+    // — equivalences that hold row-for-row, so numwait's line-row
+    // multiplicity is preserved and the oracle hash is unchanged.
+    // Scale shape: the old form probed the FULL lineitem twice (semi +
+    // anti, each its own fact-sized shuffle). Now lineitem shuffles
+    // ONCE (the orders join) and the per-order supplier counts are
+    // WINDOW aggregates over that same orderkey partitioning — a
+    // single consumer of a single fact subtree, so there is no twin
+    // scan for canonicalization to miss, and the window needs a sort
+    // but no exchange. (A groupBy-then-rejoin form was tried first: it
+    // forks the fact subtree, and the branches' differing pushed
+    // filters/pruned columns defeat AQE stage reuse — lineitem
+    // shuffled twice anyway. QueriesSpec pins the exchange count so
+    // the regression can't sneak back.) The window buffers one ORDER's
+    // line rows at a time — bounded by lines-per-order (7 here; small
+    // in any sane schema), never by the corpus.
     Q("q36_waiting_suppliers",
       (s, d) => {
         import s.implicits._
+        import org.apache.spark.sql.expressions.Window
         val oF = Tables.load(s, d, "orders")
           .filter($"o_orderstatus" === "F")
           .select($"o_orderkey", $"o_orderdate")
         val li = Tables.load(s, d, "lineitem")
           .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
-        // late line rows of finalized orders (keeps row multiplicity:
-        // numwait counts LINE ROWS, like Q21's count(*))
-        val late = li.join(oF, $"l_orderkey" === $"o_orderkey")
-          .filter($"l_shipdate" > date_add($"o_orderdate", 90))
-          .select($"l_orderkey", $"l_suppkey")
-        val others = li.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
-        val lateOthers = late.select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+        // finalized-order line rows with their lateness flag: the ONE
+        // fact-table shuffle in the query
+        val liF = li.join(oF, $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"l_suppkey",
+            ($"l_shipdate" > date_add($"o_orderdate", 90)).as("is_late"))
+        val w = Window.partitionBy($"l_orderkey")
         val sup = Tables.load(s, d, "supplier").select($"s_suppkey", $"s_name")
-        late
-          .join(others, $"o2" === $"l_orderkey" && $"s2" =!= $"l_suppkey",
-            "left_semi")
-          .join(lateOthers, $"o3" === $"l_orderkey" && $"s3" =!= $"l_suppkey",
-            "left_anti")
-          .join(sup, $"l_suppkey" === $"s_suppkey")
+        liF
+          .withColumn("n_sup", size(collect_set($"l_suppkey").over(w)))
+          .withColumn("n_late_sup",
+            size(collect_set(when($"is_late", $"l_suppkey")).over(w)))
+          .filter($"is_late" && $"n_sup" >= 2 && $"n_late_sup" === 1)
+          // explicit broadcast: supplier is the dim side; a shuffle join
+          // here would re-partition the surviving fact rows by suppkey
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
           .groupBy($"s_name")
           .agg(count(lit(1)).as("numwait"))
           .orderBy($"numwait".desc, $"s_name") // s_name unique: total order

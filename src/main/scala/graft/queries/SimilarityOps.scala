@@ -19,58 +19,104 @@ object SimilarityOps extends QuerySet {
   // s04 and s05 share this oracle verbatim: the indexed search is
   // proven row-identical to the inline IVF (same training, same
   // probe ranking) — only the storage layout differs.
+  //
+  // Generated CTE-for-CTE restatement of the ENTIRE deterministic IVF
+  // build ([[graft.operators.Similarity]]):
+  //   1. k-center seeding (Similarity.kcenterSeeds): sd0 = lowest-id
+  //      vector; sd{i} = argmin over the corpus of max-cosine to the
+  //      seeds so far (raw-double comparisons — both sides perform the
+  //      same widen-then-strict-left-fold IEEE ops, so the argmin
+  //      agrees bit-for-bit), ties to the lowest vec_id; mc{i} carries
+  //      the running max-cosine forward so each step is one cross join
+  //      against ONE new seed.
+  //   2. `iters` Lloyd rounds: cosine argmax assignment (ties to the
+  //      lowest cell, matching NearestCentroid) -> per-dim means
+  //      rounded to 6 (vector_avg parity; empty cells keep the
+  //      previous round's centroid).
+  //   3. Search: final corpus assignment, nprobe probe ranking against
+  //      FLOAT-cast centroids (knnIvf casts before probe scoring),
+  //      in-cell cosine top-k.
+  private def ivfOracleSql(nCells: Int, iters: Int, nprobe: Int,
+                           k: Int, nQ: Int, dim: Int): String = {
+    val dr = s"range(1,${dim + 1})"
+    def dotOver(a: String, b: String) =
+      s"list_sum(list_transform($dr, i -> $a[i] * $b[i]))"
+    val sb = new StringBuilder
+    // MATERIALIZED: the seeding chain references e/vn once per seed —
+    // without the hint DuckDB inlines the CTE and re-opens the parquet
+    // for every reference (fd exhaustion at k=16 x ~3 refs each)
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id,
+      | list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |vn AS MATERIALIZED (SELECT vec_id, v,
+      | sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |sd0 AS MATERIALIZED (SELECT vec_id, v, nrm FROM vn ORDER BY vec_id LIMIT 1),
+      |mc1 AS MATERIALIZED (SELECT a.vec_id, a.v, a.nrm,
+      | (${dotOver("a.v", "s.v")} / (a.nrm * s.nrm)) AS mc
+      | FROM vn a CROSS JOIN sd0 s),
+      |""".stripMargin
+    // every mc/sd MATERIALIZED: each mc{i} is referenced twice (by
+    // sd{i} and mc{i+1}) — inlined, the chain would expand 2^k-fold
+    for (i <- 1 until nCells) {
+      sb ++= s"sd$i AS MATERIALIZED (SELECT vec_id, v, nrm FROM mc$i" +
+        " ORDER BY mc ASC, vec_id ASC LIMIT 1),\n"
+      if (i < nCells - 1)
+        sb ++= s"mc${i + 1} AS MATERIALIZED (SELECT a.vec_id, a.v, a.nrm,\n" +
+          s" greatest(a.mc, (${dotOver("a.v", "s.v")} / (a.nrm * s.nrm))) AS mc\n" +
+          s" FROM mc$i a CROSS JOIN sd$i s),\n"
+    }
+    sb ++= (0 until nCells)
+      .map(i => s"SELECT $i AS cell, v AS cv FROM sd$i")
+      .mkString("cents0 AS MATERIALIZED (", " UNION ALL ", "),\n")
+    for (t <- 1 to iters) {
+      sb ++= s"""cn${t - 1} AS (SELECT cell, cv,
+        | sqrt(list_sum(list_transform(cv, x -> x*x))) AS nrm FROM cents${t - 1}),
+        |asg$t AS (SELECT vec_id, cell FROM (
+        | SELECT e.vec_id, c.cell,
+        |  row_number() OVER (PARTITION BY e.vec_id
+        |   ORDER BY (${dotOver("v", "cv")} / nrm) DESC, c.cell ASC) AS rn
+        | FROM e CROSS JOIN cn${t - 1} c) WHERE rn = 1),
+        |ds$t AS (SELECT a.cell, dim,
+        | round(sum(v[CAST(dim AS INTEGER)]) / count(*), 6) AS m
+        | FROM asg$t a JOIN e USING (vec_id)
+        | CROSS JOIN (SELECT unnest($dr) AS dim)
+        | GROUP BY a.cell, dim),
+        |mn$t AS (SELECT cell, list(m ORDER BY dim) AS cv FROM ds$t GROUP BY cell),
+        |cents$t AS MATERIALIZED (SELECT c.cell, coalesce(m.cv, p.cv) AS cv
+        | FROM (SELECT unnest(range(0,$nCells)) AS cell) c
+        | LEFT JOIN mn$t m USING (cell) JOIN cents${t - 1} p USING (cell)),
+        |""".stripMargin
+    }
+    val fin = s"cents$iters"
+    sb ++= s"""cnorm AS (SELECT cell, cv,
+      | sqrt(list_sum(list_transform(cv, x -> x*x))) AS nrm FROM $fin),
+      |cassign AS (SELECT vec_id, cell FROM (
+      | SELECT e.vec_id, c.cell,
+      |  row_number() OVER (PARTITION BY e.vec_id
+      |   ORDER BY (${dotOver("v", "cv")} / nrm) DESC, c.cell ASC) AS rn
+      | FROM e CROSS JOIN cnorm c) WHERE rn = 1),
+      |ec AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
+      |qp AS (SELECT query_id, qv, cell FROM (
+      | SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+      |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |   (${dotOver("q.v", "fcv")} /
+      |    (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
+      |     sqrt(list_sum(list_transform(fcv, x -> x*x))))) DESC,
+      |   c.cell ASC) AS pr
+      | FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQ) q
+      | CROSS JOIN (SELECT cell,
+      |  list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS fcv
+      |  FROM $fin) c) WHERE pr <= $nprobe),
+      |sc AS (SELECT query_id, ec.vec_id, ec.v AS cv, qv
+      | FROM qp JOIN ec USING (cell) WHERE ec.vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      | ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
+      |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= $k""".stripMargin
+    sb.toString
+  }
+
   private lazy val ivfOracle: String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-              |  FROM embeddings),
-              |seeds AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id < 16),
-              |snorm AS (SELECT cell, sv,
-              |  sqrt(list_sum(list_transform(sv, x -> x*x))) AS nrm FROM seeds),
-              |assign AS (
-              |  SELECT vec_id, cell FROM (
-              |    SELECT e.vec_id, s.cell,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY (list_sum(list_transform(range(1,65),
-              |          i -> v[i] * sv[i])) / nrm) DESC, s.cell ASC) AS rn
-              |    FROM e CROSS JOIN snorm s) WHERE rn = 1),
-              |dimsum AS (
-              |  SELECT a.cell, dim,
-              |    round(sum(v[CAST(dim AS INTEGER)]) / count(*), 6) AS m
-              |  FROM assign a JOIN e USING (vec_id)
-              |  CROSS JOIN (SELECT unnest(range(1,65)) AS dim)
-              |  GROUP BY a.cell, dim),
-              |means AS (SELECT cell, list(m ORDER BY dim) AS cv FROM dimsum GROUP BY cell),
-              |cents AS (
-              |  SELECT c.cell, coalesce(m.cv, s.sv) AS cv
-              |  FROM (SELECT unnest(range(0,16)) AS cell) c
-              |  LEFT JOIN means m USING (cell) JOIN seeds s USING (cell)),
-              |cnorm AS (SELECT cell, cv,
-              |  sqrt(list_sum(list_transform(cv, x -> x*x))) AS nrm FROM cents),
-              |cassign AS (
-              |  SELECT vec_id, cell FROM (
-              |    SELECT e.vec_id, c.cell,
-              |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY (list_sum(list_transform(range(1,65),
-              |          i -> v[i] * cv[i])) / nrm) DESC, c.cell ASC) AS rn
-              |    FROM e CROSS JOIN cnorm c) WHERE rn = 1),
-              |ec AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
-              |qp AS (
-              |  SELECT query_id, qv, cell FROM (
-              |    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
-              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-              |        (list_sum(list_transform(range(1,65), i -> q.v[i] * fcv[i])) /
-              |         (sqrt(list_sum(list_transform(q.v, x -> x*x))) *
-              |          sqrt(list_sum(list_transform(fcv, x -> x*x))))) DESC,
-              |        c.cell ASC) AS pr
-              |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 20) q
-              |    CROSS JOIN (SELECT cell,
-              |      list_transform(cv, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS fcv
-              |      FROM cents) c) WHERE pr <= 3),
-              |sc AS (SELECT query_id, ec.vec_id, ec.v AS cv, qv
-              |  FROM qp JOIN ec USING (cell) WHERE ec.vec_id <> query_id),
-              |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
-              |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
-              |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
-              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 10""".stripMargin
+    ivfOracleSql(nCells = 16, iters = 6, nprobe = 3, k = 10, nQ = 20, dim = 64)
 
   val all: Seq[Q] = Seq(
 
@@ -113,13 +159,14 @@ object SimilarityOps extends QuerySet {
               |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
               |SELECT query_id, cell, rk, vec_id, cos FROM rk WHERE rk <= 3""".stripMargin)),
 
-    // --- Trained-IVF ANN. With iters=1 the whole index build IS one
-    // SQL statement, so the oracle restates it end to end: seed
-    // centroids (16 lowest ids) -> cosine argmax assignment (ties to
-    // the lowest cell, matching NearestCentroid) -> per-dim means
-    // rounded to 6 (vector_avg parity; empty cells keep their seed) ->
-    // nprobe=3 probe ranking against FLOAT-cast centroids (knnIvf casts
-    // before probe scoring) -> in-cell cosine top-k.
+    // --- Trained-IVF ANN. The whole deterministic index build —
+    // greedy k-center seeding + two Lloyd rounds — is restated CTE for
+    // CTE in the generated oracle ([[ivfOracleSql]]): no RNG anywhere,
+    // so DuckDB replays seeding, both refinement rounds, the nprobe=3
+    // probe ranking against FLOAT-cast centroids, and the in-cell
+    // cosine top-k bit-for-bit. kcenter + iters=2 is the
+    // recall-measured production dial (BENCH_ann_recall.json) vs the
+    // legacy lowid/iters=1 training.
     Q("s04_knn_ivf",
       (s, d) => {
         import s.implicits._
@@ -127,10 +174,8 @@ object SimilarityOps extends QuerySet {
         Similarity.knnIvf(
           e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
           e.select($"vec_id", $"embedding"),
-          // one Lloyd iteration: recall measured flat vs iters=2 on
-          // this corpus (0.885 vs 0.875 @ sf0.1), half the serial
-          // training job chain
-          k = 10, nCells = 16, iters = 1, dim = 64, nprobe = 3)
+          k = 10, nCells = 16, iters = 6, dim = 64, nprobe = 3,
+          seedMode = "kcenter")
       },
       Some(ivfOracle)),
 
@@ -148,7 +193,7 @@ object SimilarityOps extends QuerySet {
         val e = Tables.load(s, d, "embeddings")
         val dir = graft.operators.AnnIndex.writeOnce(
           e.select($"vec_id", $"embedding"),
-          nCells = 16, iters = 1, dim = 64)
+          nCells = 16, iters = 6, dim = 64, seedMode = "kcenter")
         graft.operators.AnnIndex.search(
           graft.operators.AnnIndex.loadOnce(s, dir),
           e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),

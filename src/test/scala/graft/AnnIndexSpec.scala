@@ -23,7 +23,7 @@ class AnnIndexSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-ann-ix").toString
     AnnIndex.write(dir, emb, nCells = 8, iters = 1, dim = 64)
     val ix = AnnIndex.load(spark, dir)
-    assert(ix.meta == AnnIndex.Meta(8, 1, 64))
+    assert(ix.meta == AnnIndex.Meta(8, 1, 64, "lowid", 1))
 
     val q = emb.filter(col("vec_id") < 5)
     val got = AnnIndex.search(ix, q, k = 5, nprobe = 2)

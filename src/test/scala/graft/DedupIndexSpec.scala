@@ -163,6 +163,56 @@ class DedupIndexSpec extends SparkSpec {
       "fold must grow the index by day 2's novelty only")
   }
 
+  test("day-2 NEAR-dups of day-1 novelty flag `near` with the true source match_id") {
+    // The DayLoopProbe near-dup slice at spec scale: day 1 folds novel
+    // md5-token docs into the index; day 2's delta contains
+    // last-token-dropout copies of them (23 of 24 tokens => shingle
+    // Jaccard 21/22 ~ 0.954). Flagging them `near` requires the
+    // band-key x Jaccard-refinement path to probe shingles the index
+    // only has because day 1's fold persisted them — the persisted
+    // near-dup machinery's whole contract. match_id must be the TRUE
+    // source doc (id arithmetic, zero tolerance); detection is >= 95%
+    // (banding at J=0.954, k=16/bands=4 misses a doc with p ~ 8e-4;
+    // deterministic for this fixed fixture text).
+    val work = Files.createTempDirectory("graft-nearloop").toString
+    val ixPath = s"$work/ix"
+    DedupIndex.write(ixPath, base, col("doc_id"), col("text"))
+    val D = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    val n = 40L
+    val off1 = 15L * D
+    val off2 = 27L * D
+
+    def salted(day: Int, off: Long, nTok: Int) = spark.range(n).select(
+      (col("id") + lit(off)).as("doc_id"),
+      concat_ws(" ", (0 until nTok).map(i =>
+        md5(concat(lit(s"d$day:t$i:"), col("id").cast("string")))): _*).as("text"))
+
+    // day 1: novel docs land and are folded
+    val day1 = salted(1, off1, 24)
+    val flags1 = Dedup.incrementalFlagsIndexed(
+      DedupIndex.load(spark, ixPath), day1, col("doc_id"), col("text"))
+      .localCheckpoint()
+    assert(flags1.count() == 0, "day 1 novelty must be unflagged")
+    DedupIndex.appendNovel(ixPath, day1, col("doc_id"), col("text"), flags1)
+
+    // day 2: near-dups of day 1's (now-folded) novelty
+    val day2 = salted(1, off2, 23)
+    val flags2 = Dedup.incrementalFlagsIndexed(
+      DedupIndex.load(spark, ixPath), day2, col("doc_id"), col("text"))
+      .localCheckpoint()
+    val near = flags2.filter(col("dup_kind") === "near")
+    val bad = near.filter(
+      col("doc_id") < off2 || col("doc_id") >= off2 + n ||
+        col("match_id") =!= col("doc_id") - off2 + off1).count()
+    assert(bad == 0, s"$bad near flags outside the planted slice or " +
+      "pointing at the wrong source")
+    assert(flags2.filter(col("dup_kind") === "exact").count() == 0,
+      "dropout copies must never flag exact")
+    val nNear = near.count()
+    assert(nNear >= n * 95 / 100 && nNear <= n,
+      s"near detection $nNear of $n outside [95%, 100%]")
+  }
+
   test("loading a foreign format version fails loudly") {
     val dir = Files.createTempDirectory("graft-dedup-index").toString
     DedupIndex.write(dir, base, col("doc_id"), col("text"))

@@ -61,8 +61,13 @@ class NativeExprParitySpec extends SparkSpec {
     // (md5("") once), shorter than one gram, exactly one gram, one
     // char over, fewer than k grams, duplicate-gram text, multibyte
     // (char-based substr fallback)
+    // the last two are supplementary-plane (non-BMP): surrogate pairs
+    // make UTF-16 length != codepoint count, so they pin the
+    // codepoint-offset walk in the multibyte fallback against substr
     val edge = Seq("", "abc", "abcdefgh", "abcdefghi", "abcdefghij",
-      "aaaaaaaaaaaaaaaa", "héllo wörld çharacters beyond ascii")
+      "aaaaaaaaaaaaaaaa", "héllo wörld çharacters beyond ascii",
+      "emoji 😀 mid🚀string tail 🍕",
+      "😀🚀🍕🐍🌍 pure plane two")
       .toDF("t")
       .select(NativeFns.winnow_fp($"t", 3, 8).as("native"), decl($"t").as("decl"))
     assert(edge.filter(not($"native" <=> $"decl")).count() == 0)

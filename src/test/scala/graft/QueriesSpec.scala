@@ -6,6 +6,36 @@ package graft
   */
 class QueriesSpec extends SparkSpec {
 
+  /** Partitionings of the DISTINCT shuffle Exchanges in the physical
+    * plan, descending through AQE wrappers (plain `collect` stops at
+    * the AdaptiveSparkPlanExec boundary and sees nothing) and deduping
+    * by node identity — after execution, AQE reuses identical shuffle
+    * stages, and a reused stage must count once (it IS one shuffle).
+    * Call on an EXECUTED plan when pinning runtime shuffle counts.
+    */
+  private def shufflePartitionings(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.catalyst.plans.physical.Partitioning] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.catalyst.plans.physical.Partitioning] = {
+      if (!seen.add(p)) return Seq.empty // reused subtree: already counted
+      val self = p match {
+        case e: ShuffleExchangeExec => Seq(e.outputPartitioning)
+        case _ => Seq.empty
+      }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      self ++ nested.flatMap(walk)
+    }
+    walk(p)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -42,6 +72,32 @@ class QueriesSpec extends SparkSpec {
       assert(allow(name) || !bad,
         s"$name plans a nested-loop/cartesian join:\n$plan")
     }
+  }
+
+  test("q36 shuffles the fact table once; stats + probes ride the orderkey partitioning") {
+    // The r12 rewrite's scale contract: lineitem is shuffled exactly
+    // once (the orders join); the per-(order,supplier) and per-order
+    // aggregations plus the stats join all reuse HashPartitioning on
+    // the order key, and the supplier dim joins by broadcast. Expected
+    // hash exchanges: lineitem, orders, and the final tiny s_name
+    // aggregation — three, with zero range exchanges. Auto-broadcast
+    // off so sf0.001's tiny inputs can't mask the 100 TB shape.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val exec = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val df = SparkEntry.queries("q36_waiting_suppliers")(spark, sf0001)
+      df.collect() // run it: AQE only DEDUPES the twin lineitem/orders
+                   // exchanges into reused stages at execution time
+      df.queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    val parts = shufflePartitionings(exec)
+    assert(!parts.exists(_.isInstanceOf[RangePartitioning]),
+      s"q36 must not global-sort:\n$exec")
+    assert(parts.count(_.isInstanceOf[HashPartitioning]) == 3,
+      s"q36 must shuffle lineitem/orders/final-agg only, got $parts:\n$exec")
+    assert(exec.toString.contains("BroadcastHashJoin"),
+      s"supplier dim must broadcast:\n$exec")
   }
 
   test("t19 broadcasts only the min-count-pruned vocab head; the residue joins by shuffle") {
@@ -225,12 +281,16 @@ class QueriesSpec extends SparkSpec {
     // the 100 TB shape: ONE hash shuffle on the shard id, independent
     // in-partition sorts, and NO total-order range exchange anywhere —
     // the plan property that separates this from orderBy(rand())
-    val plan = SparkEntry.queries("t21_shard_assign")(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("rangepartitioning"),
-      s"t21 must never global-sort:\n$plan")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
-      s"t21 must shuffle exactly once, on the shard id:\n$plan")
+    // count typed plan NODES, not plan-string substrings — formatting
+    // or AQE reuse wrappers moving the rendered text must not flip this
+    val exec = SparkEntry.queries("t21_shard_assign")(spark, sf0001)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    val exchanges = shufflePartitionings(exec)
+    assert(!exchanges.exists(_.isInstanceOf[RangePartitioning]),
+      s"t21 must never global-sort:\n$exec")
+    assert(exchanges.count(_.isInstanceOf[HashPartitioning]) == 1,
+      s"t21 must shuffle exactly once, on the shard id:\n$exec")
   }
 
   test("t22 strip discriminates, and untouched docs reconstruct their exact token stream") {
