@@ -315,6 +315,7 @@ def main(mode: str) -> None:
         "metric": "serialized_probe_total", "value": round(total, 2),
         "unit": "sec", "sf": probe_sf, "scale_vs_sf0.1": cfg["scale"],
         "iters": iters, "serialized": True, "reps": reps,
+        "materialize": "full_rows",
         "probe_shuffle_partitions": cfg.get("probe_shuffle") or "cpus",
         "probe_driver_mem": cfg.get("probe_mem") or "8g",
         "queries": {k: round(v, 2) for k, v in per_query.items()},
