@@ -74,26 +74,43 @@ object Similarity {
     * seed — ties to the lowest vec_id. No RNG anywhere, so a DuckDB
     * oracle can replay the traversal CTE-for-CTE.
     *
-    * Runs driver-side over a deterministic sample (`vec_id %
-    * seedEvery == 0`; `seedEvery = 1` takes the whole corpus). The
-    * collect is the scale knob: at 100 TB the caller sets `seedEvery`
-    * so the sample is ~10^5 rows (k-center quality degrades gracefully
-    * under uniform sampling — seeds only need to SPREAD, not be
-    * optimal), and the O(k * |sample| * dim) traversal is sub-second
-    * on the driver while Lloyd refinement stays fully distributed.
+    * Runs driver-side over a deterministic sample: rows where
+    * `xxhash64(vec_id) % every == 0`, with `every` the MAX of the
+    * caller's `seedEvery` and the value that caps the sample at
+    * [[SeedSampleCap]] rows — so the collect is bounded by the CAP,
+    * not by the caller, and a 100 TB corpus can never reach the
+    * driver (k-center quality degrades gracefully under uniform
+    * sampling — seeds only need to SPREAD, not be optimal; the
+    * O(k * |sample| * dim) traversal is sub-second while Lloyd
+    * refinement stays fully distributed). At the oracle's gate scales
+    * the corpus is far below the cap, so `every == 1` and the DuckDB
+    * restatement sees the whole corpus — the hash rule never needs to
+    * be SQL-expressible there.
     *
     * Arithmetic parity contract (the oracle replays it bit-for-bit):
     * floats widen to double (exact), dot/norm fold strictly
     * left-to-right, cos = dot / (|v| * |s|), comparisons on RAW
     * doubles (same ops both sides => same bits => same argmin).
     */
+  /** Hard ceiling on the driver-side seeding sample: 10^5 rows x
+    * dim 64 floats ~ 26 MB collected, sub-second traversal. Above it,
+    * `seedEvery` is raised automatically (deterministic xxhash64 row
+    * rule, uniform regardless of id distribution), so a full-corpus
+    * collect can NEVER reach the driver no matter what the caller
+    * passes — the cap, not the caller, bounds driver memory.
+    */
+  val SeedSampleCap = 100000L
+
   def kcenterSeeds(corpus: DataFrame, k: Int,
                    seedEvery: Int = 1,
                    trimFrac: Double = 0.0): Array[Array[Double]] = {
     val c = corpus.toDF("vec_id", "vec")
+    val n0 = c.count()
+    val every = math.max(seedEvery.toLong,
+      (n0 + SeedSampleCap - 1) / SeedSampleCap)
     val sampled =
-      if (seedEvery <= 1) c
-      else c.filter(pmod(col("vec_id"), lit(seedEvery)) === 0)
+      if (every <= 1) c
+      else c.filter(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
     val rows = sampled.orderBy(col("vec_id")).collect()
       .map(r => r.getSeq[Float](1).toArray)
     val n = rows.length
