@@ -99,8 +99,11 @@ object DayLoopProbe {
 
     // "day 0" novelty: folded with the base build so day 1's near-dup
     // slice probes index content exactly the way later days probe
-    // earlier days' folded novelty
-    val nov0Off = copies.toLong * D
+    // earlier days' folded novelty. Its id range sits ABOVE every
+    // day's three slices (day ranges end below (copies + 3*nDays) *
+    // D * copies) — an offset inside the day span would collide with
+    // day 1's dup slice at copies=1
+    val nov0Off = (copies + 3L * nDays) * D * copies
     val nov0 = spark.range(plantedN)
       .select((col("id") + lit(nov0Off)).as("doc_id"), novelText(0).as("text"))
     val (_, baseIxSec) = timed {

@@ -72,11 +72,7 @@ object PipelineProbe {
       "pack must emit a subset of its input")
     require(res.rowsAfter("shard_assign") == res.rowsAfter("token_pack"),
       "shard assignment must be a permutation of the packed set")
-    val badPos = res.out.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
-        max(col("pos")).as("hi"), countDistinct(col("pos")).as("d"))
-      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("d") =!= col("n"))
-      .count()
+    val badPos = graft.operators.CorpusPipeline.nonDensePositionShards(res.out)
     require(badPos == 0, s"$badPos shards with non-dense positions")
 
     res.stats.foreach(s =>

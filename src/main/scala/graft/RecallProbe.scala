@@ -117,22 +117,27 @@ object RecallProbe {
         c.join(q, Seq("cell")).count().toDouble / qN
       }
       // train ONCE per (seedMode, iters) config, reuse for every nprobe
-      // row — probing is the dial, training is the index
-      def ivfCandFromCents(cents: Array[Array[Double]], nprobe: Int): Double = {
-        val c = e.withColumn("cell", nearest_centroid(col("embedding"), cents))
-        val cellSizes = c.groupBy("cell").count().collect()
+      // row — probing is the dial, training is the index. The corpus
+      // cell assignment + per-cell sizes and the full probe RANKING
+      // depend only on the centroids, so they are computed once per
+      // config too; each nprobe row just cuts the ranking deeper.
+      def ivfCandMeter(cents: Array[Array[Double]]): Int => Double = {
+        val cellSizes = e
+          .withColumn("cell", nearest_centroid(col("embedding"), cents))
+          .groupBy("cell").count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val centDf = spark.createDataFrame(
           cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq).toDF("cell", "cent")
-        queries.crossJoin(broadcast(centDf))
+        val ranked = queries.crossJoin(broadcast(centDf))
           .withColumn("score", graft.functions.VecFns.cosine(col("embedding"),
             transform(col("cent"), x => x.cast("float"))))
           .withColumn("pr", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
               .orderBy(col("score").desc, col("cell").asc)))
-          .filter(col("pr") <= nprobe)
-          .select("cell").collect()
-          .map(r => cellSizes.getOrElse(r.getInt(0), 0L)).sum.toDouble / qN
+          .select("pr", "cell").collect()
+          .map(r => r.getInt(0) -> cellSizes.getOrElse(r.getInt(1), 0L))
+        (nprobe: Int) =>
+          ranked.filter(_._1 <= nprobe).map(_._2).sum.toDouble / qN
       }
 
       val nCells = if (label.startsWith("clustered")) 32 else 16
@@ -150,13 +155,14 @@ object RecallProbe {
         (seedMode, iters) <- Seq(("lowid", 2), ("lowid", 6),
           ("kcenter", 2), ("kcenter", 6))
         cents = Similarity.trainIvfCentroids(e, nCells, iters, 64, seedMode)
+        meter = ivfCandMeter(cents)
         np <- Seq(1, 2, 4, 8)
       } yield {
         val tag = if (seedMode == "kcenter") "kpp" else seedMode
         recallRow(s"ivf_c${nCells}_np${np}_i${iters}_$tag",
           Similarity.knnIvf(queries, e, k, nCells = nCells, iters = iters,
             nprobe = np, trained = Some(cents)),
-          ivfCandFromCents(cents, np))
+          meter(np))
       }
       lshRows ++ ivfRows
     }

@@ -29,9 +29,10 @@ import graft.functions.TextFns
   *     stages, the pack emits a subset of its input, and the shard
   *     stage is a permutation of the packed set (row-count identity).
   *
-  * Every stage is declarative DataFrame composition — no collects, no
-  * loops; the only driver-side values are the stage row counts the
-  * caller asked to have measured (one scalar agg each).
+  * Every stage is declarative DataFrame composition; the driver-side
+  * values are the per-stage row counts the caller asked to have
+  * measured (one scalar agg each) plus the bounded vertex-count /
+  * convergence scalars inside [[Dedup.clusters]]' CC rounds.
   */
 object CorpusPipeline {
 
@@ -42,6 +43,17 @@ object CorpusPipeline {
       stats.find(_.stage == stage).map(_.rowsOut)
         .getOrElse(sys.error(s"no stage $stage"))
   }
+
+  /** Shards of `out` whose positions are NOT a dense 1..n ranking —
+    * the shard-permutation invariant both the spec and the probe pin
+    * (one shared definition, so they cannot drift apart).
+    */
+  def nonDensePositionShards(out: DataFrame): Long =
+    out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
+        max(col("pos")).as("hi"), countDistinct(col("pos")).as("d"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("d") =!= col("n"))
+      .count()
 
   /** Run the composed pipeline over `docs` (doc_id, text, source).
     *
@@ -63,9 +75,14 @@ object CorpusPipeline {
     */
   def run(docs: DataFrame, benchPred: Column,
           budgetPerStratum: Long, nShards: Int = 64,
-          minSim: Double = 0.8, contamMinHits: Long = 20): Result = {
+          minSim: Double = 0.8, contamMinHits: Long = 20,
+          broadcastBlocklist: Boolean = true): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
-    def staged(name: String)(df: DataFrame): DataFrame = {
+    // df is BY-NAME: a strict parameter would evaluate the stage block
+    // BEFORE the timer starts, and eager construction work (notably
+    // Dedup.clusters' driver-coordinated CC rounds) would vanish from
+    // the stage wall into unattributed gap time
+    def staged(name: String)(df: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val pinned = df.localCheckpoint() // materialize: stage walls attribute
       val n = pinned.count()
@@ -101,19 +118,24 @@ object CorpusPipeline {
     // -- stage 3+4: near dedup and decontamination, ONE shingle pass --
     // both probe shingleTable(s2) (same frame, same n => same memo
     // entry); their drop sets union afterwards because neither verdict
-    // depends on the other
-    val nearDrops = {
-      val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
-        minSim = minSim, k = 16, bands = 4)
-      // greedy representative rule, transitively closed: a doc is
-      // dropped iff its cluster representative (min id, two-phase CC)
-      // is not itself
-      val cl = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
-      cl.filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id"))
-    }
-    val contamDrops = Dedup.decontaminate(s2, col("doc_id"), col("text"),
-      benchPred, shingleN = 3, minHits = contamMinHits).select(col("doc_id"))
+    // depends on the other. ALL of it — including Dedup.clusters' CC
+    // rounds, which run driver-coordinated jobs at construction time —
+    // lives INSIDE the staged block, so the stage wall owns the whole
+    // near-dedup cost (an earlier draft built the drop frames outside
+    // and the stage stat silently dropped ~40% of the e2e wall).
     val s4 = staged("near_dedup_decontam") {
+      val nearDrops = {
+        val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
+          minSim = minSim, k = 16, bands = 4)
+        // greedy representative rule, transitively closed: a doc is
+        // dropped iff its cluster representative (min id, two-phase CC)
+        // is not itself
+        val cl = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
+        cl.filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id"))
+      }
+      val contamDrops = Dedup.decontaminate(s2, col("doc_id"), col("text"),
+        benchPred, shingleN = 3, minHits = contamMinHits,
+        broadcastBlocklist = broadcastBlocklist).select(col("doc_id"))
       s2.join(nearDrops.unionByName(contamDrops).distinct(),
         Seq("doc_id"), "left_anti")
     }

@@ -365,15 +365,29 @@ object Dedup {
     */
   def decontaminate(docs: DataFrame, idCol: Column, textCol: Column,
                     isBench: Column, shingleN: Int = 3,
-                    minHits: Long = 5): DataFrame = {
+                    minHits: Long = 5,
+                    broadcastBlocklist: Boolean = true): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, shingleN)
+    // 16-byte BINARY md5, not 32-hex: same function, same collisions,
+    // same oracle semantics (the key never leaves the plan) — half the
+    // shuffle bytes on the corpus-sized distinct
     val keyed = sh
       .select(col("doc_id"), explode(col("sh")).as("_sh"))
-      .select(col("doc_id"), md5(col("_sh")).as("_k"))
+      .select(col("doc_id"), unhex(md5(col("_sh"))).as("_k"))
       .distinct()
     val blocklist = keyed.filter(isBench).select(col("_k")).distinct()
+    // The blocklist is the distinct shingle-key set of the BENCH suite
+    // — benchmarks are fixed-size (thousands of documents, ~16 B/key),
+    // so it broadcasts by DESIGN, not by luck: its in-plan size
+    // estimate (post-distinct string/hex era ~20-30 MB at the probe
+    // scale) sat just above the auto-broadcast threshold, silently
+    // downgrading the probe join to a corpus-sized sort-merge — an
+    // Exchange + Sort of every (doc, key) row that the hint removes.
+    // Pass broadcastBlocklist=false only for a genuinely unbounded
+    // blocklist (then the shuffle join is the right plan).
+    val bl = if (broadcastBlocklist) broadcast(blocklist) else blocklist
     keyed.filter(!isBench)
-      .join(blocklist, "_k")
+      .join(bl, "_k")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)

@@ -111,15 +111,25 @@ object Similarity {
     val sampled =
       if (every <= 1) c
       else c.filter(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
-    val rows = sampled.orderBy(col("vec_id")).collect()
+    // zero-norm vectors are excluded from SEEDING (cosine to them is
+    // NaN — one such row would freeze its own max-cos at -Inf and win
+    // every subsequent farthest-point argmin, collapsing all remaining
+    // seeds onto it; DuckDB's NaN ordering diverges from the Scala
+    // comparison too, so parity also demands the exclusion). The
+    // oracle applies the same `nrm > 0` filter to its seeding CTE.
+    // They still ASSIGN to cells normally (NearestCentroid scores a
+    // zero vector -Inf everywhere and ties to cell 0).
+    val rows0 = sampled.orderBy(col("vec_id")).collect()
       .map(r => r.getSeq[Float](1).toArray)
-    val n = rows.length
-    require(n > 0, "kcenterSeeds: empty corpus sample")
-    val norms = rows.map { v =>
+    def normOf(v: Array[Float]): Double = {
       var s = 0.0; var j = 0
       while (j < v.length) { s += v(j).toDouble * v(j).toDouble; j += 1 }
       math.sqrt(s)
     }
+    val rows = rows0.filter(v => normOf(v) > 0.0)
+    val n = rows.length
+    require(n > 0, "kcenterSeeds: empty corpus sample (after zero-norm exclusion)")
+    val norms = rows.map(normOf)
     val k2 = math.min(k, n)
     val chosen = new Array[Int](k2)
     chosen(0) = 0 // rows are vec_id-sorted: index 0 IS the lowest id

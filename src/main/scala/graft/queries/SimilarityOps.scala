@@ -47,8 +47,10 @@ object SimilarityOps extends QuerySet {
     // for every reference (fd exhaustion at k=16 x ~3 refs each)
     sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id,
       | list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-      |vn AS MATERIALIZED (SELECT vec_id, v,
-      | sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+      |vn AS MATERIALIZED (SELECT vec_id, v, nrm FROM (
+      | SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+      | WHERE nrm > 0),
       |sd0 AS MATERIALIZED (SELECT vec_id, v, nrm FROM vn ORDER BY vec_id LIMIT 1),
       |mc1 AS MATERIALIZED (SELECT a.vec_id, a.v, a.nrm,
       | (${dotOver("a.v", "s.v")} / (a.nrm * s.nrm)) AS mc

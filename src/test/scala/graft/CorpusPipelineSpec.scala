@@ -47,12 +47,8 @@ class CorpusPipelineSpec extends SparkSpec {
     // shard stage is a permutation of the packed set with dense 1..n
     // positions per shard
     assert(res.rowsAfter("shard_assign") == res.rowsAfter("token_pack"))
-    val badPos = out.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
-        max(col("pos")).as("hi"), countDistinct(col("pos")).as("d"))
-      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("d") =!= col("n"))
-      .count()
-    assert(badPos == 0, "per-shard positions must be dense 1..n")
+    assert(CorpusPipeline.nonDensePositionShards(out) == 0,
+      "per-shard positions must be dense 1..n")
 
     // every emitted doc survived every filter: output ids are a subset
     // of the input ids (and unique)
