@@ -45,6 +45,25 @@ class CurationSpec extends SparkSpec {
     Caches.release()
   }
 
+  test("decontaminate: broadcast and shuffle blocklist plans are row-identical") {
+    // the r12 broadcast hint is a PLAN choice, not a semantics choice —
+    // same contract as the Skew/clusters strategy knobs: both paths
+    // must produce the same rows (the opt-out exists for genuinely
+    // unbounded blocklists, where the shuffle join is the right plan)
+    import spark.implicits._
+    Caches.release()
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def rows(bl: Boolean) =
+      Dedup.decontaminate(docs, $"doc_id", $"text",
+          isBench = $"doc_id" % 29 === 0, minHits = 5,
+          broadcastBlocklist = bl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val b = rows(true)
+    assert(b.nonEmpty, "fixture must flag something")
+    assert(b == rows(false))
+    Caches.release()
+  }
+
   test("stratified hash sample: deterministic, and per-stratum rates track thresholds") {
     import spark.implicits._
     // the exact t10 rule over a large id range: stratum id%4, keep iff

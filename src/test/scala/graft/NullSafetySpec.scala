@@ -46,4 +46,39 @@ class NullSafetySpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
     assert(out(1).isNullAt(1))
   }
+
+  test("composed pipeline drops null/empty-text docs at the quality gate, no NPE") {
+    import spark.implicits._
+    // a real crawl has null and empty bodies; the gopher stage's
+    // token aggregation must silently exclude them (no token rows =>
+    // no flags row => filtered), never crash a later stage
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "a second normal document with the usual words of a crawl and more"))
+      .toDF("doc_id", "text")
+    val res = graft.operators.CorpusPipeline.run(docs,
+      benchPred = lit(false), budgetPerStratum = 1000L)
+    val ids = res.out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && !ids.contains(3L),
+      s"null/empty docs must not survive the quality gate: $ids")
+    assert(res.rowsAfter("gopher_filter") == 2)
+  }
+
+  test("kcenter seeding skips zero-norm and survives a zero-vector corpus member") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array.fill(4)(0.0f)), // zero vector: excluded from seeding
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
+      .toDF("vec_id", "vec")
+    val seeds = graft.operators.Similarity.kcenterSeeds(df, k = 2)
+    assert(seeds.length == 2)
+    // seed 0 = lowest NON-ZERO id (vec 1); seed 1 = farthest from it
+    // (vec 2, orthogonal) — the zero vector must never be chosen
+    assert(seeds(0).sameElements(Array(1.0, 0.0, 0.0, 0.0)))
+    assert(seeds(1).sameElements(Array(0.0, 1.0, 0.0, 0.0)))
+  }
 }
