@@ -839,6 +839,54 @@ case class RangeBucket(child: Expression, bounds: Array[Double])
   override def prettyName: String = "range_bucket"
 }
 
+/** `z_value(buckets)`: Morton/Z-order interleave of an `array<int>` of
+  * per-dimension bucket ids — bit b of dimension c lands at output bit
+  * `b * nDims + c`, so a RANGE of z-values covers a small hyper-box in
+  * every dimension at once. This is the clustering key behind
+  * [[graft.operators.Compactor.zorderParquet]]: sort a lake by z and
+  * each output file's parquet min/max stats are tight on EVERY
+  * z-ordered column, which is what lets a selective scan on any one of
+  * them skip most row groups (plain single-column sort only tightens
+  * its own column).
+  *
+  * Bucket ids must be in [0, 2^bits); values are masked to `bits` so a
+  * contract violation degrades to wrap-around, never to a negative
+  * long. `nDims * bits` must fit 63 bits (enforced at construction).
+  * Null array or any null element -> null (rows with null cluster keys
+  * sort together at the range boundary).
+  */
+case class ZValue(child: Expression, bits: Int)
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n * bits > 63)
+      throw new IllegalArgumentException(
+        s"z_value: $n dims x $bits bits exceeds 63 output bits")
+    val mask = (1L << bits) - 1L
+    var z = 0L
+    var c = 0
+    while (c < n) {
+      if (arr.isNullAt(c)) return null
+      val v = arr.getInt(c).toLong & mask
+      var b = 0
+      while (b < bits) {
+        z |= ((v >> b) & 1L) << (b * n + c)
+        b += 1
+      }
+      c += 1
+    }
+    z
+  }
+  override protected def withNewChildInternal(c: Expression): ZValue =
+    copy(child = c)
+  override def prettyName: String = "z_value"
+}
+
 object NativeFns {
   def minhash_sig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
@@ -866,6 +914,8 @@ object NativeFns {
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
   def range_bucket(v: Column, bounds: Array[Double]): Column =
     ColumnBridge.column(RangeBucket(ColumnBridge.expression(v), bounds))
+  def z_value(buckets: Column, bits: Int): Column =
+    ColumnBridge.column(ZValue(ColumnBridge.expression(buckets), bits))
   def winnow_fp(norm: Column, k: Int, gram: Int): Column =
     ColumnBridge.column(WinnowFp(ColumnBridge.expression(norm), k, gram))
   def word_chunks(text: Column, n: Int, hashed: Boolean = false): Column =
