@@ -73,6 +73,39 @@ object LakeOps extends QuerySet {
       },
       Some("""SELECT event_id, user_id, event_type
              |FROM events WHERE length(props) > 0
-             |ORDER BY ts ASC, event_id ASC LIMIT 50""".stripMargin))
+             |ORDER BY ts ASC, event_id ASC LIMIT 50""".stripMargin)),
+
+    // --- Z-ORDER clustering key (r12, Compactor.zorderParquet's
+    // ordering column): the Morton interleave of two 12-bit dimension
+    // ids, pinned against an INDEPENDENT SQL reconstruction — DuckDB
+    // rebuilds every output bit with shift/mask arithmetic, so the
+    // native ZValue kernel is oracle-checked, not just spec-checked.
+    // Dimensions here are deterministic int images of the event stream
+    // (user bucket, second-of-day bucket) — the bucketing a real
+    // OPTIMIZE derives from quantiles, fixed so the oracle is exact.
+    Q("c04_zorder_key",
+      (s, d) => {
+        import s.implicits._
+        import graft.expressions.NativeFns.z_value
+        val ev = Tables.load(s, d, "events")
+        val x = ($"user_id" % 4096).cast("int")
+        val y = (($"ts_ns" / 1000000000L) % 4096).cast("int")
+        ev.select($"event_id", x.as("x"), y.as("y"),
+            z_value(array(x, y), 12).as("z"))
+          .orderBy($"z".asc, $"event_id".asc)
+          .limit(200)
+      },
+      Some {
+        val terms = (0 until 12).flatMap(b => Seq(
+          s"(((x >> $b) & 1) << ${2 * b})",
+          s"(((y >> $b) & 1) << ${2 * b + 1})"))
+        s"""WITH d AS (SELECT event_id,
+           |  CAST(user_id % 4096 AS INTEGER) AS x,
+           |  CAST((epoch_ns(ts) // 1000000000) % 4096 AS INTEGER) AS y
+           |  FROM events)
+           |SELECT event_id, x, y,
+           |  CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+           |FROM d ORDER BY z ASC, event_id ASC LIMIT 200""".stripMargin
+      })
   )
 }
