@@ -136,6 +136,32 @@ object ZOrderProbe {
     require(scanned("zorder/time") < scanned("usorted/time") / 2,
       "z layout must skip most of the lake for the time predicate")
 
+    // planning-level prune: the stats manifest answers "which files can
+    // contain this slice" without opening a single parquet footer —
+    // the file-count lever that matters once lakes have 10^6 files
+    val (statsN, statsWall) = {
+      val t = System.nanoTime()
+      val m = graft.operators.Compactor.writeStatsManifest(
+        s"$work/zorder", Seq("user_id", "ts"))
+      (m.count(), (System.nanoTime() - t) / 1e9)
+    }
+    val (prunedHits, prunedFiles, prunedWall) = {
+      val t = System.nanoTime()
+      val df = graft.operators.Compactor.readPruned(
+        s"$work/zorder", "ts", lit(sliceLo), lit(sliceHi))
+      df.queryExecution.toRdd.count()
+      val w = (System.nanoTime() - t) / 1e9
+      (df.count(), df.inputFiles.length, w)
+    }
+    val inclusiveHits = spark.read.parquet(s"$work/zorder")
+      .filter(col("ts") >= sliceLo && col("ts") <= sliceHi).count()
+    require(prunedHits == inclusiveHits,
+      s"manifest-pruned read must match the full filter: $prunedHits vs $inclusiveHits")
+    require(prunedFiles < statsN / 2,
+      s"manifest must prune most files: read $prunedFiles of $statsN")
+    println(f"[zorder] stats manifest: build ${statsWall}%.2fs; pruned time " +
+      f"slice touches $prunedFiles of $statsN files, wall $prunedWall%.2fs")
+
     println(f"[zorder] rewrite wall $zWall%.1fs, ${manifest.getLong(1)} files")
     val runJson = runs.map { case (t, h, sc, w) =>
       s"""{"run":"$t","hits":$h,"scan_rows":$sc,"wall_sec":${f2(w)}}"""
@@ -143,6 +169,9 @@ object ZOrderProbe {
     val json =
       s"""{"metric":"zorder_probe","sf":"$sfDir","rows":$nRows,""" +
       s""""zorder_rewrite_sec":${f2(zWall)},"files":${manifest.getLong(1)},""" +
+      s""""stats_manifest":{"build_sec":${f2(statsWall)},""" +
+      s""""pruned_files":$prunedFiles,"total_files":$statsN,""" +
+      s""""wall_sec":${f2(prunedWall)}},""" +
       s""""runs":$runJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_zorder_probe.json"),

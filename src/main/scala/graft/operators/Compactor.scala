@@ -758,4 +758,58 @@ object Compactor {
   // binary search but waste bucket ids — collapse them)
   private def dedupSorted(bounds: Array[Double]): Array[Double] =
     bounds.distinct.sorted
+
+  /** Underscore-prefixed stats-manifest directory inside a lake: every
+    * parquet reader ignores it, same convention as [[WatermarkFile]].
+    */
+  val StatsDir = "_graft_stats"
+
+  /** Write a per-FILE min/max stats manifest for `cols` as a sidecar
+    * table inside the lake — the Delta/Iceberg move that makes
+    * data-skipping a PLANNING-time file-list prune instead of a
+    * footer-read-per-file: at millions of files, opening every footer
+    * to discover "nothing here" IS the query bottleneck; the manifest
+    * answers the same question from one KB-scale table.
+    *
+    * Computed with one data pass at OPTIMIZE time (when the rewrite
+    * just touched every row anyway — [[zorderParquet]] + this is one
+    * job each); queries then call [[readPruned]] forever after. The
+    * manifest is advisory like the watermark: losing it costs the
+    * prune, never correctness.
+    */
+  def writeStatsManifest(dir: String, cols: Seq[String])
+                        (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(cols.nonEmpty, "writeStatsManifest: need at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/$StatsDir")
+    stats
+  }
+
+  /** Read only the lake files whose [min, max] interval for `colName`
+    * intersects [lo, hi], per the stats manifest — then apply the exact
+    * predicate. Files with null stats (all-null column) are kept: the
+    * prune may only ever REMOVE provably-disjoint files.
+    *
+    * The matching file list is collected to the driver — the same
+    * planning-time bound Spark's own FileIndex carries (a file LISTING
+    * is driver-sized by design; the manifest prune only shrinks it).
+    */
+  def readPruned(dir: String, colName: String, lo: Column, hi: Column)
+                (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val files = spark.read.parquet(s"$dir/$StatsDir")
+      .filter(coalesce(col(s"max_$colName") >= lo, lit(true)) &&
+        coalesce(col(s"min_$colName") <= hi, lit(true)))
+      .select(col("file")).collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(dir).limit(0) // provably empty, keep schema
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(colName) >= lo && col(colName) <= hi)
+  }
 }

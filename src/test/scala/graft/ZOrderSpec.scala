@@ -88,4 +88,35 @@ class ZOrderSpec extends SparkSpec {
     val b = spark.read.parquet(zOut).orderBy($"x", $"y").collect()
     assert(a.sameElements(b))
   }
+
+  test("stats manifest: pruned read == full filter, touching only intersecting files") {
+    implicit val s = spark
+    import s.implicits._
+    val n = 16384
+    val rnd = new scala.util.Random(11)
+    val in = Files.createTempDirectory("graft-min").toString
+    rnd.shuffle((0 until n).toVector).map(i => (i % 128, i / 128, i.toLong))
+      .toDF("x", "y", "id").repartition(4)
+      .write.mode("overwrite").parquet(in)
+    val lake = Files.createTempDirectory("graft-mlake").toString
+    Compactor.zorderParquet(in, lake, targetBytes = 8 * 1024,
+      zorderCols = Seq("x", "y"), bits = 7)
+    val manifest = Compactor.writeStatsManifest(lake, Seq("x", "y"))
+    val nFiles = manifest.count()
+    assert(nFiles > 8, "fixture must produce enough files to prune")
+    // the sidecar must be invisible to plain lake readers
+    assert(spark.read.parquet(lake).count() == n)
+
+    val pruned = Compactor.readPruned(lake, "y", lit(10), lit(20))
+    val expect = spark.read.parquet(lake)
+      .filter($"y" >= 10 && $"y" <= 20)
+    assert(pruned.count() == expect.count())
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+    val touched = pruned.inputFiles.length
+    assert(touched < nFiles / 2,
+      s"manifest prune must skip most files: read $touched of $nFiles")
+    // empty interval: zero files, empty result, schema intact
+    val none = Compactor.readPruned(lake, "x", lit(1000), lit(2000))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("x", "y", "id"))
+  }
 }
