@@ -720,6 +720,22 @@ object Compactor {
     require(zorderCols.size * bits <= 63,
       s"zorderParquet: ${zorderCols.size} cols x $bits bits exceeds 63")
     val rows = spark.read.parquet(inputDir)
+    // a partitioned lake would silently FLATTEN (partition dirs become
+    // plain columns in an unpartitioned rewrite — a schema/layout
+    // change masquerading as an optimization). Z-order a partitioned
+    // lake per partition directory; refuse the whole-lake call.
+    val zPartCols: Seq[String] = rows.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.partitionSchema.fieldNames.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.getOrElse(Seq.empty)
+    require(zPartCols.isEmpty,
+      s"zorderParquet($inputDir): lake is partitioned by " +
+        s"${zPartCols.mkString(",")} — z-order each partition directory " +
+        "separately (a whole-lake rewrite would flatten the layout)")
     val inRows = rows.count()
     // per-column bucket bounds: 2^bits - 1 interior quantiles of the
     // double-cast column. approxQuantile ignores nulls; null values
@@ -809,7 +825,10 @@ object Compactor {
     val base =
       if (files.isEmpty)
         spark.read.parquet(dir).limit(0) // provably empty, keep schema
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      // basePath: reading explicit file paths would otherwise DROP
+      // partition columns (the dirs are no longer scanned as a
+      // partition tree) — with it, a partitioned lake prunes correctly
+      else spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
     base.filter(col(colName) >= lo && col(colName) <= hi)
   }
 }

@@ -119,4 +119,23 @@ class ZOrderSpec extends SparkSpec {
     val none = Compactor.readPruned(lake, "x", lit(1000), lit(2000))
     assert(none.count() == 0 && none.columns.toSeq == Seq("x", "y", "id"))
   }
+
+  test("partitioned lakes: zorderParquet refuses (would flatten); readPruned keeps partition columns") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-plake").toString
+    (0 until 4096).map(i => (i % 64, i.toLong, s"d${i % 3}"))
+      .toDF("x", "id", "day").repartition(4)
+      .write.mode("overwrite").partitionBy("day").parquet(lake)
+    val e = intercept[IllegalArgumentException] {
+      Compactor.zorderParquet(lake, lake + ".z", 8 * 1024, Seq("x", "id"))
+    }
+    assert(e.getMessage.contains("partition"))
+    Compactor.writeStatsManifest(lake, Seq("x"))
+    val pruned = Compactor.readPruned(lake, "x", lit(5), lit(9))
+    assert(pruned.columns.contains("day"),
+      "pruned read must keep partition columns (basePath)")
+    val expect = spark.read.parquet(lake).filter($"x" >= 5 && $"x" <= 9)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+  }
 }
