@@ -36,9 +36,19 @@ object Relational4 extends QuerySet {
     // the aggregation clusters on, so Catalyst reuses the partitioning
     // and the filter costs no extra lineitem shuffle; at dimension-
     // fraction sizes AQE turns it into a broadcast instead.
+    // r12: the per-part minimum is a WINDOW over the per-pair
+    // aggregate, not a groupBy + join-back — the join form FORKS the
+    // perPair subtree (the min branch prunes to (partkey, cost), the
+    // probe branch keeps suppkey too), and the branches' differing
+    // pruned columns defeat AQE stage reuse, so lineitem aggregated
+    // twice (the same trap q36's rewrite hit; QueriesSpec pins both).
+    // The window form has ONE consumer: lineitem aggregates once, the
+    // window re-clusters the tiny per-(part,supplier) table by partkey
+    // and takes a per-group min — no self-join, no second pass.
     Q("q25_min_cost_supplier",
       (s, d) => {
         import s.implicits._
+        import org.apache.spark.sql.expressions.Window
         val smallParts = Tables.load(s, d, "part")
           .filter($"p_size" < 15).select($"p_partkey")
         val perPair = Tables.load(s, d, "lineitem")
@@ -47,12 +57,12 @@ object Relational4 extends QuerySet {
             ($"l_extendedprice" / $"l_quantity").as("unit"))
           .groupBy($"l_partkey", $"l_suppkey")
           .agg(min($"unit").as("unit_cost"))
-        val minPerPart = perPair.groupBy($"l_partkey")
-          .agg(min($"unit_cost").as("mc"))
         val supp = Tables.load(s, d, "supplier").select($"s_suppkey", $"s_name")
-        perPair.join(minPerPart, "l_partkey")
+        perPair
+          .withColumn("mc",
+            min($"unit_cost").over(Window.partitionBy($"l_partkey")))
           .filter($"unit_cost" === $"mc")
-          .join(supp, $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
           .select($"l_partkey".as("p_partkey"), $"s_suppkey", $"s_name",
             round($"unit_cost", 4).as("unit_cost"))
           .orderBy(round($"unit_cost", 4).asc, $"p_partkey".asc, $"s_suppkey".asc)
