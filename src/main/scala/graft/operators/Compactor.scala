@@ -558,14 +558,7 @@ object Compactor {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     val rows = spark.read.parquet(inputDir)
     // partition columns come from the relation, not name guessing
-    val partCols: Seq[String] = rows.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            f.partitionSchema.fieldNames.toSeq
-          case _ => Seq.empty[String]
-        }
-    }.getOrElse(Seq.empty)
+    val partCols = partitionColsOf(rows)
     // listing-only planning pass: binaryFile surfaces (path, length)
     // from file status without opening anything
     val listing = spark.read.format("binaryFile")
@@ -724,35 +717,37 @@ object Compactor {
     // plain columns in an unpartitioned rewrite — a schema/layout
     // change masquerading as an optimization). Z-order a partitioned
     // lake per partition directory; refuse the whole-lake call.
-    val zPartCols: Seq[String] = rows.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        l.relation match {
-          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            f.partitionSchema.fieldNames.toSeq
-          case _ => Seq.empty[String]
-        }
-    }.getOrElse(Seq.empty)
+    val zPartCols = partitionColsOf(rows)
     require(zPartCols.isEmpty,
       s"zorderParquet($inputDir): lake is partitioned by " +
         s"${zPartCols.mkString(",")} — z-order each partition directory " +
         "separately (a whole-lake rewrite would flatten the layout)")
     val inRows = rows.count()
     // per-column bucket bounds: 2^bits - 1 interior quantiles of the
-    // double-cast column. approxQuantile ignores nulls; null values
-    // produce a null z and cluster together at the range boundary.
+    // double-cast columns, ONE Greenwald-Khanna pass for all of them.
+    // approxQuantile ignores nulls; null values produce a null z and
+    // cluster together at the range boundary.
     val nB = 1 << bits
     val probs = (1 until nB).map(_.toDouble / nB).toArray
-    val zInput = array(zorderCols.map { c =>
-      // approxQuantile takes a column NAME: cast via a projection alias
-      val bounds = rows.select(col(c).cast("double").as("_q"))
-        .stat.approxQuantile("_q", probs, 0.001)
-      range_bucket(col(c).cast("double"), dedupSorted(bounds))
+    val qNames = zorderCols.indices.map(i => s"_q$i")
+    val allBounds = rows
+      .select(zorderCols.zip(qNames).map { case (c, a) =>
+        col(c).cast("double").as(a) }: _*)
+      .stat.approxQuantile(qNames.toArray, probs, 0.001)
+    val zInput = array(zorderCols.zipWithIndex.map { case (c, i) =>
+      range_bucket(col(c).cast("double"), dedupSorted(allBounds(i)))
     }: _*)
-    val totalBytes = spark.read.format("binaryFile")
+    val totalBytesRow = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
       .option("recursiveFileLookup", "true")
       .load(inputDir)
-      .agg(sum(col("length"))).collect()(0).getLong(0)
+      .agg(sum(col("length"))).collect()(0)
+    // same mismatch optimizeParquet fail-louds: a readable lake whose
+    // data files lack the .parquet extension lists to nothing here
+    require(!totalBytesRow.isNullAt(0),
+      s"zorderParquet($inputDir): no '*.parquet' files in the listing — " +
+        "refusing to plan output sizing from an empty byte total")
+    val totalBytes = totalBytesRow.getLong(0)
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     rows.withColumn("_z", z_value(zInput, bits))
       .repartitionByRange(nFiles, col("_z"))
@@ -774,6 +769,20 @@ object Compactor {
   // binary search but waste bucket ids — collapse them)
   private def dedupSorted(bounds: Array[Double]): Array[Double] =
     bounds.distinct.sorted
+
+  /** Partition columns of a parquet relation, from the relation itself
+    * (never name guessing); shared by [[optimizeParquet]] and
+    * [[zorderParquet]].
+    */
+  private def partitionColsOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.partitionSchema.fieldNames.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.getOrElse(Seq.empty)
 
   /** Underscore-prefixed stats-manifest directory inside a lake: every
     * parquet reader ignores it, same convention as [[WatermarkFile]].
@@ -799,12 +808,14 @@ object Compactor {
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    val stats = spark.read.parquet(dir)
+    spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    stats.coalesce(1).write.mode(SaveMode.Overwrite)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/$StatsDir")
-    stats
+    // return the WRITTEN manifest, not the aggregation plan — the plan
+    // would re-scan the whole lake on every downstream action
+    spark.read.parquet(s"$dir/$StatsDir")
   }
 
   /** Read only the lake files whose [min, max] interval for `colName`
@@ -812,19 +823,46 @@ object Compactor {
     * predicate. Files with null stats (all-null column) are kept: the
     * prune may only ever REMOVE provably-disjoint files.
     *
+    * The manifest is ADVISORY, enforced here, not just promised: a
+    * missing manifest falls back to the full filtered scan, and a
+    * STALE one (lake files appended after the manifest was written,
+    * i.e. present in the listing but absent from the manifest) also
+    * falls back — the prune may cost speed, never rows.
+    *
     * The matching file list is collected to the driver — the same
     * planning-time bound Spark's own FileIndex carries (a file LISTING
     * is driver-sized by design; the manifest prune only shrinks it).
     */
   def readPruned(dir: String, colName: String, lo: Column, hi: Column)
                 (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    val files = spark.read.parquet(s"$dir/$StatsDir")
+    val full = spark.read.parquet(dir)
+    val exact = full.filter(col(colName) >= lo && col(colName) <= hi)
+    val (fs, statsPath) = hadoopPath(dir, StatsDir)
+    if (!fs.exists(statsPath)) return exact // advisory: absent => full scan
+    val manifest = spark.read.parquet(s"$dir/$StatsDir")
+    // normalize both sides: input_file_name() and DataFrame.inputFiles
+    // render the same file as different URI spellings
+    // ("file:///x" vs "file:/x")
+    def normPath(p: String): String = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
+    val known = manifest.select(col("file")).collect()
+      .map(r => normPath(r.getString(0))).toSet
+    // stale manifest: any current data file it doesn't know about
+    // could hold matching rows — correctness wins, prune is skipped
+    if (!full.inputFiles.map(normPath).forall(known.contains)) return exact
+    val files = manifest
       .filter(coalesce(col(s"max_$colName") >= lo, lit(true)) &&
         coalesce(col(s"min_$colName") <= hi, lit(true)))
       .select(col("file")).collect().map(_.getString(0))
     val base =
       if (files.isEmpty)
-        spark.read.parquet(dir).limit(0) // provably empty, keep schema
+        // provably empty: keep the lake schema WITHOUT referencing any
+        // file (a limit(0) over the dir would still list every file,
+        // polluting inputFiles-based accounting)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full.schema)
       // basePath: reading explicit file paths would otherwise DROP
       // partition columns (the dirs are no longer scanned as a
       // partition tree) — with it, a partitioned lake prunes correctly

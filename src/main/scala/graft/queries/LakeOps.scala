@@ -89,7 +89,11 @@ object LakeOps extends QuerySet {
         import graft.expressions.NativeFns.z_value
         val ev = Tables.load(s, d, "events")
         val x = ($"user_id" % 4096).cast("int")
-        val y = (($"ts_ns" / 1000000000L) % 4096).cast("int")
+        // integer DIV, not `/`: epoch-ns longs sit above 2^53, where
+        // double division rounds by ~256 ns — a value within half an
+        // ulp of a second boundary would bucket differently than
+        // DuckDB's exact `//` and flake the gate
+        val y = (expr("ts_ns DIV 1000000000") % 4096).cast("int")
         ev.select($"event_id", x.as("x"), y.as("y"),
             z_value(array(x, y), 12).as("z"))
           .orderBy($"z".asc, $"event_id".asc)

@@ -62,7 +62,10 @@ object Relational4 extends QuerySet {
           .withColumn("mc",
             min($"unit_cost").over(Window.partitionBy($"l_partkey")))
           .filter($"unit_cost" === $"mc")
-          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+          // no broadcast hint: supplier GROWS with scale factor (10k
+          // rows/SF — not a fixed dim like nation/region), so the join
+          // strategy stays AQE's size-adaptive call
+          .join(supp, $"l_suppkey" === $"s_suppkey")
           .select($"l_partkey".as("p_partkey"), $"s_suppkey", $"s_name",
             round($"unit_cost", 4).as("unit_cost"))
           .orderBy(round($"unit_cost", 4).asc, $"p_partkey".asc, $"s_suppkey".asc)

@@ -120,6 +120,31 @@ class ZOrderSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("x", "y", "id"))
   }
 
+  test("manifest is advisory in code, not just doc: absent and stale manifests fall back to the full scan") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-adv").toString
+    (0 until 1024).map(i => (i % 32, i.toLong)).toDF("x", "id")
+      .repartition(4).write.mode("overwrite").parquet(lake)
+    // no manifest at all: full-scan fallback, correct rows
+    val noMan = Compactor.readPruned(lake, "x", lit(3), lit(5))
+    assert(noMan.count() ==
+      spark.read.parquet(lake).filter($"x" >= 3 && $"x" <= 5).count())
+    // manifest written, then the lake grows: the stale manifest must
+    // NOT hide the appended rows (the silent-row-loss failure mode)
+    Compactor.writeStatsManifest(lake, Seq("x"))
+    (0 until 64).map(i => (4, 100000L + i)).toDF("x", "id")
+      .coalesce(1).write.mode("append").parquet(lake)
+    val stale = Compactor.readPruned(lake, "x", lit(4), lit(4))
+    assert(stale.count() ==
+      spark.read.parquet(lake).filter($"x" === 4).count(),
+      "stale manifest must fall back, never drop appended rows")
+    // re-manifest: prune active again and still exact
+    Compactor.writeStatsManifest(lake, Seq("x"))
+    val fresh = Compactor.readPruned(lake, "x", lit(4), lit(4))
+    assert(fresh.count() == stale.count())
+  }
+
   test("partitioned lakes: zorderParquet refuses (would flatten); readPruned keeps partition columns") {
     implicit val s = spark
     import s.implicits._
