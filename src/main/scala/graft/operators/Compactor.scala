@@ -834,9 +834,22 @@ object Compactor {
     * is driver-sized by design; the manifest prune only shrinks it).
     */
   def readPruned(dir: String, colName: String, lo: Column, hi: Column)
-                (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+                (implicit spark: org.apache.spark.sql.SparkSession): DataFrame =
+    readPrunedMulti(dir, Seq((colName, lo, hi)))
+
+  /** [[readPruned]] over a CONJUNCTION of range predicates — the
+    * z-order case: a query constraining both clustered columns prunes
+    * by the intersection of both manifest intervals, which on a
+    * z-ordered lake is the product of two small fractions.
+    */
+  def readPrunedMulti(dir: String, preds: Seq[(String, Column, Column)])
+                     (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(preds.nonEmpty, "readPrunedMulti: need at least one predicate")
     val full = spark.read.parquet(dir)
-    val exact = full.filter(col(colName) >= lo && col(colName) <= hi)
+    def applyExact(df: DataFrame): DataFrame =
+      preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lo && col(c) <= hi) }
+    val exact = applyExact(full)
     val (fs, statsPath) = hadoopPath(dir, StatsDir)
     if (!fs.exists(statsPath)) return exact // advisory: absent => full scan
     val manifest = spark.read.parquet(s"$dir/$StatsDir")
@@ -852,9 +865,11 @@ object Compactor {
     // stale manifest: any current data file it doesn't know about
     // could hold matching rows — correctness wins, prune is skipped
     if (!full.inputFiles.map(normPath).forall(known.contains)) return exact
-    val files = manifest
-      .filter(coalesce(col(s"max_$colName") >= lo, lit(true)) &&
-        coalesce(col(s"min_$colName") <= hi, lit(true)))
+    val intersects = preds.map { case (c, lo, hi) =>
+      coalesce(col(s"max_$c") >= lo, lit(true)) &&
+        coalesce(col(s"min_$c") <= hi, lit(true))
+    }.reduce(_ && _)
+    val files = manifest.filter(intersects)
       .select(col("file")).collect().map(_.getString(0))
     val base =
       if (files.isEmpty)
@@ -867,6 +882,6 @@ object Compactor {
       // partition columns (the dirs are no longer scanned as a
       // partition tree) — with it, a partitioned lake prunes correctly
       else spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
-    base.filter(col(colName) >= lo && col(colName) <= hi)
+    applyExact(base)
   }
 }

@@ -120,6 +120,32 @@ class ZOrderSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("x", "y", "id"))
   }
 
+  test("multi-predicate prune: conjunction touches fewer files than either range alone, rows exact") {
+    implicit val s = spark
+    import s.implicits._
+    val n = 16384
+    val rnd = new scala.util.Random(13)
+    val in = Files.createTempDirectory("graft-m2in").toString
+    rnd.shuffle((0 until n).toVector).map(i => (i % 128, i / 128, i.toLong))
+      .toDF("x", "y", "id").repartition(4)
+      .write.mode("overwrite").parquet(in)
+    val lake = Files.createTempDirectory("graft-m2lake").toString
+    Compactor.zorderParquet(in, lake, targetBytes = 8 * 1024,
+      zorderCols = Seq("x", "y"), bits = 7)
+    Compactor.writeStatsManifest(lake, Seq("x", "y"))
+
+    val both = Compactor.readPrunedMulti(lake,
+      Seq(("x", lit(10), lit(30)), ("y", lit(10), lit(30))))
+    val expect = spark.read.parquet(lake)
+      .filter($"x" >= 10 && $"x" <= 30 && $"y" >= 10 && $"y" <= 30)
+    assert(both.exceptAll(expect).isEmpty && expect.exceptAll(both).isEmpty)
+    val xOnly = Compactor.readPruned(lake, "x", lit(10), lit(30))
+    val yOnly = Compactor.readPruned(lake, "y", lit(10), lit(30))
+    assert(both.inputFiles.length <=
+      math.min(xOnly.inputFiles.length, yOnly.inputFiles.length),
+      "the conjunction can never touch more files than either range alone")
+  }
+
   test("manifest is advisory in code, not just doc: absent and stale manifests fall back to the full scan") {
     implicit val s = spark
     import s.implicits._
