@@ -260,17 +260,24 @@ object Relational2 extends QuerySet {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand""".stripMargin)),
 
-    // --- Agg-join-filter on a per-group average (TPC-H Q17 shape): lines
-    // whose quantity is below 20% of their part's average. The per-part
-    // average is an aggregate small enough to broadcast at any scale
-    // (one row per part).
+    // --- Agg-join-filter on a per-group average (TPC-H Q17 shape):
+    // lines whose quantity is below half their part's average. r12:
+    // the per-part average is a WINDOW over the fact table, not a
+    // groupBy + join-back — the join form forks the lineitem subtree
+    // (the avg branch prunes to (partkey, qty), the probe branch keeps
+    // price too; differing pruned columns defeat AQE stage reuse, so
+    // lineitem scans twice — the q25/q36 trap). One window = one scan,
+    // one partkey shuffle, one sort (the SMJ sorted the same rows
+    // anyway). Precision-parity-safe: quantities are small exact
+    // doubles, so sum/avg are order-independent and the window's
+    // different accumulation order cannot flip the boundary filter.
     Q("q17_small_quantity_revenue",
       (s, d) => {
         import s.implicits._
+        import org.apache.spark.sql.expressions.Window
         val l = Tables.load(s, d, "lineitem")
-        val avgQ = l.groupBy($"l_partkey".as("ap_partkey"))
-          .agg(avg($"l_quantity").as("avg_qty"))
-        l.join(avgQ, $"l_partkey" === $"ap_partkey")
+        l.withColumn("avg_qty",
+            avg($"l_quantity").over(Window.partitionBy($"l_partkey")))
           .filter($"l_quantity" < $"avg_qty" * 0.5)
           .agg(round(sum($"l_extendedprice"), 2).as("small_qty_revenue"),
                count(lit(1)).as("n_lines"))
