@@ -54,13 +54,61 @@ object PipelineProbe {
       total * 6 / 10 / 4
     }
 
-    val sb0 = graft.operators.Dedup.shingleBuilds
-    val t0 = System.nanoTime()
-    val res = graft.operators.CorpusPipeline.run(
-      docs, benchPred = col("doc_id") % 499 === 0,
-      budgetPerStratum = budget, nShards = 64)
-    val e2e = (System.nanoTime() - t0) / 1e9
-    val shingleBuilds = graft.operators.Dedup.shingleBuilds - sb0
+    import graft.operators.{Caches, CorpusPipeline, Dedup}
+    val pred = col("doc_id") % 499 === 0
+
+    // Two configurations, two interleaved iterations each, best-of-2
+    // per config: iteration 0 doubles as JVM warmup (codegen + JIT),
+    // so neither config gets the cold-start penalty while the other
+    // reads warm caches. Caches.release() between runs — each wall
+    // rebuilds its own shingle pass.
+
+    // -- FUSED (production default): Materialize.None, no stats. One
+    // Catalyst plan end-to-end (the one diamond — the post-exact
+    // survivor frame — persisted with lineage intact); the shingle
+    // pass shared via the memoized persist inside Dedup.shingleTable.
+    // Wall = construction (incl. clusters' CC rounds) + full-row run
+    // of the fused plan (toRdd.count, the repo's materializer).
+    def runFused(): (Double, Long, Long) = {
+      val b0 = Dedup.shingleBuilds
+      val t0 = System.nanoTime()
+      val r = CorpusPipeline.run(docs, benchPred = pred,
+        budgetPerStratum = budget, nShards = 64)
+      require(r.stats.isEmpty, "fused config must collect no stats")
+      val outRows = r.out.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val builds = Dedup.shingleBuilds - b0
+      require(builds == 1,
+        s"fused: corpus must be shingled exactly once, got $builds builds")
+      Caches.release()
+      (sec, outRows, builds)
+    }
+
+    // -- STAGED (probe/spec harness): per-stage localCheckpoint +
+    // counts, walls attributable per stage.
+    def runStaged(): (Double, Long, CorpusPipeline.Result) = {
+      val b0 = Dedup.shingleBuilds
+      val t0 = System.nanoTime()
+      val r = CorpusPipeline.run(
+        docs, benchPred = pred,
+        budgetPerStratum = budget, nShards = 64,
+        materialize = CorpusPipeline.Materialize.LocalCheckpoint,
+        collectStats = true)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val builds = Dedup.shingleBuilds - b0
+      Caches.release()
+      (sec, builds, r)
+    }
+
+    val (f0, fRows0, _) = runFused()
+    val (s0, _, _) = runStaged()
+    val (f1, fusedOutRows, fusedBuilds) = runFused()
+    val (s1, shingleBuilds, res) = runStaged()
+    require(fRows0 == fusedOutRows, "fused reruns must agree on row count")
+    val fusedSec = math.min(f0, f1)
+    val e2e = math.min(s0, s1)
+    println(f"[pipeline] fused  e2e best-of-2 $fusedSec%.2fs (iters $f0%.2f/$f1%.2f)  out rows $fusedOutRows")
+    println(f"[pipeline] staged e2e best-of-2 $e2e%.2fs (iters $s0%.2f/$s1%.2f)")
 
     // composition assertions (the probe is a correctness witness too)
     require(shingleBuilds == 1,
@@ -72,20 +120,24 @@ object PipelineProbe {
       "pack must emit a subset of its input")
     require(res.rowsAfter("shard_assign") == res.rowsAfter("token_pack"),
       "shard assignment must be a permutation of the packed set")
-    val badPos = graft.operators.CorpusPipeline.nonDensePositionShards(res.out)
+    val badPos = CorpusPipeline.nonDensePositionShards(res.out)
     require(badPos == 0, s"$badPos shards with non-dense positions")
+    // policy must never change results
+    require(fusedOutRows == res.rowsAfter("shard_assign"),
+      s"fused ($fusedOutRows) and staged (${res.rowsAfter("shard_assign")}) row counts diverge")
 
     res.stats.foreach(s =>
       println(f"[pipeline] ${s.stage}%-22s rows ${s.rowsOut}%9d wall ${s.sec}%6.2fs"))
-    println(f"[pipeline] end-to-end $e2e%.2fs over $inRows rows")
+    println(f"[pipeline] over $inRows input rows")
 
     val stageJson = res.stats.map(s =>
       s"""{"stage":"${s.stage}","rows_out":${s.rowsOut},"sec":${f2(s.sec)}}""")
       .mkString("[", ",", "]")
     val json =
       s"""{"metric":"pipeline_probe","sf":"$sfDir","input_rows":$inRows,""" +
-      s""""budget_per_stratum":$budget,"shingle_builds":$shingleBuilds,""" +
-      s""""e2e_sec":${f2(e2e)},"stages":$stageJson}"""
+      s""""budget_per_stratum":$budget,"iters":2,"best_of":true,""" +
+      s""""fused":{"e2e_sec":${f2(fusedSec)},"iter_walls":[${f2(f0)},${f2(f1)}],"shingle_builds":$fusedBuilds,"out_rows":$fusedOutRows},""" +
+      s""""staged":{"e2e_sec":${f2(e2e)},"iter_walls":[${f2(s0)},${f2(s1)}],"shingle_builds":$shingleBuilds,"stages":$stageJson}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_pipeline_probe.json"),
       (json + "\n").getBytes("UTF-8"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextFns
 
 /** The composed corpus-curation pipeline a training-data curator
@@ -36,6 +37,37 @@ import graft.functions.TextFns
   */
 object CorpusPipeline {
 
+  /** Per-stage materialization policy. The composed pipeline's default
+    * is [[Materialize.None]]: stages stay lazy, Catalyst fuses the
+    * whole chain into one plan, and the corpus is materialized exactly
+    * once at the caller's terminal action. The alternatives exist for
+    * callers who want stage boundaries:
+    *
+    *  - [[Materialize.Persist]]: cache each stage's output at a chosen
+    *    [[StorageLevel]] (replicated levels survive executor loss).
+    *  - [[Materialize.Checkpoint]]: RELIABLE checkpoint to a shared
+    *    directory — the fault-tolerant stage boundary for long chains
+    *    on a real cluster.
+    *  - [[Materialize.LocalCheckpoint]]: executor-local, NON-replicated
+    *    truncation. Fastest pin, but losing one executor mid-run kills
+    *    the job — probe/spec harness setting only, never production.
+    *
+    * Stats collection is orthogonal and opt-in ([[run]]'s
+    * `collectStats`): a per-stage `count()` each. Stage walls are only
+    * per-stage-attributable under a materializing policy; under
+    * [[Materialize.None]] each count re-runs the fused upstream plan,
+    * so walls are cumulative (and the counts themselves add whole
+    * corpus passes — leave stats off in production `None` runs).
+    */
+  sealed trait Materialize
+  object Materialize {
+    case object None extends Materialize
+    final case class Persist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      extends Materialize
+    final case class Checkpoint(dir: String) extends Materialize
+    case object LocalCheckpoint extends Materialize
+  }
+
   final case class StageStat(stage: String, rowsOut: Long, sec: Double)
 
   final case class Result(out: DataFrame, stats: Seq[StageStat]) {
@@ -58,7 +90,14 @@ object CorpusPipeline {
   /** Run the composed pipeline over `docs` (doc_id, text, source).
     *
     * @param benchPred    membership predicate for the decontamination
-    *                     blocklist (columns of `docs`)
+    *                     blocklist. Evaluated against the shingle-keyed
+    *                     frame inside [[Dedup.decontaminate]], whose
+    *                     only doc column is `doc_id` — the predicate
+    *                     may reference `doc_id` ONLY (e.g.
+    *                     `col("doc_id") >= benchLo`). A predicate over
+    *                     `text`/`source` fails at analysis time; derive
+    *                     a doc_id set first if membership is content-
+    *                     defined.
     * @param budgetPerStratum token budget the pack keeps per stratum
     * @param nShards      shard count for the final assignment
     * @param minSim       near-dup Jaccard threshold (0.8 default =
@@ -76,7 +115,9 @@ object CorpusPipeline {
   def run(docs: DataFrame, benchPred: Column,
           budgetPerStratum: Long, nShards: Int = 64,
           minSim: Double = 0.8, contamMinHits: Long = 20,
-          broadcastBlocklist: Boolean = true): Result = {
+          broadcastBlocklist: Boolean = true,
+          materialize: Materialize = Materialize.None,
+          collectStats: Boolean = false): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
     // df is BY-NAME: a strict parameter would evaluate the stage block
     // BEFORE the timer starts, and eager construction work (notably
@@ -84,35 +125,55 @@ object CorpusPipeline {
     // the stage wall into unattributed gap time
     def staged(name: String)(df: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      val pinned = df.localCheckpoint() // materialize: stage walls attribute
-      val n = pinned.count()
-      stats += StageStat(name, n, (System.nanoTime() - t0) / 1e9)
+      val pinned = materialize match {
+        case Materialize.None           => df
+        case Materialize.Persist(level) => df.persist(level)
+        case Materialize.Checkpoint(dir) =>
+          val out = df
+          out.sparkSession.sparkContext.setCheckpointDir(dir)
+          out.checkpoint() // reliable + eager: the stage wall owns the write
+        case Materialize.LocalCheckpoint => df.localCheckpoint()
+      }
+      if (collectStats) {
+        val n = pinned.count()
+        stats += StageStat(name, n, (System.nanoTime() - t0) / 1e9)
+      }
       pinned
     }
 
     // -- stage 1: gopher-style quality filter (t18 rules, floor set) --
+    // Per-ROW via the native WordStats struct: all four statistics are
+    // per-document functions of the token multiset, so the gate is a
+    // scan-side filter — zero shuffle, and the text column never moves.
+    // (The aggregate restatement — explode, two token shuffles, then a
+    // text-carrying join to re-attach the verdict — cost 23 s of the
+    // sf10 probe wall for the identical result; at 100 TB it is two
+    // full-corpus token shuffles plus a corpus join versus none.)
     val stop = Seq("the", "a", "and", "of", "to", "is")
     val s1 = staged("gopher_filter") {
-      val flags = docs
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n_tok"), max(col("c")).as("max_c"),
-          sum(col("c") * length(col("w"))).as("len_sum"),
-          sum(when(col("w").isin(stop: _*), col("c")).otherwise(0L)).as("stop_hits"))
-        .filter(col("n_tok") >= 10 &&
-          col("len_sum").cast("double") / col("n_tok") >= 2.0 &&
-          col("len_sum").cast("double") / col("n_tok") <= 8.0 &&
-          col("max_c").cast("double") / col("n_tok") <= 0.3 &&
-          col("stop_hits") >= 1)
-        .select(col("doc_id"))
-      docs.join(flags, "doc_id") // inner on the id set = semi-join shape
+      docs.filter(graft.expressions.NativeFns.gopher_keep(col("text"), stop,
+        minTok = 10L, minMeanLen = 2.0, maxMeanLen = 8.0,
+        maxRepFrac = 0.3, minStopHits = 1L))
     }
 
     // -- stage 2: exact dedup (keep the lowest doc_id per text) --
+    // The post-exact survivor frame is the pipeline's one DIAMOND: it
+    // feeds BOTH the shared shingle pass (near-dedup + decontam) and
+    // the left side of the stage-4 anti-join. Catalyst has no
+    // cross-subtree common-plan reuse, so under Materialize.None the
+    // gopher aggregation + dedup window would run once per consumer —
+    // measured 2.3x the e2e wall at sf1. Persist exactly this frame
+    // (Caches.track: bounded LRU, lineage PRESERVED — an executor loss
+    // recomputes the lost blocks, unlike localCheckpoint), so the fused
+    // config still makes one pass over the corpus. Under a materializing
+    // policy the stage pin already breaks the diamond.
     val s2 = staged("exact_dedup") {
-      Dedup.exactFirst(s1, Seq(md5(col("text"))), Seq(col("doc_id").asc))
-        .select(docs.columns.map(col): _*)
+      val deduped = Dedup.exactFirst(s1, Seq(md5(col("text"))), Seq(col("doc_id").asc))
+        .select(docs.columns.toIndexedSeq.map(col): _*)
+      materialize match {
+        case Materialize.None => Caches.track(deduped)
+        case _                => deduped
+      }
     }
 
     // -- stage 3+4: near dedup and decontamination, ONE shingle pass --

@@ -22,7 +22,9 @@ class CorpusPipelineSpec extends SparkSpec {
     val sb0 = Dedup.shingleBuilds
     val res = CorpusPipeline.run(docs,
       benchPred = col("doc_id") % 97 === 0,
-      budgetPerStratum = totalTok * 6 / 10 / 4)
+      budgetPerStratum = totalTok * 6 / 10 / 4,
+      materialize = CorpusPipeline.Materialize.LocalCheckpoint,
+      collectStats = true)
     val out = res.out.localCheckpoint()
 
     // stage roster is the pipeline's public contract
@@ -54,6 +56,43 @@ class CorpusPipelineSpec extends SparkSpec {
     // of the input ids (and unique)
     assert(out.select("doc_id").distinct().count() == out.count())
     assert(out.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("materialization policy changes execution, never results: fused None == staged LocalCheckpoint") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val pred = col("doc_id") % 97 === 0
+    // fused default: no per-stage pin, no stats — ONE Catalyst plan
+    val fused = CorpusPipeline.run(docs, benchPred = pred,
+      budgetPerStratum = 5000L)
+    assert(fused.stats.isEmpty, "stats are opt-in; default must collect none")
+    val a = fused.out.localCheckpoint()
+    // staged probe/spec config
+    val b = CorpusPipeline.run(docs, benchPred = pred,
+      budgetPerStratum = 5000L,
+      materialize = CorpusPipeline.Materialize.LocalCheckpoint,
+      collectStats = true).out
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "fused and staged configurations must emit identical rows")
+    // composition invariants hold under the fused config too
+    assert(CorpusPipeline.nonDensePositionShards(a) == 0)
+    assert(a.select("doc_id").distinct().count() == a.count())
+    assert(a.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("persist policy pins stages at a replicated-capable level and matches") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(2000)
+    val pred = col("doc_id") % 97 === 0
+    val p = CorpusPipeline.run(docs, benchPred = pred,
+      budgetPerStratum = 3000L,
+      materialize = CorpusPipeline.Materialize.Persist(),
+      collectStats = true)
+    val d = CorpusPipeline.run(docs, benchPred = pred,
+      budgetPerStratum = 3000L)
+    assert(p.stats.map(_.stage).size == 6)
+    assert(p.out.exceptAll(d.out).isEmpty && d.out.exceptAll(p.out).isEmpty)
+    p.out.sparkSession.sharedState.cacheManager.clearCache()
   }
 
   test("pipeline is deterministic: a rerun emits the identical shard assignment") {

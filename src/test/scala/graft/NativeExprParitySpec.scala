@@ -44,6 +44,51 @@ class NativeExprParitySpec extends SparkSpec {
     assert(edge.filter(not($"native" <=> $"decl")).count() == 0)
   }
 
+  test("native word_stats == explode+aggregate token statistics") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    val stop = Seq("the", "a", "and", "of", "to", "is")
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((-1L, ""), (-2L, null.asInstanceOf[String]),
+        (-3L, "the THE the"), (-4L, "  --x__y   42  ")).toDF("doc_id", "text"))
+    val agg = docs
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tok"), max($"c").as("max_c"),
+        sum($"c" * length($"w")).as("len_sum"),
+        sum(when($"w".isin(stop: _*), $"c").otherwise(0L)).as("stop_hits"))
+    val native = docs
+      .withColumn("_st", NativeFns.word_stats($"text", stop))
+      .filter($"_st".isNotNull) // zero-token docs: no group in the agg form
+      .select($"doc_id", $"_st.n_tok", $"_st.max_c", $"_st.len_sum", $"_st.stop_hits")
+    val diff = native.join(agg, Seq("doc_id"), "full_outer")
+      .filter(not(native("n_tok") <=> agg("n_tok")) ||
+        not(native("max_c") <=> agg("max_c")) ||
+        not(native("len_sum") <=> agg("len_sum")) ||
+        not(native("stop_hits") <=> agg("stop_hits")))
+    assert(diff.count() == 0, "word_stats must match the aggregate form per doc")
+    assert(native.filter($"doc_id" === -3L).select($"max_c").as[Long].head() == 3L)
+
+    // the fused verdict must equal the four-condition filter over the
+    // struct form (null/zero-token text drops on both sides)
+    val byStruct = docs
+      .withColumn("_st", NativeFns.word_stats($"text", stop))
+      .filter($"_st".isNotNull && $"_st.n_tok" >= 10 &&
+        $"_st.len_sum".cast("double") / $"_st.n_tok" >= 2.0 &&
+        $"_st.len_sum".cast("double") / $"_st.n_tok" <= 8.0 &&
+        $"_st.max_c".cast("double") / $"_st.n_tok" <= 0.3 &&
+        $"_st.stop_hits" >= 1)
+      .select($"doc_id")
+    val byKeep = docs
+      .filter(NativeFns.gopher_keep($"text", stop, 10L, 2.0, 8.0, 0.3, 1L))
+      .select($"doc_id")
+    assert(byStruct.exceptAll(byKeep).isEmpty && byKeep.exceptAll(byStruct).isEmpty,
+      "gopher_keep verdict must equal the struct-filter form")
+    assert(byKeep.count() > 0)
+  }
+
   test("native winnow_fp == declarative sorted-md5-grams chain") {
     import spark.implicits._
     import graft.expressions.NativeFns
@@ -190,14 +235,17 @@ class NativeExprParitySpec extends SparkSpec {
       val df = spark.range(0, 1000).select(
         NativeFns.word_shingles(concat_ws(" ", lit("alpha beta gamma delta"),
           $"id".cast("string")), 3).as("sh"),
-        NativeFns.range_bucket($"id".cast("double"), Array(10.0, 100.0, 500.0)).as("rb"))
+        NativeFns.range_bucket($"id".cast("double"), Array(10.0, 100.0, 500.0)).as("rb"),
+        NativeFns.word_stats(concat_ws(" ", lit("alpha beta the"),
+          $"id".cast("string")), Seq("the")).as("ws"))
         .select(
           TextFns.minhashSignature($"sh", 8).as("mh"),
           NativeFns.jaccard_sim($"sh", $"sh").as("js"),
           NativeFns.simhash_bits($"sh", 32).as("sim"),
           NativeFns.winnow_fp(lit("alpha beta gamma delta"), 3, 8).as("wf"),
-          $"rb")
-      assert(df.filter($"js" === 1.0 && $"rb".isNotNull && length($"wf") === 98)
+          $"ws", $"rb")
+      assert(df.filter($"js" === 1.0 && $"rb".isNotNull && length($"wf") === 98 &&
+          $"ws.n_tok" === 4L && $"ws.stop_hits" === 1L)
         .count() == 1000)
     }
   }

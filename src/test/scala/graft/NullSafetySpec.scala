@@ -59,7 +59,7 @@ class NullSafetySpec extends SparkSpec {
       (4L, "a second normal document with the usual words of a crawl and more"))
       .toDF("doc_id", "text")
     val res = graft.operators.CorpusPipeline.run(docs,
-      benchPred = lit(false), budgetPerStratum = 1000L)
+      benchPred = lit(false), budgetPerStratum = 1000L, collectStats = true)
     val ids = res.out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(2L) && !ids.contains(3L),
       s"null/empty docs must not survive the quality gate: $ids")
