@@ -141,15 +141,21 @@ object AnnIndex {
     val m = spark.read.parquet(s"$path/meta").collect()
     require(m.length == 1, s"ann index at $path: meta must be one row, got ${m.length}")
     val v = m(0).getAs[Int]("version")
-    require(v == FormatVersion,
-      s"ann index at $path: format version $v, expected $FormatVersion")
+    // v1 indexes predate seeding metadata; their training semantics
+    // were exactly seed_mode="lowid", seed_every=1, so a durable v1
+    // index keeps loading (back-compat read path, no migration
+    // rewrite needed). Only unknown FUTURE versions refuse.
+    require(v >= 1 && v <= FormatVersion,
+      s"ann index at $path: format version $v, expected <= $FormatVersion")
+    val (seedMode, seedEvery) =
+      if (v == 1) ("lowid", 1)
+      else (m(0).getAs[String]("seed_mode"), m(0).getAs[Int]("seed_every"))
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getAs[Int]("cell") -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
     Index(cents, spark.read.parquet(s"$path/corpus"),
       Meta(m(0).getAs[Int]("n_cells"), m(0).getAs[Int]("iters"),
-        m(0).getAs[Int]("dim"), m(0).getAs[String]("seed_mode"),
-        m(0).getAs[Int]("seed_every")))
+        m(0).getAs[Int]("dim"), seedMode, seedEvery))
   }
 
   /** Top-k by cosine against the persisted index: probe each query's

@@ -862,9 +862,14 @@ object Compactor {
     }
     val known = manifest.select(col("file")).collect()
       .map(r => normPath(r.getString(0))).toSet
-    // stale manifest: any current data file it doesn't know about
-    // could hold matching rows — correctness wins, prune is skipped
-    if (!full.inputFiles.map(normPath).forall(known.contains)) return exact
+    // stale manifest, either direction: a current data file the
+    // manifest doesn't know about could hold matching rows, and a
+    // manifest entry with no current file (retention purge, manual
+    // delete) would hand spark.read a dead path and throw — the
+    // advisory contract is "never correctness, never a crash", so any
+    // mismatch falls back to the full scan
+    val current = full.inputFiles.map(normPath).toSet
+    if (current != known) return exact
     val intersects = preds.map { case (c, lo, hi) =>
       coalesce(col(s"max_$c") >= lo, lit(true)) &&
         coalesce(col(s"min_$c") <= hi, lit(true))

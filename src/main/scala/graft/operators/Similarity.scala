@@ -108,6 +108,19 @@ object Similarity {
     val n0 = c.count()
     val every = math.max(seedEvery.toLong,
       (n0 + SeedSampleCap - 1) / SeedSampleCap)
+    // The generated DuckDB oracle (SimilarityOps.ivfOracleSql) replays
+    // the seeding traversal over the FULL corpus — it is only
+    // value-identical while the cap leaves the sample untouched. Warn
+    // loudly the moment auto-raising kicks in so an oracle-gated run
+    // at a larger fixture fails with a diagnosis, not a silent hash
+    // mismatch. (Production recall is unaffected — the sample stays
+    // a uniform xxhash64 rule either way.)
+    if (every > seedEvery.toLong)
+      System.err.println(
+        s"[graft] kcenterSeeds: corpus rows $n0 exceed SeedSampleCap " +
+        s"$SeedSampleCap; seedEvery auto-raised ${seedEvery} -> $every. " +
+        "Generated DuckDB seeding oracles replay the full corpus and " +
+        "will DIVERGE at this scale — do not oracle-gate this run.")
     val sampled =
       if (every <= 1) c
       else c.filter(pmod(xxhash64(col("vec_id")), lit(every)) === 0)

@@ -89,4 +89,22 @@ class AnnIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](AnnIndex.load(spark, dir))
     assert(e.getMessage.contains("format version"))
   }
+
+  test("a persisted v1 index still loads: seeding defaults to the exact v1 semantics") {
+    val dir = Files.createTempDirectory("graft-ann-ix").toString
+    // v1 trained with lowid/every=1 — the only semantics v1 had
+    AnnIndex.write(dir, emb, nCells = 4, iters = 1, dim = 64,
+      seedMode = "lowid", seedEvery = 1)
+    import spark.implicits._
+    // a v1 meta: no seed_mode / seed_every columns at all
+    Seq((1, 4, 1, 64)).toDF("version", "n_cells", "iters", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val ix = AnnIndex.load(spark, dir)
+    assert(ix.meta == AnnIndex.Meta(4, 1, 64, "lowid", 1),
+      "v1 load must default seed_mode=lowid, seed_every=1")
+    assert(ix.centroids.length == 4)
+    // and the loaded index still serves
+    val q = emb.limit(3).toDF("q_id", "q_vec")
+    assert(AnnIndex.search(ix, q, k = 5, nprobe = 2).count() > 0)
+  }
 }

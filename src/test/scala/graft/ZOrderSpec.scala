@@ -169,6 +169,19 @@ class ZOrderSpec extends SparkSpec {
     Compactor.writeStatsManifest(lake, Seq("x"))
     val fresh = Compactor.readPruned(lake, "x", lit(4), lit(4))
     assert(fresh.count() == stale.count())
+    // the OTHER staleness direction: files DELETED after the manifest
+    // (retention purge) with none added. The manifest still lists the
+    // dead paths; handing them to spark.read would throw
+    // PATH_NOT_FOUND — the advisory contract demands a silent
+    // full-scan fallback instead
+    val dataFiles = new java.io.File(lake).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    assert(dataFiles.length > 1)
+    assert(dataFiles.head.delete())
+    val purged = Compactor.readPruned(lake, "x", lit(4), lit(4))
+    assert(purged.count() ==
+      spark.read.parquet(lake).filter($"x" === 4).count(),
+      "post-purge manifest must fall back to the surviving files, not throw")
   }
 
   test("partitioned lakes: zorderParquet refuses (would flatten); readPruned keeps partition columns") {
