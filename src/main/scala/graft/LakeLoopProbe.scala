@@ -71,28 +71,37 @@ object LakeLoopProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // ONE partitioned lake driven entirely through the public API:
+    // zorderParquet writes each day's partition directory, the stats
+    // manifest is written once and APPENDED per day (delta-sized pass,
+    // never a lake rescan), and the dashboard query is one
+    // readPruned over the whole lake — no hand-rolled per-day
+    // loop on the query side (the r12 probe carried one because
+    // zorderParquet refused partitioned lakes; it no longer does).
+    val lake = s"$work/lake"
     val dayRows = (0 until nDays).map { d =>
       val incoming = s"$work/incoming/day$d"
-      val dayDir = s"$work/lake/day$d"
+      val dayDir = s"$lake/day=$d"
       val delta = daySlice(d)
       val deltaN = delta.count()
       delta.repartition(50).write.parquet(incoming) // the crawl residue
       val (_, ingestSec) = timed {
         Compactor.zorderParquet(incoming, dayDir,
           targetBytes = 8L * 1024 * 1024, Seq("user_id", "ts"))
-        Compactor.writeStatsManifest(dayDir, Seq("user_id", "ts"))
+        if (d == 0) Compactor.writeStatsManifest(lake, Seq("user_id", "ts"))
+        else Compactor.appendStatsManifest(lake,
+          spark.read.parquet(dayDir).inputFiles.toSeq)
       }
       // the whole-history dashboard query: this user, ALL days so far,
-      // via per-day manifest prune
+      // one manifest-pruned read of the whole lake
       val ((hits, filesTouched), querySec) = timed {
-        val parts = (0 to d).map(i => Compactor.readPruned(
-          s"$work/lake/day$i", "user_id", lit(probeUser), lit(probeUser)))
-        val all = parts.reduce(_ unionByName _)
-        (all.count(), parts.map(_.inputFiles.length).sum)
+        val pruned = Compactor.readPruned(
+          lake, "user_id", lit(probeUser), lit(probeUser))
+        (pruned.count(), pruned.inputFiles.length)
       }
       // parity vs the full scan, and the bounded-files claim
-      val expect = (0 to d).map(i => spark.read.parquet(s"$work/lake/day$i"))
-        .reduce(_ unionByName _).filter(col("user_id") === probeUser).count()
+      val expect = spark.read.parquet(lake)
+        .filter(col("user_id") === probeUser).count()
       require(hits == expect, s"day $d: pruned $hits != full $expect")
       require(filesTouched <= maxFilesPerDay * (d + 1),
         s"day $d: $filesTouched files touched > ${maxFilesPerDay * (d + 1)}")

@@ -708,20 +708,54 @@ object Compactor {
   def zorderParquet(inputDir: String, outputDir: String, targetBytes: Long,
                     zorderCols: Seq[String], bits: Int = 12)
                    (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import graft.expressions.NativeFns.{range_bucket, z_value}
     require(zorderCols.nonEmpty, "zorderParquet: need at least one column")
     require(zorderCols.size * bits <= 63,
       s"zorderParquet: ${zorderCols.size} cols x $bits bits exceeds 63")
     val rows = spark.read.parquet(inputDir)
-    // a partitioned lake would silently FLATTEN (partition dirs become
-    // plain columns in an unpartitioned rewrite — a schema/layout
-    // change masquerading as an optimization). Z-order a partitioned
-    // lake per partition directory; refuse the whole-lake call.
+    // A partitioned lake is rewritten PER PARTITION DIRECTORY — a
+    // whole-lake rewrite would silently FLATTEN (partition dirs become
+    // plain columns), and partition values don't need z-bits anyway:
+    // directory pruning already covers them. Each leaf directory gets
+    // its own quantile bounds and its own range exchange (bounded by
+    // that partition's file count), and the output reproduces the
+    // exact dir layout, so readers and manifest pruning see the same
+    // partitioned lake, just clustered within each partition.
     val zPartCols = partitionColsOf(rows)
-    require(zPartCols.isEmpty,
-      s"zorderParquet($inputDir): lake is partitioned by " +
-        s"${zPartCols.mkString(",")} — z-order each partition directory " +
-        "separately (a whole-lake rewrite would flatten the layout)")
+    if (zPartCols.nonEmpty) {
+      require(zorderCols.forall(c => !zPartCols.contains(c)),
+        s"zorderParquet($inputDir): ${zorderCols.mkString(",")} includes a " +
+          s"partition column (${zPartCols.mkString(",")}) — directory " +
+          "pruning already covers those; z-order data columns only")
+      val base = new org.apache.hadoop.fs.Path(inputDir)
+        .toUri.getPath.stripSuffix("/")
+      val leafRel = rows.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath
+        require(p.startsWith(base),
+          s"zorderParquet($inputDir): input file $f outside the lake root")
+        p.stripPrefix(base).stripPrefix("/")
+      }.distinct.sorted.toSeq
+      require(leafRel.forall(_.nonEmpty),
+        s"zorderParquet($inputDir): mixed flat+partitioned layout")
+      val perPart = leafRel.map { rel =>
+        zorderFlat(s"$inputDir/$rel", s"$outputDir/$rel",
+          targetBytes, zorderCols, bits)
+          .select(col("rows"), col("n_files"), col("total_bytes")).collect()(0)
+      }
+      import spark.implicits._
+      return Seq((perPart.map(_.getLong(0)).sum,
+        perPart.map(_.getLong(1)).sum,
+        perPart.map(_.getLong(2)).sum))
+        .toDF("rows", "n_files", "total_bytes")
+    }
+    zorderFlat(inputDir, outputDir, targetBytes, zorderCols, bits)
+  }
+
+  /** The single-directory z-order rewrite behind [[zorderParquet]]. */
+  private def zorderFlat(inputDir: String, outputDir: String, targetBytes: Long,
+                         zorderCols: Seq[String], bits: Int)
+                        (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.expressions.NativeFns.{range_bucket, z_value}
+    val rows = spark.read.parquet(inputDir)
     val inRows = rows.count()
     // per-column bucket bounds: 2^bits - 1 interior quantiles of the
     // double-cast columns, ONE Greenwald-Khanna pass for all of them.
@@ -805,16 +839,72 @@ object Compactor {
   def writeStatsManifest(dir: String, cols: Seq[String])
                         (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     require(cols.nonEmpty, "writeStatsManifest: need at least one column")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1).write.mode(SaveMode.Overwrite)
+    val lake = spark.read.parquet(dir)
+    // one manifest row per lake file: size the manifest's OWN file
+    // count off the listing (driver-sized by design) so a 10^6-file
+    // lake never funnels through a single write task, while the
+    // common KB-scale manifest stays one file
+    val manFiles = math.max(1,
+      ((lake.inputFiles.length + ManifestRowsPerFile - 1)
+        / ManifestRowsPerFile)).toInt
+    statsOf(lake, cols)
+      .repartitionByRange(manFiles, col("file"))
+      .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/$StatsDir")
     // return the WRITTEN manifest, not the aggregation plan — the plan
     // would re-scan the whole lake on every downstream action
+    spark.read.parquet(s"$dir/$StatsDir")
+  }
+
+  /** Manifest rows per manifest file — 500k ~ a few tens of MB. */
+  private val ManifestRowsPerFile = 500000
+
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Append per-file stats for ONLY `newFiles` to an existing manifest
+    * — the incremental move that keeps the prune alive across daily
+    * ingests without re-scanning the lake: the full
+    * [[writeStatsManifest]] costs one pass over EVERY row, while a
+    * day's append costs one pass over the day's delta (typically the
+    * same rows the ingest job just wrote, still hot). Stats columns
+    * are taken from the existing manifest so append can never fork the
+    * schema; appending a file the manifest already knows refuses
+    * (a duplicate row would make [[readPrunedMulti]] hand the same
+    * path to the reader twice).
+    */
+  def appendStatsManifest(dir: String, newFiles: Seq[String])
+                         (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(newFiles.nonEmpty, "appendStatsManifest: no files to append")
+    val (fs, statsPath) = hadoopPath(dir, StatsDir)
+    require(fs.exists(statsPath),
+      s"appendStatsManifest($dir): no manifest — writeStatsManifest first")
+    val existing = spark.read.parquet(s"$dir/$StatsDir")
+    val cols = existing.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
+    require(cols.nonEmpty,
+      s"appendStatsManifest($dir): existing manifest has no stats columns")
+    def normPath(p: String): String = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
+    val known = existing.select(col("file")).collect()
+      .map(r => normPath(r.getString(0))).toSet
+    val dupes = newFiles.filter(f => known.contains(normPath(f)))
+    require(dupes.isEmpty,
+      s"appendStatsManifest($dir): already in the manifest: " +
+        dupes.take(3).mkString(", "))
+    // basePath: partition columns of a partitioned lake must resolve
+    // exactly as they do in the full-scan stats pass
+    statsOf(spark.read.option("basePath", dir)
+        .parquet(newFiles: _*), cols)
+      .select(existing.columns.toIndexedSeq.map(col): _*)
+      .write.mode(SaveMode.Append).parquet(s"$dir/$StatsDir")
     spark.read.parquet(s"$dir/$StatsDir")
   }
 

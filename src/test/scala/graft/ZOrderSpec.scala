@@ -184,22 +184,82 @@ class ZOrderSpec extends SparkSpec {
       "post-purge manifest must fall back to the surviving files, not throw")
   }
 
-  test("partitioned lakes: zorderParquet refuses (would flatten); readPruned keeps partition columns") {
+  test("appendStatsManifest: prune stays active across an ingest without a manifest rewrite") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-append").toString
+    (0 until 4096).map(i => (i % 32, i.toLong)).toDF("x", "id")
+      .repartition(8).write.mode("overwrite").parquet(lake)
+    Compactor.writeStatsManifest(lake, Seq("x"))
+    val before = spark.read.parquet(lake).inputFiles.toSet
+    // a day's ingest lands, stats appended for ONLY the delta
+    (0 until 256).map(i => (40 + i % 8, 100000L + i)).toDF("x", "id")
+      .coalesce(2).write.mode("append").parquet(lake)
+    val delta = spark.read.parquet(lake).inputFiles.toSet -- before
+    assert(delta.size == 2)
+    val man = Compactor.appendStatsManifest(lake, delta.toSeq)
+    assert(man.count() == before.size + delta.size)
+    // prune ACTIVE (not the staleness fallback): a predicate matching
+    // only the delta must touch only delta files, rows exact
+    val pruned = Compactor.readPruned(lake, "x", lit(40), lit(47))
+    assert(pruned.inputFiles.toSet.subsetOf(delta),
+      "a delta-only predicate must read only the appended files")
+    assert(pruned.count() == 256)
+    // and a base-range predicate still reads no delta files
+    val base = Compactor.readPruned(lake, "x", lit(0), lit(5))
+    assert(base.inputFiles.toSet.intersect(delta).isEmpty)
+    assert(base.count() ==
+      spark.read.parquet(lake).filter($"x" >= 0 && $"x" <= 5).count())
+    // double-append of a known file refuses
+    val e = intercept[IllegalArgumentException] {
+      Compactor.appendStatsManifest(lake, delta.toSeq)
+    }
+    assert(e.getMessage.contains("already in the manifest"))
+  }
+
+  test("partitioned lakes: zorderParquet rewrites per partition dir, layout preserved, both columns prune") {
     implicit val s = spark
     import s.implicits._
     val lake = Files.createTempDirectory("graft-plake").toString
-    (0 until 4096).map(i => (i % 64, i.toLong, s"d${i % 3}"))
-      .toDF("x", "id", "day").repartition(4)
+    // x and y scattered within every day so an unclustered file spans
+    // nearly the full range of both
+    (0 until 12288).map { i =>
+      val r = (i * 2654435761L) % 4096
+      ((r % 64).toInt, (r / 64).toInt, i.toLong, s"d${i % 3}")
+    }.toDF("x", "y", "id", "day").repartition(8)
       .write.mode("overwrite").partitionBy("day").parquet(lake)
+    val zlake = lake + ".z"
+    val man = Compactor.zorderParquet(lake, zlake, 4 * 1024, Seq("x", "y"))
+    assert(man.select("rows").as[Long].head() == 12288)
+    val out = spark.read.parquet(zlake)
+    // layout preserved: still partition-discovered on day, same days,
+    // same rows per day
+    assert(out.columns.contains("day"))
+    val inDays = spark.read.parquet(lake).groupBy("day").count()
+    assert(out.groupBy("day").count().exceptAll(inDays).isEmpty)
+    // per-file spans tighten on BOTH columns inside every partition
+    // (the same clustering property the flat case pins)
+    val spans = out
+      .select(input_file_name().as("f"), $"x", $"y")
+      .groupBy("f")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .agg(avg($"sx"), avg($"sy")).collect()(0)
+    assert(spans.getDouble(0) < 63.0 * 0.7 && spans.getDouble(1) < 63.0 * 0.7,
+      s"z-ordered partition files must tighten both columns: $spans")
+    // z-ordering a partition column itself refuses
     val e = intercept[IllegalArgumentException] {
-      Compactor.zorderParquet(lake, lake + ".z", 8 * 1024, Seq("x", "id"))
+      Compactor.zorderParquet(lake, zlake + "2", 24 * 1024, Seq("x", "day"))
     }
-    assert(e.getMessage.contains("partition"))
-    Compactor.writeStatsManifest(lake, Seq("x"))
-    val pruned = Compactor.readPruned(lake, "x", lit(5), lit(9))
+    assert(e.getMessage.contains("partition column"))
+    // manifest prune over the partitioned z-lake keeps partition
+    // columns and exact rows
+    Compactor.writeStatsManifest(zlake, Seq("x"))
+    val pruned = Compactor.readPruned(zlake, "x", lit(5), lit(9))
     assert(pruned.columns.contains("day"),
       "pruned read must keep partition columns (basePath)")
-    val expect = spark.read.parquet(lake).filter($"x" >= 5 && $"x" <= 9)
+    val expect = spark.read.parquet(zlake).filter($"x" >= 5 && $"x" <= 9)
     assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+    assert(pruned.inputFiles.length < out.inputFiles.length,
+      "the x-range prune must skip files in a clustered partitioned lake")
   }
 }
