@@ -979,4 +979,143 @@ object Compactor {
       else spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
     applyExact(base)
   }
+
+  /** One-call lake maintenance: compact + z-order every DIRTY partition
+    * and bring the stats manifest back in sync — the composition of the
+    * streaming-sink residue story (small files landing continuously),
+    * [[zorderParquet]], and the manifest lifecycle, as the single entry
+    * point an operator actually schedules.
+    *
+    * "Dirty" is defined BY the manifest: a partition directory is dirty
+    * iff it holds any data file the manifest doesn't know (new ingest,
+    * streaming residue, or no manifest yet). Each dirty partition is
+    * rewritten z-ordered (compaction and clustering are the same
+    * rewrite) and swapped in with [[commitOptimized]]'s atomic rename
+    * pair; clean partitions are NOT touched — maintenance cost tracks
+    * the dirty fraction, not lake volume. The manifest is then rebuilt
+    * as (entries of clean partitions) UNION (fresh delta-pass stats of
+    * the rewritten ones) and swapped into place, so the prune is live
+    * again the moment the call returns.
+    *
+    * Idempotent by construction: a second run finds every file
+    * manifest-known, rewrites nothing, and leaves the lake byte-
+    * identical (MaintainSpec asserts file-set identity and a zero
+    * maintained count). Like [[commitOptimized]], the rename swap
+    * wants a quiet lake — run it from the maintenance schedule, not
+    * under live readers.
+    *
+    * @return one row per partition directory:
+    *         (partition, maintained, n_files, rows)
+    */
+  def maintainLake(lake: String, targetBytes: Long, zorderCols: Seq[String],
+                   bits: Int = 12)
+                  (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(zorderCols.nonEmpty, "maintainLake: need at least one z-order column")
+    val rows = spark.read.parquet(lake)
+    val partCols = partitionColsOf(rows)
+    require(zorderCols.forall(c => !partCols.contains(c)),
+      s"maintainLake($lake): z-order data columns only (directory pruning " +
+        s"already covers ${partCols.mkString(",")})")
+    def norm(p: String): String = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
+    val (fs, statsPath) = hadoopPath(lake, StatsDir)
+    val hadManifest = fs.exists(statsPath)
+    // (raw, normalized) pairs: raw values drive the manifest resync
+    // semi-join below, normalized ones the dirty-partition test
+    val knownPairs: Array[(String, String)] =
+      if (!hadManifest) Array.empty
+      else spark.read.parquet(s"$lake/$StatsDir").select(col("file"))
+        .collect().map(r => (r.getString(0), norm(r.getString(0))))
+    val known: Set[String] = knownPairs.map(_._2).toSet
+    val base = new org.apache.hadoop.fs.Path(lake).toUri.getPath.stripSuffix("/")
+    val byPart: Seq[(String, Array[String])] = rows.inputFiles
+      .groupBy { f =>
+        val p = new org.apache.hadoop.fs.Path(f).getParent.toUri.getPath
+        require(p.startsWith(base), s"maintainLake($lake): $f outside the lake")
+        p.stripPrefix(base).stripPrefix("/")
+      }.toSeq.sortBy(_._1)
+    val dirty = byPart.filter(_._2.exists(f => !known.contains(norm(f))))
+
+    val report = byPart.map { case (rel, files) =>
+      val isDirty = dirty.exists(_._1 == rel)
+      val src = if (rel.isEmpty) lake else s"$lake/$rel"
+      if (isDirty) {
+        // dot-prefixed staging dir: invisible to readers and partition
+        // discovery while the rewrite runs
+        val tmp =
+          if (rel.isEmpty) s"$lake.maintain-tmp"
+          else s"$lake/.maintain-tmp-${rel.replace('/', '_')}"
+        val man = zorderFlat(src, tmp, targetBytes, zorderCols, bits)
+          .collect()(0)
+        if (rel.isEmpty) {
+          // flat lake: the manifest dir must survive the swap — move it
+          // into the staging dir before promoting
+          if (hadManifest)
+            fs.rename(statsPath, new org.apache.hadoop.fs.Path(tmp, StatsDir))
+          fs.delete(new org.apache.hadoop.fs.Path(commitOptimized(src, tmp)), true)
+        } else {
+          fs.delete(new org.apache.hadoop.fs.Path(commitOptimized(src, tmp)), true)
+        }
+        (rel, true, man.getLong(1), man.getLong(0))
+      } else {
+        (rel, false, files.length.toLong, -1L)
+      }
+    }
+
+    // manifest resync: keep clean partitions' entries, fresh-stats the
+    // rewritten ones (delta pass only), swap atomically
+    if (dirty.nonEmpty || !hadManifest) {
+      val statsCols =
+        if (!hadManifest) zorderCols
+        else {
+          val c = spark.read.parquet(s"$lake/$StatsDir").columns
+            .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+          require(c.sorted == zorderCols.sorted,
+            s"maintainLake($lake): manifest stats cols $c != z-order cols " +
+              s"$zorderCols — rewrite the manifest explicitly to change them")
+          c
+        }
+      val rewrittenFiles = dirty.map(_._1).flatMap { rel =>
+        val dir = if (rel.isEmpty) lake else s"$lake/$rel"
+        spark.read.parquet(dir).inputFiles
+      }
+      val fresh = statsOf(
+        spark.read.option("basePath", lake).parquet(rewrittenFiles: _*),
+        statsCols)
+      // prefix test runs on URI PATHS (scheme spellings differ between
+      // the caller's lake string and input_file_name output; `base` is
+      // already the lake's URI path)
+      val dirtyPrefixes = dirty.map { case (rel, _) =>
+        (if (rel.isEmpty) base else s"$base/$rel") + "/" }
+      val all =
+        if (!hadManifest) fresh
+        else {
+          import spark.implicits._
+          // clean = manifest entries NOT under a rewritten partition;
+          // resolved driver-side on the already-collected listing and
+          // re-joined on the RAW file strings (no path-normalization
+          // expression needed in the plan)
+          val cleanRaw = knownPairs.collect {
+            case (raw, _) if !dirtyPrefixes.exists(
+              new org.apache.hadoop.fs.Path(raw).toUri.getPath.startsWith) => raw
+          }.toSeq
+          val keep = spark.read.parquet(s"$lake/$StatsDir")
+            .join(cleanRaw.toDF("file"), Seq("file"), "left_semi")
+          keep.unionByName(fresh.select(keep.columns.toIndexedSeq.map(col): _*))
+        }
+      val tmpStats = new org.apache.hadoop.fs.Path(lake, s".$StatsDir-tmp")
+      val manFiles = math.max(1,
+        (rows.inputFiles.length + ManifestRowsPerFile - 1) / ManifestRowsPerFile)
+      all.repartitionByRange(manFiles, col("file"))
+        .write.mode(SaveMode.Overwrite).parquet(tmpStats.toString)
+      fs.delete(statsPath, true)
+      require(fs.rename(tmpStats, statsPath),
+        s"maintainLake($lake): failed to promote the rebuilt manifest")
+    }
+
+    import spark.implicits._
+    report.toDF("partition", "maintained", "n_files", "rows")
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Compactor
+
+/** [[graft.operators.Compactor.maintainLake]] — the one-call
+  * compact + z-order + manifest-resync composition. Pins:
+  *   - only DIRTY partitions (files unknown to the manifest) are
+  *     rewritten; clean partitions are byte-untouched;
+  *   - the manifest is live immediately after (prune active, rows
+  *     exact);
+  *   - idempotence: a second run rewrites nothing and leaves the lake
+  *     file-set-identical.
+  */
+class MaintainSpec extends SparkSpec {
+
+  test("maintainLake: dirty-only rewrite, manifest resync, idempotent second run") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-maint").toString
+    // two day partitions of scattered (x, y)
+    (0 until 8192).map { i =>
+      val r = (i * 2654435761L) % 4096
+      ((r % 64).toInt, (r / 64).toInt, i.toLong, s"d${i % 2}")
+    }.toDF("x", "y", "id", "day").repartition(6)
+      .write.mode("overwrite").partitionBy("day").parquet(lake)
+
+    // run 1: no manifest -> everything dirty, all partitions rewritten
+    val r1 = Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(r1.size == 2 && r1.values.forall(identity),
+      s"first run must maintain every partition: $r1")
+    val files1 = spark.read.parquet(lake).inputFiles.toSet
+    assert(spark.read.parquet(lake).count() == 8192)
+
+    // prune is live immediately: x-range read touches a strict subset
+    val pruned = Compactor.readPruned(lake, "x", lit(3), lit(6))
+    assert(pruned.count() ==
+      spark.read.parquet(lake).filter($"x" >= 3 && $"x" <= 6).count())
+    assert(pruned.inputFiles.length < files1.size)
+
+    // run 2: nothing dirty -> nothing rewritten, lake byte-identical
+    val r2 = Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(r2.values.forall(m => !m), s"second run must be a no-op: $r2")
+    assert(spark.read.parquet(lake).inputFiles.toSet == files1,
+      "an idempotent no-op must not touch a single file")
+
+    // streaming residue lands in ONE partition -> only that partition
+    // is rewritten; the other keeps its exact files
+    val cleanFiles = files1.filter(_.contains("day=d1"))
+    (0 until 512).map(i => (70, 99, 900000L + i, "d0"))
+      .toDF("x", "y", "id", "day").coalesce(3)
+      .write.mode("append").partitionBy("day").parquet(lake)
+    val r3 = Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(r3("day=d0") && !r3("day=d1"), s"only the residue partition is dirty: $r3")
+    assert(spark.read.parquet(lake).inputFiles.toSet
+      .filter(_.contains("day=d1")) == cleanFiles,
+      "the clean partition must be byte-untouched")
+    assert(spark.read.parquet(lake).count() == 8192 + 512)
+    // manifest covers the resynced lake: the new value range prunes to
+    // the rewritten partition only, rows exact
+    val p2 = Compactor.readPruned(lake, "x", lit(70), lit(70))
+    assert(p2.count() == 512)
+    assert(p2.inputFiles.forall(_.contains("day=d0")))
+    // and a full-range parity check
+    val full = spark.read.parquet(lake)
+    val viaPrune = Compactor.readPruned(lake, "x", lit(0), lit(70))
+    assert(viaPrune.count() == full.filter($"x" >= 0 && $"x" <= 70).count())
+  }
+
+  test("maintainLake on a FLAT lake: rewrite-all then no-op, manifest survives the swap") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-maint-flat").toString
+    (0 until 4096).map { i =>
+      val r = (i * 2654435761L) % 4096
+      ((r % 64).toInt, (r / 64).toInt, i.toLong)
+    }.toDF("x", "y", "id").repartition(5)
+      .write.mode("overwrite").parquet(lake)
+    val r1 = Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y")).collect()
+    assert(r1.length == 1 && r1(0).getBoolean(1))
+    assert(spark.read.parquet(lake).count() == 4096)
+    val files1 = spark.read.parquet(lake).inputFiles.toSet
+    val r2 = Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y")).collect()
+    assert(r2.length == 1 && !r2(0).getBoolean(1), "second flat run must no-op")
+    assert(spark.read.parquet(lake).inputFiles.toSet == files1)
+    val pruned = Compactor.readPruned(lake, "x", lit(10), lit(12))
+    assert(pruned.count() ==
+      spark.read.parquet(lake).filter($"x" >= 10 && $"x" <= 12).count())
+    assert(pruned.inputFiles.length < files1.size)
+  }
+}

@@ -29,7 +29,12 @@ MODES = {
         "sfdir": f"{REPO}/benchdata/sf10join",
         "queries": ["q36_waiting_suppliers", "q38_parts_supplier_counts",
                     "q39_dominant_suppliers", "q32_lateral_topn",
-                    "q25_min_cost_supplier"],
+                    "q25_min_cost_supplier",
+                    # r13: the three slowest sf0.1 relational queries had
+                    # only the static-plan audit at sf10join stats, never
+                    # their own solo 100x wall
+                    "q15_brand_suppliers", "q05_region_volume",
+                    "q33_nation_volume"],
         "iters": 2,
         "out": f"{REPO}/BENCH_sf10_join_probe.json",
         "scale": 100,
