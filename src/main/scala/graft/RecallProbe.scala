@@ -140,6 +140,20 @@ object RecallProbe {
           ranked.filter(_._1 <= nprobe).map(_._2).sum.toDouble / qN
       }
 
+      // sketch-prefilter + exact re-rank (r13): cand_frac is the
+      // exact-scored fraction m/|corpus| — the sketch pass touches
+      // every row but only sketchDim/64 of the floats (recorded in the
+      // variant name; the wall includes it)
+      val sketchRows = for {
+        (sd, frac) <- Seq((16, 0.01), (16, 0.05), (16, 0.10), (8, 0.05),
+          (16, 0.25), (32, 0.10), (32, 0.25))
+      } yield {
+        val m = math.max(k, math.ceil(frac * corpusN).toInt)
+        recallRow(f"sketch${sd}_rerank_m${(frac * 100).toInt}pct",
+          Similarity.knnSketchRerank(queries, e, k, m = m, sketchDim = sd),
+          m.toDouble)
+      }
+
       val nCells = if (label.startsWith("clustered")) 32 else 16
       val lshRows = Seq(
         recallRow("lsh_p4_single",
@@ -164,7 +178,7 @@ object RecallProbe {
             nprobe = np, trained = Some(cents)),
           meter(np))
       }
-      lshRows ++ ivfRows
+      sketchRows ++ lshRows ++ ivfRows
     }
 
     val organic = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -1132,6 +1132,54 @@ case class ZValue(child: Expression, bits: Int)
   override def prettyName: String = "z_value"
 }
 
+/** `sketch_project(vec)`: the Johnson-Lindenstrauss sketch of an
+  * `array<float>` — element j is the dot product of the input with row
+  * j of the literal projection `matrix`, double-accumulated in
+  * ascending index order over the common prefix and then cast to
+  * float. That is operation-for-operation
+  * `array_j(cast(dot_product(vec, lit(matrix(j))) as float))`, so the
+  * two forms are BIT-IDENTICAL (pinned by NativeExprParitySpec) and
+  * the s06 DuckDB oracle, which restates the dot-literal form, covers
+  * this one unchanged.
+  *
+  * Exists because the composed form detonates codegen: a
+  * `CreateArray` of 32 DotProduct nodes each dragging a 64-float
+  * literal blows the projection past Janino's method limit, and the
+  * silent interpreted fallback re-walks 32 expression trees per row —
+  * measured 33 s where this kernel (one reference object holding the
+  * primitive matrix, one fused loop nest) runs in ~1 s. The matrix
+  * rides inside the expression like [[NearestCentroid]]'s centroids:
+  * sketchDim x dim floats, a few KB plan-serialized to every task.
+  */
+case class SketchProject(child: Expression, matrix: Array[Array[Float]])
+    extends UnaryExpression with GraftUnaryDelegateCodegen {
+  require(matrix.nonEmpty, "sketch_project: empty projection matrix")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Float](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      val n = math.min(row.length, arr.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += arr.getFloat(i).toDouble * row(i).toDouble
+        i += 1
+      }
+      out(j) = dot.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SketchProject =
+    copy(child = c)
+  override def prettyName: String = "sketch_project"
+}
+
 object NativeFns {
   def minhash_sig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
@@ -1157,6 +1205,8 @@ object NativeFns {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+  def sketch_project(vec: Column, matrix: Array[Array[Float]]): Column =
+    ColumnBridge.column(SketchProject(ColumnBridge.expression(vec), matrix))
   def range_bucket(v: Column, bounds: Array[Double]): Column =
     ColumnBridge.column(RangeBucket(ColumnBridge.expression(v), bounds))
   def z_value(buckets: Column, bits: Int): Column =

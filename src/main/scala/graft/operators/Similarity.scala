@@ -309,6 +309,74 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
   }
 
+  /** Deterministic gaussian projection matrix (sketchDim x dim) for
+    * [[knnSketchRerank]] — seeded, so both engines and every run see
+    * identical floats.
+    */
+  def sketchMatrix(dim: Int, sketchDim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(sketchDim, dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** Sketch-prefilter + exact re-rank kNN — the serve path that beats
+    * cell probing on UNSTRUCTURED corpora (RecallProbe's organic
+    * fixture: IVF recall tracks candidate fraction ~linearly there
+    * because no cluster structure exists to exploit; a
+    * Johnson-Lindenstrauss sketch has no such dependence on cluster
+    * structure). Two passes:
+    *
+    *   1. SKETCH pass: every corpus vector is scored against each
+    *      query by cosine over a `sketchDim`-dim random projection
+    *      (seeded gaussian matrix, 16 native dot products per row in
+    *      the scan projection). Top `m` per query survive. The pass
+    *      touches every row but only sketchDim/dim of the FLOATS — at
+    *      100 TB the sketch is a persisted sibling column and the scan
+    *      reads 1/4 of the bytes (8-bit quantization would make it
+    *      1/32; float sketches keep the oracle exact).
+    *   2. RE-RANK pass: exact 6-dp cosine over the full vectors of the
+    *      m survivors only, top-k — so the expensive scoring fraction
+    *      is m/|corpus|, the dial RecallProbe measures.
+    *
+    * Fully deterministic (seeded matrix, vec_id tie-breaks), so the
+    * s06 oracle replays both passes with the projection matrix
+    * embedded as literals.
+    */
+  def knnSketchRerank(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
+                      sketchDim: Int = 16, dim: Int = 64,
+                      seed: Long = 20260814L): DataFrame = {
+    import graft.expressions.NativeFns.sketch_project
+    require(m >= k, s"knnSketchRerank: m=$m must be >= k=$k")
+    val R = sketchMatrix(dim, sketchDim, seed)
+    // one fused native kernel per row — NOT array(dot_product...):
+    // that form is bit-identical but detonates codegen past 16 rows
+    // (see SketchProject scaladoc)
+    def sk(c: Column): Column = sketch_project(c, R)
+    val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val q = queries.toDF("query_id", "q_vec")
+    val c = corpus.toDF("vec_id", "c_vec").repartition(par)
+    // pass 1: ids + sketches only — the ranking shuffle never carries
+    // full vectors
+    val qs = broadcast(q.withColumn("q_sk", sk(col("q_vec")))
+      .select(col("query_id"), col("q_sk")))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("vec_id").asc)
+    val cand = c.select(col("vec_id"), sk(col("c_vec")).as("c_sk"))
+      .join(qs, col("query_id") =!= col("vec_id"))
+      .withColumn("s", VecFns.cosine(col("q_sk"), col("c_sk")))
+      .withColumn("srk", row_number().over(wS))
+      .filter(col("srk") <= m)
+      .select(col("query_id"), col("vec_id"))
+    // pass 2: exact re-rank of the m survivors
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(c, "vec_id").join(broadcast(q), "query_id")
+      .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cos"))
+  }
+
   /** Cell-partitioned (IVF-style) top-k: only corpus rows sharing the
     * query's cell are scored. `queries`/`corpus`: (id, vec, cell).
     */

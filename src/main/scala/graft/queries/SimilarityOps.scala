@@ -245,6 +245,55 @@ object SimilarityOps extends QuerySet {
               |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM sc),
               |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
               |  ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
-              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 10""".stripMargin))
+              |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= 10""".stripMargin)),
+
+    // --- Sketch-prefilter + exact re-rank: the unstructured-corpus
+    // serve path (see Similarity.knnSketchRerank). The seeded gaussian
+    // projection matrix is embedded in the generated oracle as double
+    // literals (Float#toDouble#toString round-trips exactly), the
+    // FLOAT-cast of each sketch element is replayed with CAST(..AS
+    // FLOAT), and both the sketch ranking (unrounded double cosine,
+    // vec_id tie-break, top-m) and the exact 6-dp re-rank are restated
+    // CTE for CTE.
+    Q("s06_knn_sketch_rerank",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        Similarity.knnSketchRerank(
+          e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
+          e.select($"vec_id", $"embedding"),
+          k = 10, m = 100)
+      },
+      Some(sketchOracleSql(k = 10, m = 100, nQ = 20, dim = 64,
+        sketchDim = 16, seed = 20260814L)))
   )
+
+  /** Generated DuckDB restatement of [[Similarity.knnSketchRerank]]. */
+  private def sketchOracleSql(k: Int, m: Int, nQ: Int, dim: Int,
+                              sketchDim: Int, seed: Long): String = {
+    val r = Similarity.sketchMatrix(dim, sketchDim, seed)
+    def lits(row: Array[Float]): String =
+      row.map(f => f.toDouble.toString).mkString("[", ",", "]")
+    val skElems = r.map(row =>
+      s"CAST(list_sum(list_transform(range(1,${dim + 1}), i -> v[i] * ${lits(row)}[i])) AS FLOAT)")
+      .mkString("[", ",\n", "]")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       | list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |sk AS MATERIALIZED (SELECT vec_id, v,
+       | list_transform($skElems, x -> x::DOUBLE) AS sd FROM e),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, sd AS qs
+       | FROM sk WHERE vec_id < $nQ),
+       |ssc AS (SELECT query_id, c.vec_id, qv, c.v AS cv,
+       | list_sum(list_transform(range(1,${sketchDim + 1}), i -> qs[i]*c.sd[i])) /
+       |  (sqrt(list_sum(list_transform(qs, x -> x*x))) *
+       |   sqrt(list_sum(list_transform(c.sd, x -> x*x)))) AS s
+       | FROM q JOIN sk c ON c.vec_id <> query_id),
+       |cand AS (SELECT query_id, vec_id, qv, cv FROM (
+       | SELECT *, row_number() OVER (PARTITION BY query_id
+       |  ORDER BY s DESC, vec_id ASC) AS srk FROM ssc) WHERE srk <= $m),
+       |r AS (SELECT query_id, vec_id, $cosSql AS cos FROM cand),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       | ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
+       |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= $k""".stripMargin
+  }
 }

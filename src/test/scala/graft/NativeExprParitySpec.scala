@@ -319,4 +319,29 @@ class NativeExprParitySpec extends SparkSpec {
       assert(got.count() > 0)
     }
   }
+
+  test("sketch_project == array(dot_product(vec, lit(row)) cast float) (bitwise)") {
+    import spark.implicits._
+    import graft.expressions.NativeFns
+    import graft.operators.Similarity
+    // s06's oracle restates the dot-literal form; the serve path runs
+    // the fused kernel — the two must agree float for float, at a
+    // sketchDim past the composed form's codegen comfort zone.
+    val e = Tables.load(spark, sf0001, "embeddings")
+    for (sd <- Seq(8, 32)) {
+      val r = Similarity.sketchMatrix(dim = 64, sketchDim = sd, seed = 20260814L)
+      val composed = array(r.toIndexedSeq.map(row =>
+        NativeFns.dot_product($"embedding", typedLit(row.toSeq)).cast("float")): _*)
+      val diff = e.select(
+          NativeFns.sketch_project($"embedding", r).as("fused"),
+          composed.as("composed"))
+        .filter(not($"fused" <=> $"composed"))
+      assert(diff.count() == 0, s"sketchDim=$sd diverged")
+    }
+    // null vector in -> null sketch out
+    val nulls = Seq((1L, None: Option[Seq[Float]])).toDF("id", "v")
+      .select(NativeFns.sketch_project($"v",
+        Similarity.sketchMatrix(4, 2, 1L)).as("sk"))
+    assert(nulls.filter($"sk".isNotNull).count() == 0)
+  }
 }
