@@ -197,6 +197,110 @@ object AnnIndex {
       .select(col("query_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
   }
 
+  // ------------------------------------------------------------------
+  // Sketch index: the persisted form of [[Similarity.knnSketchRerank]]
+  // — the serve path for UNSTRUCTURED corpora, where IVF cells have no
+  // cluster structure to exploit and recall tracks scored fraction
+  // almost linearly (measured: BENCH_ann_recall.json organic rows).
+  //
+  // Two sibling tables at `path`:
+  //   - `sketches` (vec_id, sk: array<float>[sketchDim]) — the
+  //     Johnson-Lindenstrauss projection of every corpus vector;
+  //   - `vectors`  (vec_id, c_vec: array<float>[dim]) — the corpus.
+  //
+  // The byte ratio is the point: pass 1 (rank ALL rows per query)
+  // scans ONLY `sketches` — sketchDim/dim of the vector bytes
+  // (16/64 = 1/4 by default; AnnIndexSpec asserts the on-disk ratio)
+  // — and pass 2 reads full vectors for just the m survivors via an
+  // equi join. At 100 TB that turns the unavoidable full-corpus pass
+  // into a quarter-size columnar scan with a bounded exact tail.
+  // ------------------------------------------------------------------
+
+  private val SketchFormatVersion = 1
+
+  final case class SketchMeta(sketchDim: Int, dim: Int, seed: Long)
+
+  /** Sketch every corpus vector and persist both tables + meta. The
+    * projection matrix is not stored — it is a pure function of
+    * (dim, sketchDim, seed) ([[Similarity.sketchMatrix]]), recomputed
+    * at load; floats round-trip parquet exactly, so a served search is
+    * row-identical to the inline operator.
+    */
+  def writeSketch(path: String, corpus: DataFrame, sketchDim: Int = 16,
+                  dim: Int = 64, seed: Long = 20260814L): Unit = {
+    import graft.expressions.NativeFns.sketch_project
+    val spark = corpus.sparkSession
+    val r = Similarity.sketchMatrix(dim, sketchDim, seed)
+    val c = corpus.toDF("vec_id", "c_vec")
+    c.select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
+      .write.mode("overwrite").parquet(s"$path/sketches")
+    c.write.mode("overwrite").parquet(s"$path/vectors")
+    import spark.implicits._
+    Seq((SketchFormatVersion, sketchDim, dim, seed))
+      .toDF("version", "sketch_dim", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sketch_meta")
+  }
+
+  /** [[writeSketch]] to a managed temp dir, once per (corpus plan,
+    * params) per session; returns the index path. Same build-once
+    * amortization as [[writeOnce]].
+    */
+  def writeSketchOnce(corpus: DataFrame, sketchDim: Int = 16,
+                      dim: Int = 64, seed: Long = 20260814L): String = {
+    val key = s"sk:${corpus.queryExecution.analyzed.semanticHash()}:" +
+      s"$sketchDim:$dim:$seed"
+    builtDirs.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sk-ix").toString
+      writeSketch(dir, corpus, sketchDim, dim, seed)
+      dir
+    })
+  }
+
+  def loadSketchMeta(spark: SparkSession, path: String): SketchMeta = {
+    val m = spark.read.parquet(s"$path/sketch_meta").collect()
+    require(m.length == 1,
+      s"sketch index at $path: meta must be one row, got ${m.length}")
+    val v = m(0).getAs[Int]("version")
+    require(v >= 1 && v <= SketchFormatVersion,
+      s"sketch index at $path: format version $v, expected <= $SketchFormatVersion")
+    SketchMeta(m(0).getAs[Int]("sketch_dim"), m(0).getAs[Int]("dim"),
+      m(0).getAs[Long]("seed"))
+  }
+
+  /** Sketch-prefilter + exact re-rank against the persisted index —
+    * row-identical to [[Similarity.knnSketchRerank]] with the index's
+    * (sketchDim, dim, seed) (same ranking keys, same 6-dp rounding,
+    * same vec_id tie-breaks; AnnIndexSpec pins parity). Pass 1 scans
+    * only `sketches`; pass 2 joins the m survivors against `vectors`.
+    */
+  def searchSketch(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int, m: Int): DataFrame = {
+    import graft.expressions.NativeFns.sketch_project
+    require(m >= k, s"searchSketch: m=$m must be >= k=$k")
+    val meta = loadSketchMeta(spark, path)
+    val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
+    val q = queries.toDF("query_id", "q_vec")
+    val qs = broadcast(q.withColumn("q_sk", sketch_project(col("q_vec"), r))
+      .select(col("query_id"), col("q_sk")))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("vec_id").asc)
+    val cand = spark.read.parquet(s"$path/sketches")
+      .join(qs, col("query_id") =!= col("vec_id"))
+      .withColumn("s", VecFns.cosine(col("q_sk"), col("sk")))
+      .withColumn("srk", row_number().over(wS))
+      .filter(col("srk") <= m)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(spark.read.parquet(s"$path/vectors"), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("cos"))
+  }
+
   /** Assign `vecs` (id, vec) to their nearest existing centroids and
     * append them under the matching cell directories — corpus growth
     * without retraining.

@@ -78,20 +78,47 @@ object Relational extends QuerySet {
     // --- 6-way join through region->nation->(customer,supplier) with
     // the same-nation constraint; fixed-size dims (nation/region)
     // broadcast-hinted, scaling tables AQE-decided.
+    //
+    // r13 (solo sf10join 12.5 s / 10x -> the join-order fix): the
+    // declarative chain put the ASIA restriction LAST, so without CBO
+    // stats every fact shuffle ran on the full 60M rows and the 5/25
+    // nation filter arrived after the work was done. The selective dim
+    // now enters FIRST: nation x region(ASIA) is 5 rows, broadcast
+    // into supplier (suppliers drop 5/25 and carry n_name), and THAT
+    // broadcast prunes lineitem before the single orderkey shuffle.
+    // orders joins customer on the broadcastable customer side, so the
+    // same-nation test (c_nationkey = s_nationkey) rides the orderkey
+    // join as a residual condition. One fact shuffle, on 1/5 of the
+    // fact. Same result set, oracle unchanged.
     Q("q05_region_volume",
       (s, d) => {
         import s.implicits._
         val r = Tables.load(s, d, "region").filter($"r_name" === "ASIA")
         val n = Tables.load(s, d, "nation")
         val cJ = Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_nationkey")
         val sup = Tables.load(s, d, "supplier")
-        val o = Tables.load(s, d, "orders")
+          .select($"s_suppkey", $"s_nationkey")
+        val o = Tables.load(s, d, "orders").select($"o_orderkey", $"o_custkey")
         val l = Tables.load(s, d, "lineitem")
-        l.join(sup, $"l_suppkey" === $"s_suppkey")
-          .join(o, $"l_orderkey" === $"o_orderkey")
-          .join(cJ, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
-          .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
-          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        val asiaNations = n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey", $"n_name")
+        val asiaSup = sup.join(broadcast(asiaNations),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"s_nationkey", $"n_name")
+        // c_nationkey = s_nationkey and s_nationkey in ASIA together
+        // imply c_nationkey in ASIA: pre-filtering customers by the
+        // same 5-row broadcast shrinks the orders join 5x before the
+        // fact sees it
+        val asiaCust = cJ.join(broadcast(asiaNations.select($"n_nationkey")),
+            $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"c_nationkey")
+        val oc = o.join(asiaCust, $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"c_nationkey")
+        l.join(asiaSup, $"l_suppkey" === $"s_suppkey")
+          .join(oc, $"l_orderkey" === $"o_orderkey" &&
+            $"c_nationkey" === $"s_nationkey")
           .groupBy($"n_name")
           .agg(round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
       },

@@ -245,6 +245,21 @@ object Relational2 extends QuerySet {
              |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
 
     // --- Distinct aggregate per group.
+    //
+    // r13 scale audit (solo sf10join 12.2 s / 8.8x, above the 3-5x
+    // join band): PROFILE-ATTRIBUTED, not a plan flaw — Q15Prof times
+    // the sub-plans solo at sf10join: the partkey join alone is 2.8 s;
+    // ONE single-distinct aggregate (no Expand anywhere) is 11.5-14.3 s;
+    // the two-distinct Expand form is 13.6 s — i.e. Expand's second
+    // copy of the fact rides the same wall as one distinct, and the
+    // cost IS the 60M-row distinct-dedup volume (irreducible for an
+    // exact answer: (brand, orderkey) pairs are near-unique, so no
+    // layout crushes them map-side). Falsified rewrites, measured:
+    // distinct-(partkey,suppkey)-first two-branch 21.0 s (a random
+    // layout gives partial-distinct nothing to crush, and the fact
+    // shuffles twice); shuffle_hash join 21.8 s (the dual consumer
+    // re-probes); int-coded brand agg key 13.6 s (string hashing is
+    // not the cost). The declarative form below IS the right plan.
     Q("q15_brand_suppliers",
       (s, d) => {
         import s.implicits._

@@ -264,9 +264,34 @@ object SimilarityOps extends QuerySet {
           e.select($"vec_id", $"embedding"),
           k = 10, m = 100)
       },
-      Some(sketchOracleSql(k = 10, m = 100, nQ = 20, dim = 64,
-        sketchDim = 16, seed = 20260814L)))
+      Some(sketchOracle)),
+
+    // --- The same sketch-rerank contract through the PERSISTED index
+    // ([[graft.operators.AnnIndex.writeSketch]]): sketch every corpus
+    // vector ONCE into a sibling `sketches` table (sketchDim/dim of
+    // the vector bytes — the 100 TB full-corpus pass becomes a
+    // quarter-size scan), then serve pass 1 from that table alone and
+    // read full vectors only for the m survivors. Sketching is
+    // deterministic and floats round-trip parquet exactly, so the
+    // result is row-identical to s06 and shares its oracle — what this
+    // entry adds to the gate is the write -> load -> sketch-scan ->
+    // rerank path.
+    Q("s07_knn_sketch_indexed",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        val dir = graft.operators.AnnIndex.writeSketchOnce(
+          e.select($"vec_id", $"embedding"))
+        graft.operators.AnnIndex.searchSketch(s, dir,
+          e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
+          k = 10, m = 100)
+      },
+      Some(sketchOracle))
   )
+
+  private lazy val sketchOracle: String =
+    sketchOracleSql(k = 10, m = 100, nQ = 20, dim = 64,
+      sketchDim = 16, seed = 20260814L)
 
   /** Generated DuckDB restatement of [[Similarity.knnSketchRerank]]. */
   private def sketchOracleSql(k: Int, m: Int, nQ: Int, dim: Int,

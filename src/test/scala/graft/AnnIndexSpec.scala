@@ -90,6 +90,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("format version"))
   }
 
+  test("sketch index: served search == inline knnSketchRerank; sketches are ~sketchDim/dim of the vector bytes") {
+    val dir = Files.createTempDirectory("graft-sk-ix").toString
+    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64)
+    assert(AnnIndex.loadSketchMeta(spark, dir) ==
+      AnnIndex.SketchMeta(16, 64, 20260814L))
+
+    val q = emb.filter(col("vec_id") < 5)
+    val got = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)
+    val inline = Similarity.knnSketchRerank(q, emb, k = 5, m = 40,
+      sketchDim = 16, dim = 64)
+    val expected = rows(inline)
+    assert(expected.nonEmpty)
+    assert(rows(got) == expected)
+
+    // the byte claim that makes the index an index: pass 1's table is
+    // a quarter-size scan (16/64 floats + shared id column/overheads
+    // -> assert under a third)
+    def bytes(sub: String): Long = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (sk, vec) = (bytes("sketches"), bytes("vectors"))
+    assert(sk > 0 && vec > 0)
+    assert(sk.toDouble / vec < 1.0 / 3,
+      s"sketches table must be ~sketchDim/dim of vector bytes: $sk vs $vec")
+  }
+
+  test("sketch index: foreign format version fails loudly") {
+    val dir = Files.createTempDirectory("graft-sk-ix").toString
+    AnnIndex.writeSketch(dir, emb, sketchDim = 8, dim = 64)
+    import spark.implicits._
+    Seq((99, 8, 64, 20260814L)).toDF("version", "sketch_dim", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sketch_meta")
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.loadSketchMeta(spark, dir))
+    assert(e.getMessage.contains("format version"))
+  }
+
   test("a persisted v1 index still loads: seeding defaults to the exact v1 semantics") {
     val dir = Files.createTempDirectory("graft-ann-ix").toString
     // v1 trained with lowid/every=1 — the only semantics v1 had
