@@ -113,8 +113,14 @@ MODES = {
         # is dominated by IVF training (sampled k-means) + the
         # nearest-centroid corpus pass
         "sfdir": f"{REPO}/benchdata/sf10",
+        # r13: s06/s07 (sketch-prefilter + exact re-rank, inline and
+        # served from the persisted sketch index) join the family —
+        # both stream the corpus once through the 16-dim sketch pass
+        # and re-rank m survivors, so they must track s01's linear
+        # corpus growth with a smaller constant
         "queries": ["s01_knn_bruteforce", "s02_knn_by_cell",
-                    "s03_knn_lsh", "s04_knn_ivf"],
+                    "s03_knn_lsh", "s04_knn_ivf",
+                    "s06_knn_sketch_rerank", "s07_knn_sketch_indexed"],
         "iters": 2,
         "out": f"{REPO}/BENCH_sf10_ann_probe.json",
         "scale": 100,
