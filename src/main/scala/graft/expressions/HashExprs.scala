@@ -550,6 +550,22 @@ object WordStats {
       var i = 0
       while (i < nUsed) { cnt(used(i)) = 0; i += 1 }
       nUsed = 0
+      // pre-size off the document length: distinct tokens <= docLen/2
+      // (a token plus its separator is >= 2 bytes), so cap >= docLen
+      // skips the first grow() rehashes on typical multi-KB documents.
+      // Bounded at 2^16 — past that, repetitive text makes docLen a
+      // bad predictor of DISTINCT tokens and grow()'s doubling is
+      // amortized O(distinct) anyway, so a bigger hint would only pin
+      // per-thread memory. The table is empty here, so resizing is a
+      // plain reallocation, never a rehash.
+      val hint = math.min(docLenHint, 1 << 16)
+      if (hint > cap) {
+        var target = cap
+        while (target < hint) target <<= 1
+        cap = target
+        off = new Array[Int](cap); len = new Array[Int](cap)
+        cnt = new Array[Int](cap); used = new Array[Int](cap)
+      }
     }
 
     private def hash(b: Array[Byte], o: Int, l: Int): Int = {

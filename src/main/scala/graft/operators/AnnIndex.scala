@@ -231,10 +231,16 @@ object AnnIndex {
     import graft.expressions.NativeFns.sketch_project
     val spark = corpus.sparkSession
     val r = Similarity.sketchMatrix(dim, sketchDim, seed)
-    val c = corpus.toDF("vec_id", "c_vec")
-    c.select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
+    // the caller plan executes ONCE (the vectors write); sketches are
+    // derived from the WRITTEN table — two independent write actions
+    // over a non-deterministic input (sample, unordered limit) would
+    // otherwise persist divergent row sets and silently break the
+    // "row-identical to a full rebuild" search contract
+    corpus.toDF("vec_id", "c_vec")
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
       .write.mode("overwrite").parquet(s"$path/sketches")
-    c.write.mode("overwrite").parquet(s"$path/vectors")
     import spark.implicits._
     Seq((SketchFormatVersion, sketchDim, dim, seed))
       .toDF("version", "sketch_dim", "dim", "seed")
@@ -299,6 +305,37 @@ object AnnIndex {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("vec_id"), col("cos"))
+  }
+
+  /** Sketch `vecs` (id, vec) with the index's stored recipe and append
+    * to both tables — corpus growth without re-sketching the base
+    * (the sketch twin of [[appendVectors]]; the matrix is a pure
+    * function of the persisted meta, so appended rows are
+    * byte-identical to what a full rebuild would produce and a served
+    * search stays row-identical to the inline operator over the grown
+    * corpus).
+    */
+  def appendSketchVectors(path: String, vecs: DataFrame): Unit = {
+    import graft.expressions.NativeFns.sketch_project
+    val spark = vecs.sparkSession
+    val meta = loadSketchMeta(spark, path)
+    val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
+    // same single-evaluation discipline as [[writeSketch]]: append the
+    // vectors (the only execution of the caller plan), then sketch
+    // exactly the files that append produced — a listing diff, so the
+    // delta pass reads only the delta's bytes
+    val vp = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Set[String] = fs.listStatus(vp)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
+    val before = listing()
+    vecs.toDF("vec_id", "c_vec")
+      .write.mode("append").parquet(s"$path/vectors")
+    val delta = (listing() -- before).toSeq.sorted
+    if (delta.nonEmpty)
+      spark.read.parquet(delta: _*)
+        .select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
+        .write.mode("append").parquet(s"$path/sketches")
   }
 
   /** Assign `vecs` (id, vec) to their nearest existing centroids and

@@ -72,6 +72,20 @@ object Caches {
     df
   }
 
+  /** [[track]] at an explicit storage level (CorpusPipeline's Persist
+    * policy routes its per-stage pins here so repeated pipeline runs
+    * stay bounded by the same LRU instead of accumulating session-
+    * lifetime cache entries).
+    */
+  private[graft] def track(df: DataFrame,
+                           level: org.apache.spark.storage.StorageLevel): DataFrame =
+    lru.synchronized {
+      df.persist(level)
+      lru.put(df, java.lang.Boolean.TRUE)
+      evictOverflowLocked()
+      df
+    }
+
   /** Refresh `df`'s recency (memo hits call this so hot corpora stay
     * resident while cold ones age out). Returns whether the frame is
     * still tracked — false means it was evicted (or released) since the

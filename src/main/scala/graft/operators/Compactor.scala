@@ -146,6 +146,23 @@ object Compactor {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Canonical URI spelling for a lake file path, shared by every
+    * manifest consumer (prune staleness, append dup-guard, maintain
+    * dirty test). QUALIFIES the path against its FileSystem first, so
+    * a scheme-less caller string ("/lake/f.parquet" — the natural
+    * spelling for a hand-built Seq[String]), "file:/x", and
+    * `input_file_name()`'s "file:///x" all render identically;
+    * without the qualify step a bare path normalized to "null://..."
+    * and silently never matched any manifest entry.
+    */
+  private def normPath(p: String)
+                      (implicit spark: org.apache.spark.sql.SparkSession): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val u = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toUri
+    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+  }
+
   /** Watermark fast-path policy for [[compactDirectoryIncremental]]. */
   sealed trait WatermarkMode
   /** Auto-enable the high-water mark only on DATE-SHAPED layouts: every
@@ -889,10 +906,6 @@ object Compactor {
       .map(_.stripPrefix("min_")).toSeq
     require(cols.nonEmpty,
       s"appendStatsManifest($dir): existing manifest has no stats columns")
-    def normPath(p: String): String = {
-      val u = new org.apache.hadoop.fs.Path(p).toUri
-      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-    }
     val known = existing.select(col("file")).collect()
       .map(r => normPath(r.getString(0))).toSet
     val dupes = newFiles.filter(f => known.contains(normPath(f)))
@@ -946,10 +959,6 @@ object Compactor {
     // normalize both sides: input_file_name() and DataFrame.inputFiles
     // render the same file as different URI spellings
     // ("file:///x" vs "file:/x")
-    def normPath(p: String): String = {
-      val u = new org.apache.hadoop.fs.Path(p).toUri
-      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-    }
     val known = manifest.select(col("file")).collect()
       .map(r => normPath(r.getString(0))).toSet
     // stale manifest, either direction: a current data file the
@@ -993,9 +1002,13 @@ object Compactor {
     * rewrite) and swapped in with [[commitOptimized]]'s atomic rename
     * pair; clean partitions are NOT touched — maintenance cost tracks
     * the dirty fraction, not lake volume. The manifest is then rebuilt
-    * as (entries of clean partitions) UNION (fresh delta-pass stats of
-    * the rewritten ones) and swapped into place, so the prune is live
-    * again the moment the call returns.
+    * as (LIVE entries of clean partitions) UNION (fresh delta-pass
+    * stats of the rewritten ones) and swapped into place, so the prune
+    * is live again the moment the call returns. Deletions are handled
+    * too, without a rewrite: a manifest entry whose file no longer
+    * exists (retention purge) would otherwise trip [[readPruned]]'s
+    * staleness fallback on every query forever — maintain drops the
+    * dead rows in the same resync pass.
     *
     * Idempotent by construction: a second run finds every file
     * manifest-known, rewrites nothing, and leaves the lake byte-
@@ -1016,10 +1029,6 @@ object Compactor {
     require(zorderCols.forall(c => !partCols.contains(c)),
       s"maintainLake($lake): z-order data columns only (directory pruning " +
         s"already covers ${partCols.mkString(",")})")
-    def norm(p: String): String = {
-      val u = new org.apache.hadoop.fs.Path(p).toUri
-      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
-    }
     val (fs, statsPath) = hadoopPath(lake, StatsDir)
     val hadManifest = fs.exists(statsPath)
     // (raw, normalized) pairs: raw values drive the manifest resync
@@ -1027,7 +1036,7 @@ object Compactor {
     val knownPairs: Array[(String, String)] =
       if (!hadManifest) Array.empty
       else spark.read.parquet(s"$lake/$StatsDir").select(col("file"))
-        .collect().map(r => (r.getString(0), norm(r.getString(0))))
+        .collect().map(r => (r.getString(0), normPath(r.getString(0))))
     val known: Set[String] = knownPairs.map(_._2).toSet
     val base = new org.apache.hadoop.fs.Path(lake).toUri.getPath.stripSuffix("/")
     val byPart: Seq[(String, Array[String])] = rows.inputFiles
@@ -1036,37 +1045,83 @@ object Compactor {
         require(p.startsWith(base), s"maintainLake($lake): $f outside the lake")
         p.stripPrefix(base).stripPrefix("/")
       }.toSeq.sortBy(_._1)
-    val dirty = byPart.filter(_._2.exists(f => !known.contains(norm(f))))
+    val dirty = byPart.filter(_._2.exists(f => !known.contains(normPath(f))))
+    // manifest entries with no current file (retention purge, manual
+    // delete — possibly of a whole partition directory): these need no
+    // rewrite, but they DO disable the prune — readPruned's staleness
+    // check sees current != known and full-scans every query until the
+    // dead rows are dropped. Detected here, resolved in the resync.
+    val currentNorm: Set[String] = rows.inputFiles.map(normPath(_)).toSet
+    val deadEntries = knownPairs.filterNot(kp => currentNorm.contains(kp._2))
+
+    // one partition's rewrite-and-swap; runs on a maintenance thread
+    def rewriteOne(rel: String): (Long, Long) = {
+      val src = if (rel.isEmpty) lake else s"$lake/$rel"
+      // dot-prefixed staging dir: invisible to readers and partition
+      // discovery while the rewrite runs
+      val tmp =
+        if (rel.isEmpty) s"$lake.maintain-tmp"
+        else s"$lake/.maintain-tmp-${rel.replace('/', '_')}"
+      val man = zorderFlat(src, tmp, targetBytes, zorderCols, bits)
+        .collect()(0)
+      if (rel.isEmpty) {
+        // flat lake: the manifest dir must survive the swap — move it
+        // into the staging dir before promoting. If the promote fails
+        // (commitOptimized rolls the retire back and throws), move it
+        // BACK: otherwise the lake is restored but its manifest is
+        // stranded in the staging dir — every read full-scans and the
+        // next maintain pays a whole-lake rewrite.
+        if (hadManifest)
+          fs.rename(statsPath, new org.apache.hadoop.fs.Path(tmp, StatsDir))
+        try fs.delete(new org.apache.hadoop.fs.Path(commitOptimized(src, tmp)), true)
+        catch { case t: Throwable =>
+          val stranded = new org.apache.hadoop.fs.Path(tmp, StatsDir)
+          if (hadManifest && fs.exists(stranded)) fs.rename(stranded, statsPath)
+          throw t
+        }
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(commitOptimized(src, tmp)), true)
+      }
+      (man.getLong(1), man.getLong(0))
+    }
+
+    // dirty partitions rewrite CONCURRENTLY on a bounded driver pool:
+    // each rewrite is ~5 small driver-blocking jobs (count, quantiles,
+    // listing, write, verify), so a daily-partition lake with many
+    // small dirty dirs would otherwise idle the cluster between jobs —
+    // overlapping partitions keeps it saturated while staging dirs and
+    // swaps stay strictly per-partition (no shared mutable state; a
+    // failure aborts the batch after in-flight partitions finish, and
+    // the committed ones are absorbed by the next idempotent run)
+    val dirtyResults: Map[String, (Long, Long)] =
+      if (dirty.isEmpty) Map.empty
+      else if (dirty.size == 1) Map(dirty.head._1 -> rewriteOne(dirty.head._1))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, dirty.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val futs = dirty.map { case (rel, _) =>
+            scala.concurrent.Future(rel -> rewriteOne(rel)) }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
 
     val report = byPart.map { case (rel, files) =>
-      val isDirty = dirty.exists(_._1 == rel)
-      val src = if (rel.isEmpty) lake else s"$lake/$rel"
-      if (isDirty) {
-        // dot-prefixed staging dir: invisible to readers and partition
-        // discovery while the rewrite runs
-        val tmp =
-          if (rel.isEmpty) s"$lake.maintain-tmp"
-          else s"$lake/.maintain-tmp-${rel.replace('/', '_')}"
-        val man = zorderFlat(src, tmp, targetBytes, zorderCols, bits)
-          .collect()(0)
-        if (rel.isEmpty) {
-          // flat lake: the manifest dir must survive the swap — move it
-          // into the staging dir before promoting
-          if (hadManifest)
-            fs.rename(statsPath, new org.apache.hadoop.fs.Path(tmp, StatsDir))
-          fs.delete(new org.apache.hadoop.fs.Path(commitOptimized(src, tmp)), true)
-        } else {
-          fs.delete(new org.apache.hadoop.fs.Path(commitOptimized(src, tmp)), true)
-        }
-        (rel, true, man.getLong(1), man.getLong(0))
-      } else {
-        (rel, false, files.length.toLong, -1L)
+      dirtyResults.get(rel) match {
+        case Some((nFiles, nRows)) => (rel, true, nFiles, nRows)
+        case None => (rel, false, files.length.toLong, -1L)
       }
     }
 
-    // manifest resync: keep clean partitions' entries, fresh-stats the
-    // rewritten ones (delta pass only), swap atomically
-    if (dirty.nonEmpty || !hadManifest) {
+    // manifest resync: keep clean partitions' LIVE entries (dead ones
+    // — deletions with no accompanying ingest — are dropped so the
+    // staleness fallback stops full-scanning), fresh-stats the
+    // rewritten partitions (delta pass only), swap atomically
+    if (dirty.nonEmpty || deadEntries.nonEmpty || !hadManifest) {
       val statsCols =
         if (!hadManifest) zorderCols
         else {
@@ -1081,29 +1136,37 @@ object Compactor {
         val dir = if (rel.isEmpty) lake else s"$lake/$rel"
         spark.read.parquet(dir).inputFiles
       }
-      val fresh = statsOf(
-        spark.read.option("basePath", lake).parquet(rewrittenFiles: _*),
-        statsCols)
+      // a pure-deletion resync has nothing to rewrite and nothing to
+      // fresh-stat — it only drops dead rows from the kept entries
+      val fresh =
+        if (rewrittenFiles.isEmpty) None
+        else Some(statsOf(
+          spark.read.option("basePath", lake).parquet(rewrittenFiles: _*),
+          statsCols))
       // prefix test runs on URI PATHS (scheme spellings differ between
       // the caller's lake string and input_file_name output; `base` is
       // already the lake's URI path)
       val dirtyPrefixes = dirty.map { case (rel, _) =>
         (if (rel.isEmpty) base else s"$base/$rel") + "/" }
       val all =
-        if (!hadManifest) fresh
+        if (!hadManifest)
+          fresh.getOrElse(throw new IllegalStateException(
+            s"maintainLake($lake): no manifest and nothing to stat"))
         else {
           import spark.implicits._
-          // clean = manifest entries NOT under a rewritten partition;
-          // resolved driver-side on the already-collected listing and
-          // re-joined on the RAW file strings (no path-normalization
-          // expression needed in the plan)
+          // clean = manifest entries NOT under a rewritten partition
+          // AND still present in the current listing (dead entries are
+          // dropped here); resolved driver-side on the already-
+          // collected listing and re-joined on the RAW file strings
+          // (no path-normalization expression needed in the plan)
           val cleanRaw = knownPairs.collect {
-            case (raw, _) if !dirtyPrefixes.exists(
+            case (raw, n) if currentNorm.contains(n) && !dirtyPrefixes.exists(
               new org.apache.hadoop.fs.Path(raw).toUri.getPath.startsWith) => raw
           }.toSeq
           val keep = spark.read.parquet(s"$lake/$StatsDir")
             .join(cleanRaw.toDF("file"), Seq("file"), "left_semi")
-          keep.unionByName(fresh.select(keep.columns.toIndexedSeq.map(col): _*))
+          fresh.fold(keep)(f =>
+            keep.unionByName(f.select(keep.columns.toIndexedSeq.map(col): _*)))
         }
       val tmpStats = new org.apache.hadoop.fs.Path(lake, s".$StatsDir-tmp")
       val manFiles = math.max(1,

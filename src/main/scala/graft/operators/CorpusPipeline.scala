@@ -127,7 +127,10 @@ object CorpusPipeline {
       val t0 = System.nanoTime()
       val pinned = materialize match {
         case Materialize.None           => df
-        case Materialize.Persist(level) => df.persist(level)
+        // through the bounded LRU, not a bare persist: repeated Persist
+        // runs would otherwise accumulate six session-lifetime cache
+        // pins per invocation with no release path
+        case Materialize.Persist(level) => Caches.track(df, level)
         case Materialize.Checkpoint(dir) =>
           val out = df
           out.sparkSession.sparkContext.setCheckpointDir(dir)

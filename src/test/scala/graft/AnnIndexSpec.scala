@@ -117,6 +117,26 @@ class AnnIndexSpec extends SparkSpec {
       s"sketches table must be ~sketchDim/dim of vector bytes: $sk vs $vec")
   }
 
+  test("sketch index: appended vectors == full rebuild over the grown corpus") {
+    val dir = Files.createTempDirectory("graft-sk-ix").toString
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.writeSketch(dir, base, sketchDim = 16, dim = 64)
+    AnnIndex.appendSketchVectors(dir, delta)
+
+    val q = emb.filter(col("vec_id") < 5)
+    val got = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)
+    // ground truth: the inline operator over the WHOLE corpus — the
+    // append must be indistinguishable from having sketched everything
+    val inline = Similarity.knnSketchRerank(q, emb, k = 5, m = 40,
+      sketchDim = 16, dim = 64)
+    val expected = rows(inline)
+    assert(expected.nonEmpty)
+    assert(rows(got) == expected)
+    // and the delta actually landed: some odd vec_id serves as a hit
+    assert(got.filter(col("vec_id") % 2 === 1).count() > 0)
+  }
+
   test("sketch index: foreign format version fails loudly") {
     val dir = Files.createTempDirectory("graft-sk-ix").toString
     AnnIndex.writeSketch(dir, emb, sketchDim = 8, dim = 64)

@@ -92,4 +92,61 @@ class MaintainSpec extends SparkSpec {
       spark.read.parquet(lake).filter($"x" >= 10 && $"x" <= 12).count())
     assert(pruned.inputFiles.length < files1.size)
   }
+
+  test("maintainLake resyncs after a pure DELETION: dead manifest rows dropped, no rewrite, prune live again") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-maint-del").toString
+    (0 until 8192).map { i =>
+      val r = (i * 2654435761L) % 4096
+      ((r % 64).toInt, (r / 64).toInt, i.toLong, s"d${i % 2}")
+    }.toDF("x", "y", "id", "day").repartition(6)
+      .write.mode("overwrite").partitionBy("day").parquet(lake)
+    Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y"))
+
+    // retention purge: delete one manifest-known data file, add nothing
+    val victim = spark.read.parquet(lake).inputFiles
+      .filter(_.contains("day=d0")).sorted.head
+    val vp = new org.apache.hadoop.fs.Path(victim)
+    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(vp, false))
+
+    // the stale manifest (dead entry) disables the prune via the
+    // correctness fallback: full scan, every file touched
+    val before = Compactor.readPruned(lake, "x", lit(3), lit(6))
+    val allFiles = spark.read.parquet(lake).inputFiles.toSet
+    assert(before.inputFiles.toSet == allFiles,
+      "a dead manifest entry must fall back to the full scan")
+
+    // maintain: NO rewrite (nothing dirty), but the dead row is
+    // dropped and the prune is live again — rows exact, subset read
+    val files0 = allFiles
+    val r = Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y"))
+      .collect().map(x => (x.getString(0), x.getBoolean(1))).toMap
+    assert(r.values.forall(m => !m),
+      s"a pure deletion must not rewrite any partition: $r")
+    assert(spark.read.parquet(lake).inputFiles.toSet == files0,
+      "deletion resync must not touch data files")
+    val after = Compactor.readPruned(lake, "x", lit(3), lit(6))
+    assert(after.count() ==
+      spark.read.parquet(lake).filter($"x" >= 3 && $"x" <= 6).count())
+    assert(after.inputFiles.length < files0.size,
+      "the prune must be live again after the resync")
+  }
+
+  test("appendStatsManifest dup-guard catches a scheme-less spelling of a known path") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-maint-norm").toString
+    (0 until 256).map(i => (i % 16, i.toLong)).toDF("x", "id")
+      .repartition(2).write.mode("overwrite").parquet(lake)
+    Compactor.writeStatsManifest(lake, Seq("x"))
+    // manifest spells files file://...; the caller passes a bare path
+    val bare = new java.io.File(lake).listFiles()
+      .map(_.getPath).filter(_.endsWith(".parquet")).sorted.head
+    assert(!bare.startsWith("file:"))
+    val e = intercept[IllegalArgumentException](
+      Compactor.appendStatsManifest(lake, Seq(bare)))
+    assert(e.getMessage.contains("already in the manifest"))
+  }
 }
