@@ -80,4 +80,46 @@ object Curation {
         ordBounds = qualityBounds.map { case (lo, hi) => (-hi, -lo) })
       .filter(col(cumCol) <= budget)
   }
+
+  /** Leakage-safe train/validation split: assignment is by NEAR-DUP
+    * CLUSTER, never by document. A per-document hash split leaks — two
+    * near-duplicate documents land on opposite sides with probability
+    * 2·p·(1−p), and at web-corpus duplication rates that quietly turns
+    * the validation set into a rephrased subset of train (the
+    * eval-contamination twin of [[Dedup.decontaminate]], pointed at
+    * the corpus's own held-out slice instead of an external
+    * benchmark). Here every document inherits its cluster
+    * representative ([[Dedup.clusters]] over the n-gram Jaccard pair
+    * graph; itself if unclustered), and the split bucket is a pure
+    * function of the REPRESENTATIVE (`md5(salt || rep)` first byte,
+    * the t21 portable-hash recipe, so the oracle restates it
+    * verbatim) — a cluster is atomic across the split by construction.
+    *
+    * 100 TB shape: the clustering is the d07 two-phase CC (banded
+    * candidates, never all-pairs — its own probed 100x row); on top of
+    * it this adds one broadcast-or-shuffle join of the vertex-sized rep
+    * map plus a per-row hash. Returns (doc_id, rep, split).
+    *
+    * @param trainBuckets of the 256 first-byte buckets, how many land
+    *                     in "train" (230 ≈ a 90/10 split; buckets, not
+    *                     a fraction, so both engines integer-compare)
+    */
+  def leakageSafeSplit(docs: DataFrame, id: Column, text: Column,
+                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                       minSim: Double = 0.3, trainBuckets: Int = 230,
+                       salt: String = "graft-split:42:"): DataFrame = {
+    require(trainBuckets > 0 && trainBuckets < 256,
+      s"trainBuckets must split 256 buckets two ways, got $trainBuckets")
+    val pairs = Dedup.jaccardPairs(docs, id, text, shingleN, k, bands, minSim)
+    val reps = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
+    docs.select(id.as("doc_id"))
+      .join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("_b",
+        conv(substring(md5(concat(lit(salt), col("rep").cast("string"))), 1, 2),
+          16, 10).cast("long"))
+      .withColumn("split",
+        when(col("_b") < trainBuckets, "train").otherwise("val"))
+      .select(col("doc_id"), col("rep"), col("split"))
+  }
 }

@@ -218,6 +218,39 @@ object DedupOps extends QuerySet {
               |    AND cand.doc_id NOT IN (SELECT doc_id FROM EX)
               |  GROUP BY 1)
               |SELECT doc_id, 'exact' AS dup_kind, match_id FROM EX
-              |UNION ALL SELECT doc_id, 'near' AS dup_kind, match_id FROM NEAR""".stripMargin))
+              |UNION ALL SELECT doc_id, 'near' AS dup_kind, match_id FROM NEAR""".stripMargin)),
+
+    // --- Leakage-safe train/val split: assignment by near-dup CLUSTER
+    // (d07's representative; itself if unclustered), bucket = first
+    // byte of md5(salt || rep) — so a cluster is atomic across the
+    // split by construction, and a per-doc hash split's quiet "val is
+    // a rephrased subset of train" failure cannot happen. Oracle:
+    // d07's recursive-CC CTEs + the t21 hex-conv recipe.
+    Q("d10_leakage_safe_split",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Curation.leakageSafeSplit(
+          Tables.load(s, d, "documents"), $"doc_id", $"text",
+          shingleN = 3, k = 16, bands = 4, minSim = 0.3,
+          trainBuckets = 230)
+      },
+      Some(s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |P AS (SELECT doc_a, doc_b
+              |  FROM C JOIN S sa ON sa.doc_id = doc_a JOIN S sb ON sb.doc_id = doc_b
+              |  WHERE round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+              |      / len(list_distinct(sa.sh || sb.sh))::DOUBLE, 6) >= 0.3),
+              |E AS (SELECT doc_a AS src, doc_b AS dst FROM P
+              |  UNION SELECT doc_b, doc_a FROM P),
+              |reach(src, dst) AS (
+              |  SELECT src, dst FROM E
+              |  UNION
+              |  SELECT r.src, e.dst FROM reach r JOIN E e ON r.dst = e.src),
+              |R AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+              |  FROM reach GROUP BY src)
+              |SELECT d.doc_id, COALESCE(R.rep, d.doc_id) AS rep,
+              |  CASE WHEN ('0x' || substr(md5('graft-split:42:' ||
+              |      CAST(COALESCE(R.rep, d.doc_id) AS VARCHAR)), 1, 2))::BIGINT < 230
+              |    THEN 'train' ELSE 'val' END AS split
+              |FROM documents d LEFT JOIN R ON R.doc_id = d.doc_id""".stripMargin))
   )
 }

@@ -206,4 +206,33 @@ class CurationSpec extends SparkSpec {
       assert(maxCum <= 5000L, s"stratum $st exceeded the budget: $maxCum")
     }
   }
+
+  test("leakageSafeSplit: clusters are atomic across the split; fractions track trainBuckets") {
+    import spark.implicits._
+    import graft.operators.Curation
+    Caches.release()
+    val docs = Tables.load(spark, sf0001, "documents").select($"doc_id", $"text")
+    val out = Curation.leakageSafeSplit(docs, $"doc_id", $"text",
+      trainBuckets = 230).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == docs.count())
+    // the invariant that IS the operator: one split value per rep —
+    // near-dup clusters can never straddle train/val
+    val splitsPerRep = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(splitsPerRep.values.forall(_.size == 1),
+      "a cluster straddled the split")
+    // the fixture has real near-dup clusters, so the invariant bites:
+    // some rep must own >1 doc
+    assert(out.groupBy(_._2).exists(_._2.length > 1),
+      "fixture has no multi-doc cluster — the atomicity case is vacuous")
+    // both sides populated, and train tracks 230/256 loosely (the
+    // cluster-level hash is uniform; clusters are few hundred here)
+    val train = out.count(_._3 == "train").toDouble / out.length
+    assert(train > 0.75 && train < 0.97, s"train fraction off: $train")
+    // determinism: a doc's split is a pure function of its rep
+    val again = Curation.leakageSafeSplit(docs, $"doc_id", $"text",
+      trainBuckets = 230).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sorted.sameElements(out.sorted))
+  }
 }
