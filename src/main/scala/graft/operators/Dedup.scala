@@ -245,15 +245,35 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: Column, bCol: Column,
                maxRounds: Int = 50,
                broadcastVertices: Long = 2000000L): DataFrame = {
+    // Every round's frames are localCheckpointed, and Dataset.unpersist
+    // does NOT free localCheckpoint blocks (they are plain persisted
+    // RDDs, invisible to the cacheManager) — so without explicit
+    // cleanup every call leaks rounds x edge-sized block sets until
+    // the ContextCleaner happens to GC them. Measured: a second
+    // same-JVM d10 run at the 100x corpus went 17 s -> 201 s under the
+    // accumulated storage pressure. Track each frame's backing RDD at
+    // creation; on exit unpersist everything except the two block sets
+    // the returned frame still reads (basins + final labels).
+    val trackedRdds =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def lcp(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(eager = false)
+      out.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => trackedRdds += lr.rdd
+        case _ =>
+      }
+      out
+    }
+    def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
     // lazy: frames are consumed whole by round 1's single job, which
     // materializes their checkpoint blocks as a side effect
-    val edges = pairs.select(aCol.as("src"), bCol.as("dst"))
-      .union(pairs.select(bCol.as("src"), aCol.as("dst")))
-      .localCheckpoint(eager = false)
+    val edges = lcp(pairs.select(aCol.as("src"), bCol.as("dst"))
+      .union(pairs.select(bCol.as("src"), aCol.as("dst"))))
     // Phase 1: local-min basins, one duplicate-tolerant pass
-    val basins = edges.groupBy(col("src")).agg(min(col("dst")).as("_nmin"))
-      .select(col("src").as("v"), least(col("src"), col("_nmin")).as("m"))
-      .localCheckpoint(eager = false)
+    val basins = lcp(edges.groupBy(col("src")).agg(min(col("dst")).as("_nmin"))
+      .select(col("src").as("v"), least(col("src"), col("_nmin")).as("m")))
     // The basin map is vertex-sized; Catalyst's static size estimate
     // can't see that and plans the phase-2 joins as full edge-multiset
     // shuffles. The driver KNOWS the vertex count (this count also
@@ -267,14 +287,14 @@ object Dedup {
       if (nVertices <= broadcastVertices) broadcast(basins) else basins
     // Phase 2: cross-basin quotient edges (both orientations survive
     // symmetrically, so the loop's neighbor aggregation stays valid)
-    var edgesQ = edges
+    var edgesQ = lcp(edges
       .join(basinsSide.select(col("v").as("src"), col("m").as("_ms")), "src")
       .join(basinsSide.select(col("v").as("dst"), col("m").as("_md")), "dst")
       .filter(col("_ms") =!= col("_md"))
       .select(col("_ms").as("src"), col("_md").as("dst"))
-      .distinct().localCheckpoint(eager = false)
-    var labels = edgesQ.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint(eager = false)
+      .distinct())
+    var labels = lcp(edgesQ.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -301,12 +321,11 @@ object Dedup {
       // followed by a separate count used to cost. At 10+ rounds on a
       // 100x corpus that halves the driver round-trips of the slowest
       // dedup query.
-      val staged = hopped
+      val staged = lcp(hopped
         .join(labels.select(col("v").as("_hop"), col("label").as("_jump")),
           Seq("_hop"), "left")
         .select(col("v"), least(col("_hop"),
-          coalesce(col("_jump"), col("_hop"))).as("label"), col("_old"))
-        .localCheckpoint(eager = false)
+          coalesce(col("_jump"), col("_hop"))).as("label"), col("_old")))
       changed = staged.filter(col("label") =!= col("_old")).count()
       labels = staged.drop("_old")
       // CONTRACT the surviving edges into label space: an edge whose
@@ -317,12 +336,12 @@ object Dedup {
       // reading this round's already-materialized label blocks — no
       // extra driver action. Skipped once converged (the loop exits).
       if (changed > 0) {
-        edgesQ = edgesQ
+        edgesQ = lcp(edgesQ
           .join(labels.select(col("v").as("src"), col("label").as("_ls")), "src")
           .join(labels.select(col("v").as("dst"), col("label").as("_ld")), "dst")
           .filter(col("_ls") =!= col("_ld"))
           .select(col("_ls").as("src"), col("_ld").as("dst"))
-          .distinct().localCheckpoint(eager = false)
+          .distinct())
       }
       rounds += 1
     }
@@ -332,6 +351,14 @@ object Dedup {
         s"($changed labels still moving) — raise maxRounds; a component " +
         "this deep in a NEAR-DUP graph usually means the pair threshold " +
         "is admitting everything")
+    // Retire every intermediate round's blocks: at loop exit all
+    // tracked frames are materialized (each round's count scanned
+    // them), and the returned frame reads only basins + the final
+    // labels (= the last staged's blocks) — everything else is dead
+    // weight that would otherwise survive until ContextCleaner GC.
+    val keep = (backingRdd(basins).toSeq ++ backingRdd(labels).toSeq)
+      .map(_.id).toSet
+    trackedRdds.foreach(r => if (!keep.contains(r.id)) r.unpersist(false))
     // Phase 4: compose basin and quotient labels — identity for basins
     // that never crossed an edge (whole component in one basin)
     basins

@@ -233,6 +233,34 @@ class SkewLineageSpec extends SparkSpec {
       viaBroadcast.count(_._2 == 0L) == 100 && viaBroadcast(999L) == 300L)
   }
 
+  test("dedup clusters: intermediate checkpoint blocks are retired at exit") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // localCheckpoint blocks live OUTSIDE the cacheManager, so nothing
+    // frees a round's retired frames automatically — before the exit
+    // cleanup, every clusters() call left rounds x edge-sized block
+    // sets pinned until ContextCleaner GC (a second same-JVM d10 run at
+    // the 100x corpus went 17 s -> 201 s under the accumulated storage
+    // pressure). Pin the contract: after clusters() returns, at most
+    // the two block sets the result still reads (basins + final
+    // labels) were added to the persistent-RDD registry, and the
+    // result remains fully readable (its inputs are materialized, not
+    // lineage-dependent on the retired blocks).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 400-link chain forces multiple quotient rounds, so several
+    // staged/contracted generations exist to retire
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val res = Dedup.clusters(chain, $"doc_a", $"doc_b")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"clusters() left ${leaked.size} persistent RDDs behind " +
+      "(expected <= 2: basins + final labels)")
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 400 && got.values.forall(_ == 0L),
+      "result not readable/correct after block retirement")
+  }
+
   test("embeddingPairs: hot-cell split preserves the exact pair set") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -198,6 +198,25 @@ MODES = {
         "out": f"{REPO}/BENCH_r11ev_probe.json",
         "scale": 100,
     },
+    "r13": {
+        # d10 (leakage-safe train/val split) over the 100x dedup
+        # corpus: it composes d04's banded jaccard pair graph + d07's
+        # two-phase CC + one vertex-sized rep join + per-row md5
+        # bucketing, so its wall must sit in the d07 band (~10x) —
+        # anything worse means the split join or the bucket hash added
+        # a corpus-sized shuffle it shouldn't have. Fresh-JVM reps for
+        # the same memo reason as the dedup mode: in-JVM iteration 2
+        # rides the corpus-pass memo and the (now fixed) retired
+        # checkpoint blocks, measuring cache reads, not the operator.
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["d10_leakage_safe_split"],
+        "iters": 1,
+        "reps": 3,
+        "out": f"{REPO}/BENCH_r13_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+        "probe_mem": "16g",
+    },
     "asof": {
         # same sf10join corpus (make_sf10_join.py scales events since
         # r7): 2M purchase events as-of 15M orders — the one heavy query
