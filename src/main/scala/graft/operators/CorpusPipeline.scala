@@ -68,6 +68,20 @@ object CorpusPipeline {
     case object LocalCheckpoint extends Materialize
   }
 
+  /** Optional terminal stage: leakage-safe train/val annotation
+    * ([[Curation.leakageSafeSplit]] semantics priced as a pipeline
+    * increment). `minSim` is the SPLIT threshold — deliberately looser
+    * than the near-dedup drop threshold: documents at 0.3 ≤ sim < 0.8
+    * survive dedup yet still leak a rephrased validation set if a
+    * per-document hash splits them, so assignment is by the cluster
+    * representative at the looser graph.
+    */
+  final case class SplitCfg(minSim: Double = 0.3, trainBuckets: Int = 230,
+                            salt: String = "graft-split:42:") {
+    require(trainBuckets > 0 && trainBuckets < 256,
+      s"trainBuckets must split 256 buckets two ways, got $trainBuckets")
+  }
+
   final case class StageStat(stage: String, rowsOut: Long, sec: Double)
 
   final case class Result(out: DataFrame, stats: Seq[StageStat]) {
@@ -111,13 +125,17 @@ object CorpusPipeline {
     *                     >= 5 tri-shingles with a 3%-of-corpus bench
     *                     set). A composed pipeline drops on a stricter
     *                     bar by default.
+    * @param trainValSplit when set, append the leakage-safe train/val
+    *                     annotation stage (see [[SplitCfg]]) — output
+    *                     gains `rep` and `split` columns.
     */
   def run(docs: DataFrame, benchPred: Column,
           budgetPerStratum: Long, nShards: Int = 64,
           minSim: Double = 0.8, contamMinHits: Long = 20,
           broadcastBlocklist: Boolean = true,
           materialize: Materialize = Materialize.None,
-          collectStats: Boolean = false): Result = {
+          collectStats: Boolean = false,
+          trainValSplit: Option[SplitCfg] = None): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
     // df is BY-NAME: a strict parameter would evaluate the stage block
     // BEFORE the timer starts, and eager construction work (notably
@@ -238,6 +256,47 @@ object CorpusPipeline {
           col("shard"), col("pos"))
     }
 
-    Result(s7, stats.toSeq)
+    // -- optional stage 8: leakage-safe train/val annotation --
+    // Assignment by near-dup CLUSTER at the (looser) split threshold.
+    // Composition economics: the pair graph is rebuilt over the SAME
+    // post-exact frame with the SAME shingle/band parameters as stage
+    // 3+4, so [[Dedup]]'s memoized shingle table AND its unfiltered
+    // scored-pair table are both reused — the stage's only new work is
+    // the connected components over the looser edge set plus one
+    // vertex-sized join onto the sharded output. Standalone d10 pays a
+    // full corpus pass for the identical answer.
+    //
+    // Clustering runs over the post-exact corpus rather than the packed
+    // survivors DELIBERATELY: transitive leakage through a dropped
+    // intermediate is real (a and c can each be near b yet not near
+    // each other), so components must close over the richer graph.
+    // Exact dedup cannot perturb it — identical text means identical
+    // shingle edges, and the kept twin always carries the lower id, so
+    // both components and min-id representatives are unchanged.
+    //
+    // The stage ANNOTATES (adds rep + split columns); it never re-packs
+    // or re-shards. Projecting the two columns away recovers the
+    // split-free pipeline output bit-for-bit, and downstream writers
+    // partition by split before shard.
+    val out = trainValSplit match {
+      case Some(cfg) => staged("split_assign") {
+        val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
+          minSim = cfg.minSim, k = 16, bands = 4)
+        val reps = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
+          .select(col("doc_id"), col("cluster_rep"))
+        s7.join(reps, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+          .withColumn("split",
+            when(conv(substring(md5(concat(lit(cfg.salt),
+                col("rep").cast("string"))), 1, 2), 16, 10)
+              .cast("long") < cfg.trainBuckets, "train")
+              .otherwise("val"))
+          .select(col("doc_id"), col("stratum"), col("n_tok"),
+            col("shard"), col("pos"), col("rep"), col("split"))
+      }
+      case None => s7
+    }
+
+    Result(out, stats.toSeq)
   }
 }

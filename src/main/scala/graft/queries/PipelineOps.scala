@@ -252,6 +252,131 @@ object PipelineOps extends QuerySet {
              |  ('0x' || h[1:4])::BIGINT % 64 AS shard,
              |  CAST(row_number() OVER (PARTITION BY ('0x' || h[1:4])::BIGINT % 64
              |    ORDER BY h, doc_id) AS BIGINT) AS pos
-             |FROM H""".stripMargin))
+             |FROM H""".stripMargin)),
+
+    // --- p03 + the leakage-safe train/val stage: the pipeline in its
+    // training-ready configuration. The split threshold (0.3) is
+    // deliberately LOOSER than the near-dedup drop threshold (0.8):
+    // documents at 0.3 <= sim < 0.8 survive dedup yet leak a rephrased
+    // validation set under a per-document hash split, so assignment is
+    // by the cluster representative over the looser pair graph —
+    // computed on the post-exact corpus so transitive leakage THROUGH a
+    // dropped intermediate still binds its endpoints to one side. The
+    // oracle is p03's chain plus a second recursive-CC closure (P3/E3/
+    // reach3 — same S/C band tables, mirroring the operator's memo
+    // reuse) and the d10 hex-conv bucket rule on the representative.
+    Q("p04_pipeline_split",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+        val budget = docs.dropDuplicates("text")
+          .agg(sum(size(TextFns.tokens($"text")))).collect()(0)
+          .getLong(0) * 6 / 10 / 4
+        graft.operators.CorpusPipeline.run(docs,
+          benchPred = $"doc_id" % 101 === 0,
+          budgetPerStratum = budget, nShards = 64,
+          trainValSplit = Some(graft.operators.CorpusPipeline.SplitCfg())).out
+      },
+      Some("""WITH RECURSIVE W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |E0 AS (SELECT doc_id, unnest(words) AS w FROM W),
+             |C0 AS (SELECT doc_id, w, count(*) AS c FROM E0 GROUP BY 1, 2),
+             |D0 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+             |  CAST(max(c) AS BIGINT) AS max_c,
+             |  CAST(sum(c * length(w)) AS BIGINT) AS len_sum,
+             |  CAST(sum(CASE WHEN w IN ('the','a','and','of','to','is')
+             |           THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+             |  FROM C0 GROUP BY 1),
+             |g AS (SELECT doc_id FROM D0 WHERE n_tok >= 10
+             |  AND CAST(len_sum AS DOUBLE) / n_tok >= 2.0
+             |  AND CAST(len_sum AS DOUBLE) / n_tok <= 8.0
+             |  AND CAST(max_c AS DOUBLE) / n_tok <= 0.3
+             |  AND stop_hits >= 1),
+             |s2 AS (SELECT doc_id, text FROM (
+             |  SELECT d2.doc_id, d2.text, row_number() OVER (
+             |    PARTITION BY md5(d2.text) ORDER BY d2.doc_id) AS rn
+             |  FROM documents d2 JOIN g ON g.doc_id = d2.doc_id) WHERE rn = 1),
+             |S AS (SELECT w.doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+             |  ELSE list_transform(range(1, len(words)-1), i -> array_to_string(words[i:i+2], ' ')) END AS sh
+             |  FROM W w JOIN s2 ON s2.doc_id = w.doc_id),
+             |M AS (SELECT doc_id,
+             |  list_transform(range(0,16), i -> list_min(list_transform(sh,
+             |    s3 -> ((('0x' || substr(md5('perm:' || i::VARCHAR),1,8))::BIGINT % 1073741824 + 1)
+             |           * ('0x' || substr(md5(s3),1,8))::BIGINT
+             |           + ('0x' || substr(md5('perm:' || i::VARCHAR),9,8))::BIGINT) % 2147483647))) AS sig
+             |  FROM S),
+             |B AS (SELECT doc_id, b AS band_idx, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS band_hash
+             |  FROM M, (SELECT unnest(range(0,4)) AS b)),
+             |C AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+             |  FROM B a JOIN B c ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
+             |  AND a.doc_id < c.doc_id GROUP BY 1, 2),
+             |JS AS (SELECT doc_a, doc_b,
+             |  round(len(list_intersect(list_distinct(sa.sh), list_distinct(sb.sh)))::DOUBLE
+             |      / len(list_distinct(sa.sh || sb.sh))::DOUBLE, 6) AS jac
+             |  FROM C JOIN S sa ON sa.doc_id = doc_a JOIN S sb ON sb.doc_id = doc_b),
+             |P AS (SELECT doc_a, doc_b FROM JS WHERE jac >= 0.8),
+             |E AS (SELECT doc_a AS src, doc_b AS dst FROM P
+             |  UNION SELECT doc_b, doc_a FROM P),
+             |reach(src, dst) AS (
+             |  SELECT src, dst FROM E
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach r JOIN E e ON r.dst = e.src),
+             |losers AS (SELECT src AS doc_id FROM reach GROUP BY src
+             |  HAVING least(src, min(dst)) <> src),
+             |P3 AS (SELECT doc_a, doc_b FROM JS WHERE jac >= 0.3),
+             |E3 AS (SELECT doc_a AS src, doc_b AS dst FROM P3
+             |  UNION SELECT doc_b, doc_a FROM P3),
+             |reach3(src, dst) AS (
+             |  SELECT src, dst FROM E3
+             |  UNION
+             |  SELECT r.src, e.dst FROM reach3 r JOIN E3 e ON r.dst = e.src),
+             |R3 AS (SELECT src AS doc_id, least(src, min(dst)) AS rep
+             |  FROM reach3 GROUP BY src),
+             |keyed AS (SELECT DISTINCT doc_id, md5(u.sh1) AS k
+             |  FROM S, unnest(S.sh) AS u(sh1)),
+             |bl AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 101 = 0),
+             |contam AS (SELECT doc_id FROM keyed
+             |  WHERE doc_id % 101 <> 0 AND k IN (SELECT k FROM bl)
+             |  GROUP BY doc_id HAVING count(*) >= 20),
+             |s4 AS (SELECT doc_id, text FROM s2
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+             |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+             |s5 AS (SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS rt
+             |  FROM s4),
+             |W5 AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(rt), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM s5),
+             |f AS (SELECT doc_id, doc_id % 4 AS stratum,
+             |  CAST(len(words) AS BIGINT) AS n_tok,
+             |  round(least(1.0, CAST(len(words) AS DOUBLE) / 50.0) * 0.5 +
+             |    (CAST(len(list_filter(words, w2 -> w2 IN ('the','a','and','of','to','is'))) AS DOUBLE)
+             |     / CAST(len(words) AS DOUBLE)) * 0.5, 6) AS quality
+             |  FROM W5),
+             |bud AS (SELECT (CAST(sum(len(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT)
+             |    * 6) // 10 // 4 AS b
+             |  FROM (SELECT DISTINCT text FROM documents)),
+             |gp AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY stratum
+             |  ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM f),
+             |packed AS (SELECT doc_id, stratum, n_tok FROM gp
+             |  WHERE cum <= (SELECT b FROM bud)),
+             |H AS (SELECT doc_id, stratum, n_tok,
+             |  md5('graft-shard:42:' || CAST(doc_id AS VARCHAR)) AS h FROM packed)
+             |SELECT H.doc_id, stratum, n_tok,
+             |  ('0x' || h[1:4])::BIGINT % 64 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY ('0x' || h[1:4])::BIGINT % 64
+             |    ORDER BY h, H.doc_id) AS BIGINT) AS pos,
+             |  COALESCE(R3.rep, H.doc_id) AS rep,
+             |  CASE WHEN ('0x' || substr(md5('graft-split:42:' ||
+             |      CAST(COALESCE(R3.rep, H.doc_id) AS VARCHAR)), 1, 2))::BIGINT < 230
+             |    THEN 'train' ELSE 'val' END AS split
+             |FROM H LEFT JOIN R3 ON R3.doc_id = H.doc_id""".stripMargin))
   )
 }

@@ -95,6 +95,79 @@ class CorpusPipelineSpec extends SparkSpec {
     p.out.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("split stage: annotation-only, pure function of rep, cluster-atomic, shared shingle pass") {
+    // Plant REPHRASED twins: the 60% word-prefix of every third doc.
+    // Prefix trigrams are a subset of the full doc's, so Jaccard lands
+    // near 0.6 — above the 0.3 split threshold, below the 0.8 near-dedup
+    // drop, i.e. exactly the pair class a per-document hash split leaks
+    // across and dedup never removes.
+    val baseDocs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val w = graft.functions.TextFns.tokens(col("text"))
+    val twins = baseDocs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        array_join(slice(w, lit(1), size(w) * 3 / 5), " ").as("text"))
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 15)
+    val docs = baseDocs.unionByName(twins)
+    val pred = col("doc_id") % 97 === 0
+    val sb0 = Dedup.shingleBuilds
+    // budget large enough that the pack keeps every survivor — the
+    // straddle check needs both twin endpoints in the OUTPUT
+    val base = CorpusPipeline.run(docs, benchPred = pred,
+      budgetPerStratum = 10000000L).out
+    val withSplit = CorpusPipeline.run(docs, benchPred = pred,
+      budgetPerStratum = 10000000L,
+      trainValSplit = Some(CorpusPipeline.SplitCfg())).out.localCheckpoint()
+
+    // the corpus was shingled at most once across BOTH runs: the split
+    // stage rides the same memoized shingle + scored-pair tables
+    assert(Dedup.shingleBuilds - sb0 <= 1,
+      "split stage must reuse the pipeline's shingle pass")
+
+    // annotation-only: projecting rep/split away recovers the split-free
+    // pipeline bit-for-bit
+    val proj = withSplit.drop("rep", "split")
+    assert(proj.exceptAll(base).isEmpty && base.exceptAll(proj).isEmpty,
+      "split must annotate, never re-pack or re-shard")
+
+    // split is a pure function of the representative
+    assert(withSplit.select("rep", "split").distinct()
+      .groupBy("rep").count().filter(col("count") > 1).count() == 0)
+
+    // both sides populated on this fixture (230/256 ~ 90/10)
+    val sides = withSplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sides.getOrElse("train", 0L) > 0 && sides.getOrElse("val", 0L) > 0,
+      s"fixture must land docs on both sides: $sides")
+
+    // cluster atomicity at the split threshold: every >=0.3 near-dup
+    // pair among the OUTPUT documents sits on one side. (The operator
+    // additionally closes over pairs transitive through dropped docs —
+    // this check is the direct-edge floor of that guarantee.)
+    val outDocs = docs.join(withSplit.select("doc_id"), Seq("doc_id"))
+    val pairs = Dedup.jaccardPairs(outDocs, col("doc_id"), col("text"),
+      minSim = 0.3)
+    val lab = withSplit.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(lab.toDF("doc_a", "side_a"), "doc_a")
+      .join(lab.toDF("doc_b", "side_b"), "doc_b")
+      .filter(col("side_a") =!= col("side_b"))
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs among survivors")
+    assert(straddle.count() == 0, "near-dup pairs must never straddle the split")
+
+    // stage roster gains exactly the one terminal stage under stats
+    val staged = CorpusPipeline.run(docs, benchPred = pred,
+      budgetPerStratum = 10000000L,
+      materialize = CorpusPipeline.Materialize.LocalCheckpoint,
+      collectStats = true,
+      trainValSplit = Some(CorpusPipeline.SplitCfg()))
+    assert(staged.stats.map(_.stage) == Seq("gopher_filter", "exact_dedup",
+      "near_dedup_decontam", "pii_redact", "token_pack", "shard_assign",
+      "split_assign"))
+    assert(staged.rowsAfter("split_assign") == staged.rowsAfter("shard_assign"),
+      "annotation stage preserves row count")
+  }
+
   test("pipeline is deterministic: a rerun emits the identical shard assignment") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
