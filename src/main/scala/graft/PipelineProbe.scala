@@ -84,8 +84,34 @@ object PipelineProbe {
       (sec, outRows, builds)
     }
 
+    // -- FUSED + SPLIT: the training-ready configuration (p04). The
+    // increment over plain fused prices the leakage-safe split stage
+    // under the in-run memo sharing the operator is designed for: the
+    // shingle and scored-pair tables are built once for near-dedup +
+    // decontamination and the split stage rides them, so the marginal
+    // cost is the looser-threshold connected components + one
+    // vertex-sized join.
+    def runFusedSplit(): (Double, Long, Long, Long, Long) = {
+      val b0 = Dedup.shingleBuilds
+      val t0 = System.nanoTime()
+      val r = CorpusPipeline.run(docs, benchPred = pred,
+        budgetPerStratum = budget, nShards = 64,
+        trainValSplit = Some(CorpusPipeline.SplitCfg()))
+      val out = r.out.persist()
+      val outRows = out.count()
+      val trainRows = out.filter(col("split") === "train").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      out.unpersist()
+      val builds = Dedup.shingleBuilds - b0
+      require(builds == 1,
+        s"fused+split: corpus must be shingled exactly once, got $builds builds")
+      Caches.release()
+      (sec, outRows, trainRows, outRows - trainRows, builds)
+    }
+
     // -- STAGED (probe/spec harness): per-stage localCheckpoint +
-    // counts, walls attributable per stage.
+    // counts, walls attributable per stage — split stage included so
+    // split_assign gets its own attributable wall.
     def runStaged(): (Double, Long, CorpusPipeline.Result) = {
       val b0 = Dedup.shingleBuilds
       val t0 = System.nanoTime()
@@ -93,7 +119,8 @@ object PipelineProbe {
         docs, benchPred = pred,
         budgetPerStratum = budget, nShards = 64,
         materialize = CorpusPipeline.Materialize.LocalCheckpoint,
-        collectStats = true)
+        collectStats = true,
+        trainValSplit = Some(CorpusPipeline.SplitCfg()))
       val sec = (System.nanoTime() - t0) / 1e9
       val builds = Dedup.shingleBuilds - b0
       Caches.release()
@@ -101,14 +128,23 @@ object PipelineProbe {
     }
 
     val (f0, fRows0, _) = runFused()
+    val (fs0, fsRows0, _, _, _) = runFusedSplit()
     val (s0, _, _) = runStaged()
     val (f1, fusedOutRows, fusedBuilds) = runFused()
+    val (fs1, splitOutRows, trainRows, valRows, _) = runFusedSplit()
     val (s1, shingleBuilds, res) = runStaged()
     require(fRows0 == fusedOutRows, "fused reruns must agree on row count")
+    require(fsRows0 == splitOutRows, "fused+split reruns must agree on row count")
+    require(splitOutRows == fusedOutRows,
+      s"split must annotate, never change the survivor set: $splitOutRows vs $fusedOutRows")
+    require(trainRows > 0 && valRows > 0,
+      s"both split sides must be populated: train=$trainRows val=$valRows")
     val fusedSec = math.min(f0, f1)
+    val fusedSplitSec = math.min(fs0, fs1)
     val e2e = math.min(s0, s1)
-    println(f"[pipeline] fused  e2e best-of-2 $fusedSec%.2fs (iters $f0%.2f/$f1%.2f)  out rows $fusedOutRows")
-    println(f"[pipeline] staged e2e best-of-2 $e2e%.2fs (iters $s0%.2f/$s1%.2f)")
+    println(f"[pipeline] fused       e2e best-of-2 $fusedSec%.2fs (iters $f0%.2f/$f1%.2f)  out rows $fusedOutRows")
+    println(f"[pipeline] fused+split e2e best-of-2 $fusedSplitSec%.2fs (iters $fs0%.2f/$fs1%.2f)  train $trainRows val $valRows")
+    println(f"[pipeline] staged      e2e best-of-2 $e2e%.2fs (iters $s0%.2f/$s1%.2f)")
 
     // composition assertions (the probe is a correctness witness too)
     require(shingleBuilds == 1,
@@ -122,6 +158,8 @@ object PipelineProbe {
       "shard assignment must be a permutation of the packed set")
     val badPos = CorpusPipeline.nonDensePositionShards(res.out)
     require(badPos == 0, s"$badPos shards with non-dense positions")
+    require(res.rowsAfter("split_assign") == res.rowsAfter("shard_assign"),
+      "split annotation must preserve the sharded row count")
     // policy must never change results
     require(fusedOutRows == res.rowsAfter("shard_assign"),
       s"fused ($fusedOutRows) and staged (${res.rowsAfter("shard_assign")}) row counts diverge")
@@ -137,7 +175,8 @@ object PipelineProbe {
       s"""{"metric":"pipeline_probe","sf":"$sfDir","input_rows":$inRows,""" +
       s""""budget_per_stratum":$budget,"iters":2,"best_of":true,""" +
       s""""fused":{"e2e_sec":${f2(fusedSec)},"iter_walls":[${f2(f0)},${f2(f1)}],"shingle_builds":$fusedBuilds,"out_rows":$fusedOutRows},""" +
-      s""""staged":{"e2e_sec":${f2(e2e)},"iter_walls":[${f2(s0)},${f2(s1)}],"shingle_builds":$shingleBuilds,"stages":$stageJson}}"""
+      s""""fused_split":{"e2e_sec":${f2(fusedSplitSec)},"iter_walls":[${f2(fs0)},${f2(fs1)}],"out_rows":$splitOutRows,"train_rows":$trainRows,"val_rows":$valRows,"increment_vs_fused_sec":${f2(fusedSplitSec - fusedSec)}},""" +
+      s""""staged":{"e2e_sec":${f2(e2e)},"iter_walls":[${f2(s0)},${f2(s1)}],"shingle_builds":$shingleBuilds,"split_stage":true,"stages":$stageJson}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_pipeline_probe.json"),
       (json + "\n").getBytes("UTF-8"))
