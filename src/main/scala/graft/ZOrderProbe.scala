@@ -162,6 +162,49 @@ object ZOrderProbe {
     println(f"[zorder] stats manifest: build ${statsWall}%.2fs; pruned time " +
       f"slice touches $prunedFiles of $statsN files, wall $prunedWall%.2fs")
 
+    // hash-DICTIONARY point skip on a BUCKETED lake — the layout where
+    // span stats are provably useless: files clustered by
+    // hash(user_id) have min/max covering the whole domain (hash order
+    // is not value order), but each file holds |users|/buckets distinct
+    // users. The manifest dict makes a point lookup touch only the
+    // files that truly contain the key, with no reader-side knowledge
+    // of the bucketing function — the self-describing version of
+    // bucket pruning. Cap note: the dict is bounded BY DESIGN
+    // (over-cap files store null and degrade to span pruning), so the
+    // manifest can never bloat past cap x 8 bytes per file per column.
+    val nUsers = events.select(countDistinct(col("user_id")))
+      .collect()(0).getLong(0)
+    val buckets = 128
+    events.repartition(buckets, col("user_id"))
+      .write.parquet(s"$work/bucketed")
+    graft.operators.Compactor.writeStatsManifest(s"$work/bucketed",
+      Seq("user_id"), dictCols = Seq("user_id"),
+      dictCap = math.max(1024, (nUsers / buckets * 4).toInt))
+    val (dictHits, dictFiles, dictWall) = {
+      val t = System.nanoTime()
+      val df = graft.operators.Compactor.readPrunedEq(
+        s"$work/bucketed", Seq(("user_id", lit(someUser))))
+      df.queryExecution.toRdd.count()
+      val w = (System.nanoTime() - t) / 1e9
+      (df.count(), df.inputFiles.length, w)
+    }
+    val bucketedFull = spark.read.parquet(s"$work/bucketed")
+      .filter(col("user_id") === someUser)
+    require(dictHits == bucketedFull.count(),
+      s"dict-pruned read must match the full filter: $dictHits")
+    // span stats CANNOT prune this layout; the dict must
+    require(dictFiles <= 2,
+      s"dict must isolate the user's bucket file(s): touched $dictFiles")
+    val (spanHits, spanWall) = {
+      val t = System.nanoTime()
+      val c = bucketedFull.count()
+      (c, (System.nanoTime() - t) / 1e9)
+    }
+    require(spanHits == dictHits)
+    println(f"[zorder] dict point skip: $dictFiles of $buckets bucket files " +
+      f"touched (full scan $spanWall%.2fs -> dict $dictWall%.2fs), " +
+      f"$nUsers users")
+
     println(f"[zorder] rewrite wall $zWall%.1fs, ${manifest.getLong(1)} files")
     val runJson = runs.map { case (t, h, sc, w) =>
       s"""{"run":"$t","hits":$h,"scan_rows":$sc,"wall_sec":${f2(w)}}"""
@@ -172,6 +215,9 @@ object ZOrderProbe {
       s""""stats_manifest":{"build_sec":${f2(statsWall)},""" +
       s""""pruned_files":$prunedFiles,"total_files":$statsN,""" +
       s""""wall_sec":${f2(prunedWall)}},""" +
+      s""""dict_point_skip":{"bucket_files":$buckets,"touched":$dictFiles,""" +
+      s""""users":$nUsers,"full_scan_sec":${f2(spanWall)},""" +
+      s""""dict_sec":${f2(dictWall)}},""" +
       s""""runs":$runJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_zorder_probe.json"),

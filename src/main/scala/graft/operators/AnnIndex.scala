@@ -328,6 +328,21 @@ object AnnIndex {
     val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing(): Set[String] = fs.listStatus(vp)
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
+    // Crash repair FIRST: a prior append that died between the two
+    // table writes left vector rows with no sketch — pass 1 scans only
+    // the sketch table, so those rows would be invisible to every
+    // search forever, silently breaking the row-identical-to-rebuild
+    // contract. Detect via an id-only anti-join (columnar: reads the
+    // two id columns, ~sketchDim/dim of the table bytes); only a real
+    // orphan set pays the full-vector re-read.
+    val orphanIds = spark.read.parquet(s"$path/vectors").select("vec_id")
+      .join(spark.read.parquet(s"$path/sketches").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    if (!orphanIds.isEmpty)
+      spark.read.parquet(s"$path/vectors")
+        .join(orphanIds, Seq("vec_id"))
+        .select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
+        .write.mode("append").parquet(s"$path/sketches")
     val before = listing()
     vecs.toDF("vec_id", "c_vec")
       .write.mode("append").parquet(s"$path/vectors")

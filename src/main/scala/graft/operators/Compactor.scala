@@ -158,9 +158,22 @@ object Compactor {
   private def normPath(p: String)
                       (implicit spark: org.apache.spark.sql.SparkSession): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
-    val u = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(hp).toUri
-    s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    try {
+      val u = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toUri
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    } catch { case scala.util.control.NonFatal(_) =>
+      // The manifest is ADVISORY — its consumers must fall back, never
+      // crash. A manifest migrated from another environment can spell
+      // entries in a scheme whose FileSystem isn't loadable here
+      // (connector jar/credentials absent): render the URI as-is. The
+      // un-qualified spelling simply fails to match the current
+      // listing, so the staleness check full-scans (readPrunedMulti)
+      // or the entry is dropped as dead (maintainLake's resync) — the
+      // safe direction either way.
+      val u = hp.toUri
+      s"${Option(u.getScheme).getOrElse("")}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    }
   }
 
   /** Watermark fast-path policy for [[compactDirectoryIncremental]]. */
@@ -853,7 +866,9 @@ object Compactor {
     * manifest is advisory like the watermark: losing it costs the
     * prune, never correctness.
     */
-  def writeStatsManifest(dir: String, cols: Seq[String])
+  def writeStatsManifest(dir: String, cols: Seq[String],
+                         dictCols: Seq[String] = Nil,
+                         dictCap: Int = 1024)
                         (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     require(cols.nonEmpty, "writeStatsManifest: need at least one column")
     val lake = spark.read.parquet(dir)
@@ -864,7 +879,7 @@ object Compactor {
     val manFiles = math.max(1,
       ((lake.inputFiles.length + ManifestRowsPerFile - 1)
         / ManifestRowsPerFile)).toInt
-    statsOf(lake, cols)
+    statsOf(lake, cols, dictCols, dictCap)
       .repartitionByRange(manFiles, col("file"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$dir/$StatsDir")
@@ -876,12 +891,38 @@ object Compactor {
   /** Manifest rows per manifest file — 500k ~ a few tens of MB. */
   private val ManifestRowsPerFile = 500000
 
-  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private def statsOf(df: DataFrame, cols: Seq[String],
+                      dictCols: Seq[String] = Nil,
+                      dictCap: Int = 1024): DataFrame = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
       count(lit(1)).as("n_rows")
-    df.groupBy(input_file_name().as("file"))
+    val base = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    // Per-file hash DICTIONARY for point-predicate skipping: min/max
+    // spans are useless for a high-cardinality column the layout isn't
+    // sorted by (every file's [min,max] covers everything), but the SET
+    // of values a 100 MB file actually holds is often small — store
+    // xxhash64 of each distinct value, capped at `dictCap` entries
+    // (over-cap files store null = never skipped). Hash collisions can
+    // only ADD files to a scan (false positive), never drop one: the
+    // hash of a present value is always in the set. Scale shape: the
+    // candidate set is built from a DISTINCT over (file, hash) pairs —
+    // never an unbounded collect_set buffer — and only under-cap files
+    // pay the collect at all.
+    dictCols.foldLeft(base) { (acc, c) =>
+      // xxhash64 is total (a null value hashes to the seed) — a file of
+      // nulls gets a one-entry dict, and since an equality predicate
+      // can never match a null row, skipping such files stays exact
+      val pairs = df.select(input_file_name().as("file"),
+          xxhash64(col(c)).as("_h")).distinct()
+      val small = pairs.groupBy(col("file")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") <= dictCap).select(col("file"))
+      val dict = pairs.join(small, Seq("file"))
+        .groupBy(col("file"))
+        .agg(sort_array(collect_set(col("_h"))).as(s"dict_$c"))
+      acc.join(dict, Seq("file"), "left")
+    }
   }
 
   /** Append per-file stats for ONLY `newFiles` to an existing manifest
@@ -895,7 +936,8 @@ object Compactor {
     * (a duplicate row would make [[readPrunedMulti]] hand the same
     * path to the reader twice).
     */
-  def appendStatsManifest(dir: String, newFiles: Seq[String])
+  def appendStatsManifest(dir: String, newFiles: Seq[String],
+                          dictCap: Int = 1024)
                          (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     require(newFiles.nonEmpty, "appendStatsManifest: no files to append")
     val (fs, statsPath) = hadoopPath(dir, StatsDir)
@@ -904,6 +946,13 @@ object Compactor {
     val existing = spark.read.parquet(s"$dir/$StatsDir")
     val cols = existing.columns.filter(_.startsWith("min_"))
       .map(_.stripPrefix("min_")).toSeq
+    // dict columns ride along off the existing schema, like min/max —
+    // append can never fork the manifest shape. (dictCap only bounds
+    // THIS delta's dict sizes; the null-over-cap rule is per file, so a
+    // different cap than the base write costs skip quality on the new
+    // files at most, never correctness.)
+    val dictCols = existing.columns.filter(_.startsWith("dict_"))
+      .map(_.stripPrefix("dict_")).toSeq
     require(cols.nonEmpty,
       s"appendStatsManifest($dir): existing manifest has no stats columns")
     val known = existing.select(col("file")).collect()
@@ -915,7 +964,7 @@ object Compactor {
     // basePath: partition columns of a partitioned lake must resolve
     // exactly as they do in the full-scan stats pass
     statsOf(spark.read.option("basePath", dir)
-        .parquet(newFiles: _*), cols)
+        .parquet(newFiles: _*), cols, dictCols, dictCap)
       .select(existing.columns.toIndexedSeq.map(col): _*)
       .write.mode(SaveMode.Append).parquet(s"$dir/$StatsDir")
     spark.read.parquet(s"$dir/$StatsDir")
@@ -948,10 +997,58 @@ object Compactor {
   def readPrunedMulti(dir: String, preds: Seq[(String, Column, Column)])
                      (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     require(preds.nonEmpty, "readPrunedMulti: need at least one predicate")
+    prunedScan(dir,
+      applyExact = df => preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+        d.filter(col(c) >= lo && col(c) <= hi) },
+      manifestPred = (_, _) => preds.map { case (c, lo, hi) =>
+        coalesce(col(s"max_$c") >= lo, lit(true)) &&
+          coalesce(col(s"min_$c") <= hi, lit(true))
+      }.reduce(_ && _))
+  }
+
+  /** Point-predicate prune: read only the lake files that can hold
+    * `col = value`, per the manifest's per-file hash DICTIONARY
+    * (`dict_<col>`, written by [[writeStatsManifest]]'s `dictCols`) and
+    * min/max span when present. The dictionary is what min/max cannot
+    * be for a high-cardinality column the layout isn't sorted by:
+    * every file's span covers the whole domain, but each file's VALUE
+    * SET is small — a point lookup touches only the files that truly
+    * contain the key. Hash collisions only ever ADD files (the hash of
+    * a present value is always in the set); files with a null dict
+    * (over-cap or pre-dict manifests) are kept. Same advisory contract
+    * as [[readPrunedMulti]]: absent/stale manifest = full scan.
+    */
+  def readPrunedEq(dir: String, eqPreds: Seq[(String, Column)])
+                  (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(eqPreds.nonEmpty, "readPrunedEq: need at least one predicate")
+    prunedScan(dir,
+      applyExact = df => eqPreds.foldLeft(df) { case (d, (c, v)) =>
+        d.filter(col(c) === v) },
+      manifestPred = (manifest, full) => eqPreds.map { case (c, v) =>
+        // hash EXACTLY what the write side hashed: the value cast to
+        // the lake column's native type (xxhash64 is type-sensitive —
+        // an int literal probed against a long column would otherwise
+        // hash differently and silently skip the right files)
+        val typed = v.cast(full.schema(c).dataType)
+        val range =
+          if (manifest.columns.contains(s"min_$c"))
+            coalesce(col(s"max_$c") >= typed, lit(true)) &&
+              coalesce(col(s"min_$c") <= typed, lit(true))
+          else lit(true)
+        val dict =
+          if (manifest.columns.contains(s"dict_$c"))
+            coalesce(array_contains(col(s"dict_$c"), xxhash64(typed)),
+              lit(true))
+          else lit(true)
+        range && dict
+      }.reduce(_ && _))
+  }
+
+  private def prunedScan(dir: String,
+                         applyExact: DataFrame => DataFrame,
+                         manifestPred: (DataFrame, DataFrame) => Column)
+                        (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val full = spark.read.parquet(dir)
-    def applyExact(df: DataFrame): DataFrame =
-      preds.foldLeft(df) { case (d, (c, lo, hi)) =>
-        d.filter(col(c) >= lo && col(c) <= hi) }
     val exact = applyExact(full)
     val (fs, statsPath) = hadoopPath(dir, StatsDir)
     if (!fs.exists(statsPath)) return exact // advisory: absent => full scan
@@ -969,11 +1066,7 @@ object Compactor {
     // mismatch falls back to the full scan
     val current = full.inputFiles.map(normPath).toSet
     if (current != known) return exact
-    val intersects = preds.map { case (c, lo, hi) =>
-      coalesce(col(s"max_$c") >= lo, lit(true)) &&
-        coalesce(col(s"min_$c") <= hi, lit(true))
-    }.reduce(_ && _)
-    val files = manifest.filter(intersects)
+    val files = manifest.filter(manifestPred(manifest, full))
       .select(col("file")).collect().map(_.getString(0))
     val base =
       if (files.isEmpty)
@@ -1071,8 +1164,17 @@ object Compactor {
         // BACK: otherwise the lake is restored but its manifest is
         // stranded in the staging dir — every read full-scans and the
         // next maintain pays a whole-lake rewrite.
-        if (hadManifest)
-          fs.rename(statsPath, new org.apache.hadoop.fs.Path(tmp, StatsDir))
+        if (hadManifest) {
+          val moved =
+            fs.rename(statsPath, new org.apache.hadoop.fs.Path(tmp, StatsDir))
+          // abort BEFORE the swap: an ignored failed rename would let
+          // the manifest ride the retired lake directory into
+          // fs.delete, and the post-commit resync would then throw on
+          // the vanished $lake/StatsDir with the data swap already
+          // committed — unrecoverable short of a whole-lake rebuild
+          require(moved, s"could not stage the stats manifest out of " +
+            s"$src before the swap — aborting pre-commit (lake untouched)")
+        }
         try fs.delete(new org.apache.hadoop.fs.Path(commitOptimized(src, tmp)), true)
         catch { case t: Throwable =>
           val stranded = new org.apache.hadoop.fs.Path(tmp, StatsDir)
@@ -1091,8 +1193,9 @@ object Compactor {
     // small dirty dirs would otherwise idle the cluster between jobs —
     // overlapping partitions keeps it saturated while staging dirs and
     // swaps stay strictly per-partition (no shared mutable state; a
-    // failure aborts the batch after in-flight partitions finish, and
-    // the committed ones are absorbed by the next idempotent run)
+    // failure aborts the batch only after EVERY submitted partition has
+    // fully drained — success or failure — and the committed ones are
+    // absorbed by the next idempotent run)
     val dirtyResults: Map[String, (Long, Long)] =
       if (dirty.isEmpty) Map.empty
       else if (dirty.size == 1) Map(dirty.head._1 -> rewriteOne(dirty.head._1))
@@ -1104,9 +1207,15 @@ object Compactor {
         try {
           val futs = dirty.map { case (rel, _) =>
             scala.concurrent.Future(rel -> rewriteOne(rel)) }
-          scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(futs),
-            scala.concurrent.duration.Duration.Inf).toMap
+          // Await EVERY future individually — Future.sequence is
+          // fail-fast, and rethrowing while sibling rewrites are still
+          // mid-swap (or queued ones still start on the live pool)
+          // would hand a retrying caller a lake with partitions
+          // transiently retired and staging dirs it would collide with
+          val done = futs.map(f => scala.util.Try(scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf)))
+          done.foreach(t => if (t.isFailure) throw t.failed.get)
+          done.map(_.get).toMap
         } finally pool.shutdown()
       }
 
@@ -1132,6 +1241,12 @@ object Compactor {
               s"$zorderCols — rewrite the manifest explicitly to change them")
           c
         }
+      // dict columns ride the existing manifest shape, like append:
+      // a maintenance pass must not silently drop point-skip coverage
+      val dictCols =
+        if (!hadManifest) Nil
+        else spark.read.parquet(s"$lake/$StatsDir").columns
+          .filter(_.startsWith("dict_")).map(_.stripPrefix("dict_")).toSeq
       val rewrittenFiles = dirty.map(_._1).flatMap { rel =>
         val dir = if (rel.isEmpty) lake else s"$lake/$rel"
         spark.read.parquet(dir).inputFiles
@@ -1142,7 +1257,7 @@ object Compactor {
         if (rewrittenFiles.isEmpty) None
         else Some(statsOf(
           spark.read.option("basePath", lake).parquet(rewrittenFiles: _*),
-          statsCols))
+          statsCols, dictCols))
       // prefix test runs on URI PATHS (scheme spellings differ between
       // the caller's lake string and input_file_name output; `base` is
       // already the lake's URI path)

@@ -280,17 +280,16 @@ object CorpusPipeline {
     // partition by split before shard.
     val out = trainValSplit match {
       case Some(cfg) => staged("split_assign") {
-        val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
-          minSim = cfg.minSim, k = 16, bands = 4)
-        val reps = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
-          .select(col("doc_id"), col("cluster_rep"))
-        s7.join(reps, Seq("doc_id"), "left")
-          .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
-          .withColumn("split",
-            when(conv(substring(md5(concat(lit(cfg.salt),
-                col("rep").cast("string"))), 1, 2), 16, 10)
-              .cast("long") < cfg.trainBuckets, "train")
-              .otherwise("val"))
+        // ONE implementation of the rep/bucket recipe: the standalone
+        // d10 operator, pointed at the post-exact frame — so the
+        // pipeline annotation, the solo operator, and their SQL oracles
+        // cannot drift apart. Same shingle/band params as stage 3 =
+        // full memo ride.
+        val assign = Curation.leakageSafeSplit(s2, col("doc_id"),
+          col("text"), shingleN = 3, k = 16, bands = 4,
+          minSim = cfg.minSim, trainBuckets = cfg.trainBuckets,
+          salt = cfg.salt)
+        s7.join(assign, Seq("doc_id"), "left")
           .select(col("doc_id"), col("stratum"), col("n_tok"),
             col("shard"), col("pos"), col("rep"), col("split"))
       }

@@ -297,6 +297,14 @@ object Dedup {
       .withColumn("label", col("v")))
     var changed = 1L
     var rounds = 0
+    // The quotient loop runs under a catch-all so the ERROR path also
+    // retires tracked blocks: a non-convergence throw (or a failed
+    // round job) propagates to a caller who may well catch and keep
+    // the session — without cleanup that path re-opens exactly the
+    // storage-pressure leak the tracking exists to close. Nothing
+    // downstream reads ANY tracked block once clusters() throws, so
+    // everything retires.
+    try {
     while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edgesQ
         .join(labels.select(col("v").as("dst"), col("label")), "dst")
@@ -351,6 +359,10 @@ object Dedup {
         s"($changed labels still moving) — raise maxRounds; a component " +
         "this deep in a NEAR-DUP graph usually means the pair threshold " +
         "is admitting everything")
+    } catch { case t: Throwable =>
+      trackedRdds.foreach(r => scala.util.Try(r.unpersist(false)))
+      throw t
+    }
     // Retire every intermediate round's blocks: at loop exit all
     // tracked frames are materialized (each round's count scanned
     // them), and the returned frame reads only basins + the final

@@ -137,6 +137,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(got.filter(col("vec_id") % 2 === 1).count() > 0)
   }
 
+  test("sketch index: a torn append (vectors landed, sketches did not) self-heals on the next append") {
+    val dir = Files.createTempDirectory("graft-sk-ix").toString
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    AnnIndex.writeSketch(dir, base, sketchDim = 16, dim = 64)
+    // simulate the torn append: the vectors write committed, the crash
+    // hit before the sketches write — orphaned rows pass 1 can't see
+    val orphan = emb.filter(col("vec_id") % 3 === 1)
+    orphan.toDF("vec_id", "c_vec")
+      .write.mode("append").parquet(s"$dir/vectors")
+    // the tear is real: no orphaned id ever surfaces for any query
+    // (pass 1 scans only the sketch table)
+    val q = emb.filter(col("vec_id") < 5)
+    val before = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)
+    assert(before.filter(col("vec_id") % 3 === 1).count() == 0,
+      "planted tear must be invisible pre-repair, else the test is vacuous")
+    // next append repairs the orphans before adding its own delta
+    val delta = emb.filter(col("vec_id") % 3 === 2)
+    AnnIndex.appendSketchVectors(dir, delta)
+    // the healed index is indistinguishable from a full rebuild...
+    val healed = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)
+    val inline = Similarity.knnSketchRerank(q, emb, k = 5, m = 40,
+      sketchDim = 16, dim = 64)
+    assert(rows(healed) == rows(inline))
+    // ...and formerly-orphaned rows actually serve as hits
+    assert(healed.filter(col("vec_id") % 3 === 1).count() > 0,
+      "healed orphans must be servable")
+  }
+
   test("sketch index: foreign format version fails loudly") {
     val dir = Files.createTempDirectory("graft-sk-ix").toString
     AnnIndex.writeSketch(dir, emb, sketchDim = 8, dim = 64)

@@ -261,6 +261,23 @@ class SkewLineageSpec extends SparkSpec {
       "result not readable/correct after block retirement")
   }
 
+  test("dedup clusters: the non-convergence ERROR path also retires its blocks") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // A caller may catch the non-convergence throw and keep the
+    // session — if only the success path retired blocks, that pattern
+    // would re-open the storage-pressure leak the cleanup exists for.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 1)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"error path left ${leaked.size} persistent RDDs behind")
+  }
+
   test("embeddingPairs: hot-cell split preserves the exact pair set") {
     import spark.implicits._
     import graft.operators.Dedup

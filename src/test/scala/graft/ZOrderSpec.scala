@@ -182,6 +182,79 @@ class ZOrderSpec extends SparkSpec {
     assert(purged.count() ==
       spark.read.parquet(lake).filter($"x" === 4).count(),
       "post-purge manifest must fall back to the surviving files, not throw")
+    // a manifest migrated from a FOREIGN environment: entries spelled
+    // in a scheme whose FileSystem is not loadable here (connector
+    // jar/credentials absent). Path normalization must not throw — the
+    // un-matchable spelling reads as stale and the prune falls back
+    Compactor.writeStatsManifest(lake, Seq("x"))
+    val manDir = s"$lake/${Compactor.StatsDir}"
+    val foreign = spark.read.parquet(manDir)
+      .withColumn("file",
+        regexp_replace($"file", "^file:/+", "graftbogus://remote/"))
+      .collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(foreign.toIndexedSeq),
+        spark.read.parquet(manDir).schema)
+      .coalesce(1).write.mode("overwrite").parquet(manDir)
+    val migrated = Compactor.readPruned(lake, "x", lit(4), lit(4))
+    assert(migrated.count() ==
+      spark.read.parquet(lake).filter($"x" === 4).count(),
+      "foreign-scheme manifest must full-scan, never crash the reader")
+  }
+
+  test("hash-dictionary point skip: prunes what min/max cannot, exact rows, over-cap safe, append-aware") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-dict").toString
+    // 12 files; file k holds users {k, 1000} — the 1000 sentinel makes
+    // every file's [min,max] span huge (span pruning nearly useless for
+    // a point lookup) while each file's VALUE SET stays tiny (the dict
+    // skip's exact target)
+    (0 until 12).foreach { k =>
+      (0 until 50).map(i => (if (i % 5 == 0) 1000L else k.toLong, k * 50L + i))
+        .toDF("user", "seq")
+        .coalesce(1).write.mode("append").parquet(lake)
+    }
+    val fullHit = spark.read.parquet(lake).filter($"user" === 7L)
+
+    // cap too small: every file has 2 distinct users > cap=1 -> dict is
+    // null everywhere -> prune degrades to the span test, rows exact
+    Compactor.writeStatsManifest(lake, Seq("user"),
+      dictCols = Seq("user"), dictCap = 1)
+    val overCap = Compactor.readPrunedEq(lake, Seq(("user", lit(7))))
+    assert(overCap.count() == fullHit.count(),
+      "over-cap dict must degrade to span pruning, never drop rows")
+    assert(overCap.inputFiles.length >= 8,
+      "span test alone cannot isolate the user (sentinel widens every file)")
+
+    // real cap: the lookup touches exactly the one file holding user 7.
+    // The probe literal is an INT against a LONG column — the read side
+    // must cast before hashing or it would silently skip the right file
+    Compactor.writeStatsManifest(lake, Seq("user"),
+      dictCols = Seq("user"))
+    val dictHit = Compactor.readPrunedEq(lake, Seq(("user", lit(7))))
+    assert(dictHit.count() == fullHit.count() && fullHit.count() > 0)
+    assert(dictHit.inputFiles.length == 1,
+      s"dict must isolate the single file: ${dictHit.inputFiles.length}")
+    // sentinel present in EVERY file: dict keeps them all, rows exact
+    val sentinel = Compactor.readPrunedEq(lake, Seq(("user", lit(1000))))
+    assert(sentinel.count() ==
+      spark.read.parquet(lake).filter($"user" === 1000L).count())
+    assert(sentinel.inputFiles.length == 12)
+
+    // append rides the existing dict schema: a new file with user 7
+    // enters the manifest and the point lookup now touches exactly 2
+    val preFiles = spark.read.parquet(lake).inputFiles.toSet
+    (0 until 10).map(i => (7L, 10000L + i)).toDF("user", "seq")
+      .coalesce(1).write.mode("append").parquet(lake)
+    val newFiles = spark.read.parquet(lake).inputFiles
+      .filterNot(preFiles.contains)
+    assert(newFiles.length == 1)
+    Compactor.appendStatsManifest(lake, newFiles.toIndexedSeq)
+    val after = Compactor.readPrunedEq(lake, Seq(("user", lit(7))))
+    assert(after.count() == fullHit.count() + 10)
+    assert(after.inputFiles.length == 2,
+      s"append must extend the dict skip: ${after.inputFiles.length}")
   }
 
   test("appendStatsManifest: prune stays active across an ingest without a manifest rewrite") {
