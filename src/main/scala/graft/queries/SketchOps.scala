@@ -74,6 +74,41 @@ object SketchOps extends QuerySet {
             sum($"n").as("n_events"),
             count(lit(1)).as("n_day_sketches"))
       },
-      None)
+      None),
+
+    // --- Heavy hitters over the token stream: Misra-Gries sketch
+    // (bounded ≤m counters per partial, mergeable with additive error —
+    // the PODS'12 mergeable-summaries construction) narrows the
+    // candidates, then ONE exact re-count of only those ≤m keys
+    // verifies. The sketch's superset guarantee (every key with true
+    // count > n/(m+1) survives any merge tree) makes the FINAL output
+    // deterministic and exactly SQL-expressible — the sketch family's
+    // first full DuckDB oracle. Scale shape: map-side sketch -> p×m
+    // entries to one tiny merge -> broadcast candidates -> exact count
+    // of candidate rows only. The full token cardinality never
+    // shuffles; an exact GROUP BY token at 100 TB shuffles billions of
+    // distinct keys to answer a 64-row question.
+    Q("x04_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val m = 64
+        val words = Tables.load(s, d, "documents")
+          .select(explode(graft.functions.TextFns.tokens($"text")).as("token"))
+        val n = words.count()
+        val cands = words
+          .agg(graft.expressions.MisraGries.mg_sketch($"token", m).as("sk"))
+          .select(explode(map_keys($"sk")).as("token"))
+        words.join(broadcast(cands), Seq("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" > n / (m + 1))
+      },
+      Some("""WITH E AS (SELECT unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+             |  FROM documents),
+             |N AS (SELECT count(*) AS n FROM E)
+             |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+             |FROM E GROUP BY token
+             |HAVING count(*) > (SELECT n // 65 FROM N)""".stripMargin))
   )
 }

@@ -96,4 +96,69 @@ class SketchMergeSpec extends SparkSpec {
         s"type $t: merged estimate $est vs exact $ex off > 5%")
     }
   }
+
+  // ---- Misra-Gries frequent-items contract (x04's substrate) ----
+
+  /** Skewed key stream: a handful of heavy keys over a long uniform
+    * tail — the shape heavy-hitter detection exists for.
+    */
+  private def skewed: DataFrame = {
+    import spark.implicits._
+    val heavy = Seq.tabulate(5)(h => Seq.fill(2000 - h * 300)(s"hot_$h")).flatten
+    val tail = (0 until 12000).map(i => s"cold_${i % 4000}")
+    new scala.util.Random(7).shuffle(heavy ++ tail).toDF("k")
+  }
+
+  test("Misra-Gries: the survivor set contains every key above n/(m+1) under ANY partitioning") {
+    import graft.expressions.MisraGries.mg_sketch
+    val df = skewed
+    val n = df.count()
+    val m = 16
+    val exactHH = df.groupBy(col("k")).count()
+      .filter(col("count") > n / (m + 1))
+      .collect().map(_.getString(0)).toSet
+    assert(exactHH.size >= 3, s"fixture must have heavy keys: $exactHH")
+    Seq(1, 7, 32).foreach { p =>
+      val sk = df.repartition(p)
+        .agg(mg_sketch(col("k"), m)).collect()(0).getMap[String, Long](0)
+      val cands = sk.keysIterator.toSet
+      assert(cands.size <= m, s"p=$p: sketch must hold <= $m keys")
+      assert(exactHH.subsetOf(cands),
+        s"p=$p: guarantee broken — missing ${exactHH -- cands}")
+    }
+  }
+
+  test("Misra-Gries: estimates undercount by at most n/(m+1), never overcount") {
+    import graft.expressions.MisraGries.mg_sketch
+    val df = skewed
+    val n = df.count()
+    val m = 16
+    val exact = df.groupBy(col("k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = df.repartition(13)
+      .agg(mg_sketch(col("k"), m)).collect()(0).getMap[String, Long](0)
+    sk.foreach { case (k, est) =>
+      assert(est <= exact(k), s"$k: estimate $est overcounts ${exact(k)}")
+      assert(exact(k) - est <= n / (m + 1) + 1,
+        s"$k: undercount ${exact(k) - est} exceeds the n/(m+1) bound")
+    }
+  }
+
+  test("Misra-Gries: sketch + exact re-verify == plain GROUP BY HAVING (the x04 shape)") {
+    import graft.expressions.MisraGries.mg_sketch
+    val df = skewed
+    val n = df.count()
+    val m = 16
+    val cands = df.agg(mg_sketch(col("k"), m).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("k"))
+    val got = df.join(broadcast(cands), Seq("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n / (m + 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val exact = df.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n / (m + 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == exact && got.nonEmpty,
+      "sketch-narrowed exact recount must equal the full GROUP BY")
+  }
 }

@@ -217,6 +217,22 @@ MODES = {
         "probe_shuffle": 256,
         "probe_mem": "16g",
     },
+    "hh": {
+        # x04 (Misra-Gries heavy hitters + exact candidate re-count)
+        # over the 100x dedup corpus: two corpus passes (sketch, then
+        # recount of broadcast candidates) and a p x m-entry merge —
+        # the full token cardinality never shuffles, so the wall must
+        # track the explode/scan cost (t-family band), NOT a
+        # full-cardinality groupBy.
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["x04_heavy_hitters"],
+        "iters": 1,
+        "reps": 3,
+        "out": f"{REPO}/BENCH_hh_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+        "probe_mem": "16g",
+    },
     "asof": {
         # same sf10join corpus (make_sf10_join.py scales events since
         # r7): 2M purchase events as-of 15M orders — the one heavy query
