@@ -105,6 +105,29 @@ class QueriesSpec extends SparkSpec {
       s"supplier dim must broadcast:\n$exec")
   }
 
+  test("x04 never shuffles the token cardinality: one object-agg merge + broadcast recount") {
+    // The claim behind the heavy-hitters sketch: at 100 TB an exact
+    // GROUP BY token shuffles every distinct key; x04 must plan as
+    // (a) a partial/final ObjectHashAggregate pair for the MG sketch —
+    //     the only exchange for the sketch is the SinglePartition
+    //     final-merge (p maps of <= m entries each);
+    // (b) a BroadcastHashJoin feeding the candidate recount, so the
+    //     recount's hash shuffle carries <= m distinct keys;
+    // (c) NO range exchange (repo-wide no-global-sort rule).
+    val df = SparkEntry.queries("x04_heavy_hitters")(spark, sf0001)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    val plan = exec.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"MG sketch must plan as an object aggregate (partial+final):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate set must broadcast into the recount:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val parts = shufflePartitionings(exec)
+    assert(!parts.exists(_.isInstanceOf[RangePartitioning]),
+      s"x04 must not global-sort:\n$plan")
+  }
+
   test("t19 broadcasts only the min-count-pruned vocab head; the residue joins by shuffle") {
     // The r10 weak mark: broadcasting the UNPRUNED distinct-token vocab
     // OOMs the driver at web scale (billions of typo/UUID-tail rows).
