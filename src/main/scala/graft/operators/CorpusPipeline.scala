@@ -280,16 +280,24 @@ object CorpusPipeline {
     // partition by split before shard.
     val out = trainValSplit match {
       case Some(cfg) => staged("split_assign") {
-        // ONE implementation of the rep/bucket recipe: the standalone
-        // d10 operator, pointed at the post-exact frame — so the
-        // pipeline annotation, the solo operator, and their SQL oracles
-        // cannot drift apart. Same shingle/band params as stage 3 =
-        // full memo ride.
-        val assign = Curation.leakageSafeSplit(s2, col("doc_id"),
-          col("text"), shingleN = 3, k = 16, bands = 4,
-          minSim = cfg.minSim, trainBuckets = cfg.trainBuckets,
-          salt = cfg.salt)
-        s7.join(assign, Seq("doc_id"), "left")
+        // Same frame + shingle/band params as stage 3 = full memo ride
+        // (shingle AND scored-pair tables reused; only the CC over the
+        // looser edge set is new work). The vertex-sized rep map joins
+        // DIRECTLY onto the sharded output — routing it through the
+        // full doc-id frame first (an earlier draft called
+        // leakageSafeSplit(s2) here) re-read the cached diamond a third
+        // time inside the fused plan and measurably cost ~2 s at every
+        // sf. The bucket rule itself is the ONE shared definition
+        // ([[Curation.splitOfRep]]), so the pipeline annotation, the
+        // standalone d10 operator, and their SQL oracles cannot drift.
+        val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
+          minSim = cfg.minSim, k = 16, bands = 4)
+        val reps = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
+          .select(col("doc_id"), col("cluster_rep"))
+        s7.join(reps, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+          .withColumn("split",
+            Curation.splitOfRep(col("rep"), cfg.trainBuckets, cfg.salt))
           .select(col("doc_id"), col("stratum"), col("n_tok"),
             col("shard"), col("pos"), col("rep"), col("split"))
       }

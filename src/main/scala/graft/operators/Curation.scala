@@ -108,18 +108,28 @@ object Curation {
                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                        minSim: Double = 0.3, trainBuckets: Int = 230,
                        salt: String = "graft-split:42:"): DataFrame = {
-    require(trainBuckets > 0 && trainBuckets < 256,
-      s"trainBuckets must split 256 buckets two ways, got $trainBuckets")
     val pairs = Dedup.jaccardPairs(docs, id, text, shingleN, k, bands, minSim)
     val reps = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
     docs.select(id.as("doc_id"))
       .join(reps, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
-      .withColumn("_b",
-        conv(substring(md5(concat(lit(salt), col("rep").cast("string"))), 1, 2),
-          16, 10).cast("long"))
-      .withColumn("split",
-        when(col("_b") < trainBuckets, "train").otherwise("val"))
+      .withColumn("split", splitOfRep(col("rep"), trainBuckets, salt))
       .select(col("doc_id"), col("rep"), col("split"))
+  }
+
+  /** THE split bucket rule — first byte of `md5(salt || rep)` against
+    * `trainBuckets` of 256 (the t21 portable-hash recipe, restated
+    * verbatim in the d10/p04 oracles). One definition, shared by
+    * [[leakageSafeSplit]] and [[CorpusPipeline]]'s split stage, so the
+    * operator, the pipeline annotation, and their SQL restatements
+    * cannot drift apart.
+    */
+  def splitOfRep(rep: Column, trainBuckets: Int, salt: String): Column = {
+    require(trainBuckets > 0 && trainBuckets < 256,
+      s"trainBuckets must split 256 buckets two ways, got $trainBuckets")
+    when(
+      conv(substring(md5(concat(lit(salt), rep.cast("string"))), 1, 2), 16, 10)
+        .cast("long") < trainBuckets, "train")
+      .otherwise("val")
   }
 }
