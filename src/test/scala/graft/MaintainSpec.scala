@@ -71,6 +71,43 @@ class MaintainSpec extends SparkSpec {
     assert(viaPrune.count() == full.filter($"x" >= 0 && $"x" <= 70).count())
   }
 
+  test("maintainLake preserves dict columns: point skip stays live across a maintenance pass") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-maint-dict").toString
+    (0 until 8192).map { i =>
+      val r = (i * 2654435761L) % 4096
+      ((r % 64).toInt, (r / 64).toInt, (i % 40).toLong, s"d${i % 2}")
+    }.toDF("x", "y", "user", "day").repartition(6)
+      .write.mode("overwrite").partitionBy("day").parquet(lake)
+    Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y"))
+    // a dict column enters the manifest by explicit rewrite...
+    Compactor.writeStatsManifest(lake, Seq("x", "y"), dictCols = Seq("user"))
+    assert(spark.read.parquet(s"$lake/${Compactor.StatsDir}")
+      .columns.contains("dict_user"))
+    // ...then new files land and maintenance resyncs the manifest —
+    // the rebuilt manifest must carry dict_user forward (fresh stats
+    // for rewritten partitions INCLUDE the dict), not silently drop
+    // the point-skip coverage
+    (8192 until 8448).map { i =>
+      val r = (i * 2654435761L) % 4096
+      ((r % 64).toInt, (r / 64).toInt, (i % 40).toLong, s"d${i % 2}")
+    }.toDF("x", "y", "user", "day")
+      .write.mode("append").partitionBy("day").parquet(lake)
+    Compactor.maintainLake(lake, 2 * 1024, Seq("x", "y"))
+    val man = spark.read.parquet(s"$lake/${Compactor.StatsDir}")
+    assert(man.columns.contains("dict_user"),
+      "maintenance must not drop dict columns from the manifest")
+    assert(man.filter(col("dict_user").isNotNull).count() > 0,
+      "rebuilt entries must carry real dictionaries")
+    // and the dict actually prunes + answers exactly after the resync
+    val got = Compactor.readPrunedEq(lake, Seq(("user", lit(7))))
+    val full = spark.read.parquet(lake).filter($"user" === 7L)
+    assert(got.count() == full.count() && full.count() > 0)
+    assert(got.inputFiles.length < spark.read.parquet(lake).inputFiles.length,
+      "dict must prune at least one file post-maintenance")
+  }
+
   test("maintainLake on a FLAT lake: rewrite-all then no-op, manifest survives the swap") {
     implicit val s = spark
     import s.implicits._
