@@ -23,13 +23,21 @@ object Tables {
   private val computeHeavy = Set("documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df =
-      if (name == "events") loadEvents(spark, dir)
-      else spark.read.parquet(s"$dir/$name.parquet")
+    val df = loadRaw(spark, dir, name)
     if (computeHeavy(name))
       df.repartition(spark.sessionState.conf.numShufflePartitions)
     else df
   }
+
+  /** Load WITHOUT the compute-heavy spread — for operators that manage
+    * their own exchange. `knnSketchRerank` repartitions the NARROW
+    * (vec_id, sketch) frame; a load-time full-vector round-robin here
+    * would be the exact 4×-the-bytes exchange the sketch pass exists
+    * to avoid (the r13 weak mark).
+    */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` has shipped in two physical layouts across testdata
     * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized

@@ -353,24 +353,34 @@ object Similarity {
     def sk(c: Column): Column = sketch_project(c, R)
     val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val q = queries.toDF("query_id", "q_vec")
-    val c = corpus.toDF("vec_id", "c_vec").repartition(par)
-    // pass 1: ids + sketches only — the ranking shuffle never carries
-    // full vectors
+    val c = corpus.toDF("vec_id", "c_vec")
+    // pass 1 NEVER exchanges full vectors: project to (vec_id, sketch)
+    // FIRST, then spread the NARROW frame for scoring parallelism — the
+    // exchange carries sketchDim floats per row, i.e. sketchDim/dim of
+    // the bytes, which is the entire budget of the pass. (Repartitioning
+    // `c` itself — the r13 form — moved every 64-float vector through a
+    // full round-robin shuffle before any sketching happened.)
     val qs = broadcast(q.withColumn("q_sk", sk(col("q_vec")))
       .select(col("query_id"), col("q_sk")))
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("vec_id").asc)
     val cand = c.select(col("vec_id"), sk(col("c_vec")).as("c_sk"))
+      .repartition(par)
       .join(qs, col("query_id") =!= col("vec_id"))
       .withColumn("s", VecFns.cosine(col("q_sk"), col("c_sk")))
       .withColumn("srk", row_number().over(wS))
       .filter(col("srk") <= m)
       .select(col("query_id"), col("vec_id"))
-    // pass 2: exact re-rank of the m survivors
+    // pass 2: exact re-rank of the m survivors — the tiny (query_id,
+    // vec_id) candidate set broadcasts INTO the un-repartitioned corpus
+    // scan, so full vectors are read once and never shuffled
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.join(c, "vec_id").join(broadcast(q), "query_id")
-      .withColumn("cos", round(VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+    c.join(broadcast(cand), "vec_id").join(broadcast(q), "query_id")
+      // project vectors away BEFORE the top-k window so its hash
+      // exchange carries three narrow columns, never an embedding
+      .select(col("query_id"), col("vec_id"),
+        round(VecFns.cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk").cast("long").as("rk"),

@@ -258,7 +258,10 @@ object SimilarityOps extends QuerySet {
     Q("s06_knn_sketch_rerank",
       (s, d) => {
         import s.implicits._
-        val e = Tables.load(s, d, "embeddings")
+        // loadRaw: the operator spreads the NARROW sketch frame itself;
+        // the load-time full-vector repartition would re-introduce the
+        // exchange the sketch pass exists to avoid
+        val e = Tables.loadRaw(s, d, "embeddings")
         Similarity.knnSketchRerank(
           e.filter($"vec_id" < 20).select($"vec_id", $"embedding"),
           e.select($"vec_id", $"embedding"),
@@ -279,7 +282,7 @@ object SimilarityOps extends QuerySet {
     Q("s07_knn_sketch_indexed",
       (s, d) => {
         import s.implicits._
-        val e = Tables.load(s, d, "embeddings")
+        val e = Tables.loadRaw(s, d, "embeddings")
         val dir = graft.operators.AnnIndex.writeSketchOnce(
           e.select($"vec_id", $"embedding"))
         graft.operators.AnnIndex.searchSketch(s, dir,

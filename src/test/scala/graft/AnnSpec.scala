@@ -86,6 +86,39 @@ class AnnSpec extends SparkSpec {
     assert(out(1) == 2.0)
   }
 
+  test("s06 sketch-rerank: no shuffle exchange carries a full vector") {
+    // The operator's scale contract (SURVEY §2.11 / r13 weak mark): pass
+    // 1 exchanges (vec_id, 16-float sketch), pass 2 broadcasts the m
+    // survivors into the corpus scan and the final top-k window shuffles
+    // (query_id, vec_id, cos). A 64-float embedding attribute appearing
+    // in ANY shuffle exchange output means the full corpus is crossing
+    // the wire again — the regression this pins out.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val self = p match { case e: ShuffleExchangeExec => Seq(e); case _ => Seq.empty }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => p.children
+      }
+      self ++ nested.flatMap(exchanges)
+    }
+    val banned = Set("c_vec", "q_vec", "embedding", "vec")
+    Seq("s06_knn_sketch_rerank", "s07_knn_sketch_indexed").foreach { qn =>
+      val df = SparkEntry.queries(qn)(spark, sf0001)
+      df.collect() // execute so AQE materializes the final stages
+      val exs = exchanges(df.queryExecution.executedPlan)
+      assert(exs.nonEmpty, s"$qn: expected the pass-1 spread + window exchanges")
+      exs.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.exists(banned),
+          s"$qn: shuffle exchange carries a full vector column ($names):\n$e")
+      }
+    }
+  }
+
   test("multi-probe LSH reaches useful recall vs brute force") {
     val (q, c) = queriesAndCorpus
     val exact = Similarity.knnBruteForce(q, c, 10).collect()
