@@ -544,7 +544,6 @@ object WordStats {
     private var cnt = new Array[Int](cap)
     private var used = new Array[Int](cap) // journal of touched slots
     private var nUsed = 0
-    private var doc: Array[Byte] = _
 
     def reset(docLenHint: Int): Unit = {
       var i = 0

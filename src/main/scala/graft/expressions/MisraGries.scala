@@ -41,6 +41,15 @@ case class MisraGriesAgg(
 
   require(m >= 1, s"mg_sketch: m must be >= 1, got $m")
 
+  // fail non-string keys at ANALYSIS, not as a ClassCastException deep
+  // inside update() on the first executor row
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"mg_sketch requires a STRING key column, got ${other.catalogString}")
+    }
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType =

@@ -314,6 +314,18 @@ object AnnIndex {
     * byte-identical to what a full rebuild would produce and a served
     * search stays row-identical to the inline operator over the grown
     * corpus).
+    *
+    * SINGLE-WRITER contract (same as [[Compactor.commitOptimized]]'s
+    * quiet-lake requirement): the delta is detected as a before/after
+    * listing diff of `vectors/`, so a CONCURRENT append — or any other
+    * writer landing files in the window — gets its files attributed to
+    * this run and sketched a second time, producing duplicate sketch
+    * rows that consume top-m slots and emit duplicate (query_id,
+    * vec_id) pairs from [[searchSketch]]. Serialize appends per index
+    * path. (An id-level dedup here is NOT the fix: appending a new row
+    * under an existing vec_id is legal, and a rebuild would sketch both
+    * rows — skipping "already sketched" ids would silently diverge
+    * from the rebuild contract instead.)
     */
   def appendSketchVectors(path: String, vecs: DataFrame): Unit = {
     import graft.expressions.NativeFns.sketch_project

@@ -86,8 +86,13 @@ object CorpusPipeline {
 
   final case class Result(out: DataFrame, stats: Seq[StageStat]) {
     def rowsAfter(stage: String): Long =
-      stats.find(_.stage == stage).map(_.rowsOut)
-        .getOrElse(sys.error(s"no stage $stage"))
+      stats.find(_.stage == stage).map(_.rowsOut).getOrElse(sys.error(
+        if (stats.isEmpty)
+          s"rowsAfter($stage): no stage stats were collected — stats are " +
+          "opt-in since the fused default; call run(collectStats = true)"
+        else
+          s"rowsAfter($stage): unknown stage (recorded: " +
+          stats.map(_.stage).mkString(", ") + ")"))
   }
 
   /** Shards of `out` whose positions are NOT a dense 1..n ranking —
@@ -137,6 +142,17 @@ object CorpusPipeline {
           collectStats: Boolean = false,
           trainValSplit: Option[SplitCfg] = None): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
+    // Checkpoint mutates SESSION-GLOBAL state (SparkContext has one
+    // checkpoint dir): set it ONCE at entry, and only when it differs —
+    // per-stage re-sets would clobber a caller-configured dir six times
+    // over and race visibly if two pipelines with different dirs share
+    // a session (the last writer would own every in-flight checkpoint).
+    materialize match {
+      case Materialize.Checkpoint(dir) =>
+        val sc = docs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      case _ =>
+    }
     // df is BY-NAME: a strict parameter would evaluate the stage block
     // BEFORE the timer starts, and eager construction work (notably
     // Dedup.clusters' driver-coordinated CC rounds) would vanish from
@@ -149,10 +165,8 @@ object CorpusPipeline {
         // runs would otherwise accumulate six session-lifetime cache
         // pins per invocation with no release path
         case Materialize.Persist(level) => Caches.track(df, level)
-        case Materialize.Checkpoint(dir) =>
-          val out = df
-          out.sparkSession.sparkContext.setCheckpointDir(dir)
-          out.checkpoint() // reliable + eager: the stage wall owns the write
+        case Materialize.Checkpoint(_) => // dir set once at run() entry
+          df.checkpoint() // reliable + eager: the stage wall owns the write
         case Materialize.LocalCheckpoint => df.localCheckpoint()
       }
       if (collectStats) {

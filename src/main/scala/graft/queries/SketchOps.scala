@@ -94,14 +94,21 @@ object SketchOps extends QuerySet {
         val m = 64
         val words = Tables.load(s, d, "documents")
           .select(explode(graft.functions.TextFns.tokens($"text")).as("token"))
-        val n = words.count()
+        // n rides the sketch pass (one agg, two outputs) and travels to
+        // the recount inside the ≤m-row broadcast — exactly TWO corpus
+        // scans total, the minimum while the recount is the correctness
+        // surface (a standalone words.count() was a third full pass).
+        // n DIV (m+1): integer floor division, matching the oracle's //.
         val cands = words
-          .agg(graft.expressions.MisraGries.mg_sketch($"token", m).as("sk"))
-          .select(explode(map_keys($"sk")).as("token"))
+          .agg(graft.expressions.MisraGries.mg_sketch($"token", m).as("sk"),
+            count(lit(1)).as("n"))
+          .select(explode(map_keys($"sk")).as("token"),
+            expr(s"n DIV ${m + 1}").as("thresh"))
         words.join(broadcast(cands), Seq("token"))
-          .groupBy($"token")
+          .groupBy($"token", $"thresh")
           .agg(count(lit(1)).as("cnt"))
-          .filter($"cnt" > n / (m + 1))
+          .filter($"cnt" > $"thresh")
+          .select($"token", $"cnt")
       },
       Some("""WITH E AS (SELECT unnest(list_filter(
              |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token

@@ -126,6 +126,27 @@ class QueriesSpec extends SparkSpec {
     val parts = shufflePartitionings(exec)
     assert(!parts.exists(_.isInstanceOf[RangePartitioning]),
       s"x04 must not global-sort:\n$plan")
+    // (d) exactly TWO corpus scans: n rides the sketch agg, so the
+    //     plan is sketch pass + candidate recount and nothing else
+    //     (a third scan = the r13 standalone words.count() regression)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Seq.empty }
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case _ => p.children
+      }
+      self ++ nested.flatMap(scans)
+    }
+    //     At sf0.001 AQE goes further still: the sketch pass and the
+    //     recount share the load-spread exchange as a reused stage, so
+    //     the parquet scan runs ONCE — identity-dedup then sees 1.
+    val docScans = scans(exec).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents")))
+    assert(docScans.size <= 2 && docScans.nonEmpty,
+      s"x04 must scan documents at most twice, saw ${docScans.size}:\n$plan")
   }
 
   test("t19 broadcasts only the min-count-pruned vocab head; the residue joins by shuffle") {

@@ -161,4 +161,13 @@ class SketchMergeSpec extends SparkSpec {
     assert(got == exact && got.nonEmpty,
       "sketch-narrowed exact recount must equal the full GROUP BY")
   }
+  test("mg_sketch rejects a non-string key at analysis time") {
+    import spark.implicits._
+    import graft.expressions.MisraGries.mg_sketch
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("k").agg(mg_sketch(col("k"), 4)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"),
+      s"expected the STRING type-check message, got: ${ex.getMessage}")
+  }
 }
