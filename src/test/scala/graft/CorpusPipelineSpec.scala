@@ -178,4 +178,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "composed pipeline must be run-to-run stable")
   }
+  test("gate pays the pipeline once: p03 is p04's projection over one shared run") {
+    // r13 ran the full six/seven-stage pipeline once for p03 and again
+    // for p04 — the two heaviest gate entries, each ~20 s co-elapsed at
+    // sf0.1. The registry now memoizes ONE split-configured run per
+    // (session, sf dir) and derives p03 by projecting rep/split away
+    // (annotation-only: pinned bit-for-bit elsewhere in this suite).
+    val sb0 = Dedup.shingleBuilds
+    val p4 = graft.SparkEntry.queries("p04_pipeline_split")(spark, sf0001)
+    val rows4 = p4.collect()
+    val p3 = graft.SparkEntry.queries("p03_full_pipeline")(spark, sf0001)
+    val rows3 = p3.collect()
+    assert(Dedup.shingleBuilds - sb0 <= 1,
+      "p03 + p04 together must shingle the corpus at most once")
+    assert(p3.columns.toSeq == Seq("doc_id", "stratum", "n_tok", "shard", "pos"))
+    assert(p4.columns.toSeq ==
+      Seq("doc_id", "stratum", "n_tok", "shard", "pos", "rep", "split"))
+    val proj = rows4.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sorted.toSeq
+    val got = rows3.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(got == proj, "p03 must equal p04 minus the split annotation")
+  }
 }
