@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Day-N incremental-curation probe: price the monolithic pipeline
+  * over the full corpus against bootstrap(60%) + two incremental days
+  * (20% each) of [[graft.operators.IncrementalPipeline]], asserting
+  * day-2's output row-equals the monolithic run — the measurement
+  * behind the "daily cost tracks the delta" claim.
+  *
+  * Two interleaved reps, best-of-2 per section; Caches.release()
+  * between reps so every wall rebuilds its own shingle pass. State
+  * lands in a fresh temp dir per rep (incremental commits advance the
+  * id horizon, so a rep can never re-run a day against mutated state).
+  *
+  * Writes BENCH_incpipe_probe.json; last stdout line is the JSON.
+  */
+object IncPipeProbe {
+
+  private def f2(d: Double) = math.round(d * 100.0) / 100.0
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-incpipe-probe")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.operators.{Caches, CorpusPipeline, IncrementalPipeline}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val inRows = docs.count()
+    val budget = docs.dropDuplicates("text")
+      .agg(sum(size(graft.functions.TextFns.tokens(col("text")))))
+      .collect()(0).getLong(0) * 6 / 10 / 4
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val (c1, c2) = (mx * 3 / 5, mx * 4 / 5)
+    val base = docs.filter(col("doc_id") <= c1)
+    val day1 = docs.filter(col("doc_id") > c1 && col("doc_id") <= c2)
+    val day2 = docs.filter(col("doc_id") > c2)
+    val bench = col("doc_id") % 101 === 0
+    val (nBase, n1, n2) = (base.count(), day1.count(), day2.count())
+
+    // settle before EVERY timed section: the day sections run last in
+    // each rep and would otherwise inherit the probe's own load ramp —
+    // a systematic bias AGAINST the incremental walls (observed: day2
+    // rep walls 2x its quiet value while mono, measured first, shone)
+    def settle(): Unit = {
+      val t0 = System.nanoTime()
+      def load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      while (load > 4.0 && (System.nanoTime() - t0) / 1e9 < 120)
+        Thread.sleep(5000)
+    }
+    def timed(body: => Long): (Double, Long) = {
+      settle()
+      val t0 = System.nanoTime()
+      val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    var monoRows = Set.empty[Seq[Any]]
+    def oneRep(i: Int): (Double, Double, Double, Double, Boolean) = {
+      Caches.release()
+      val (tm, _) = timed {
+        val out = CorpusPipeline.run(docs, benchPred = bench,
+          budgetPerStratum = budget, nShards = 64).out
+        monoRows = out.collect().map(_.toSeq).toSet
+        monoRows.size.toLong
+      }
+      Caches.release()
+      val dir = java.nio.file.Files.createTempDirectory(s"incpipe-$i")
+        .toFile.getAbsolutePath
+      val (tb, _) = timed {
+        IncrementalPipeline.bootstrap(dir, base, bench,
+          IncrementalPipeline.Params(budget))
+          .queryExecution.toRdd.count()
+      }
+      Caches.release()
+      val (t1, _) = timed {
+        IncrementalPipeline.runIncremental(dir, day1, bench)
+          .queryExecution.toRdd.count()
+      }
+      Caches.release()
+      var eq = false
+      val (t2, _) = timed {
+        val out = IncrementalPipeline.runIncremental(dir, day2, bench)
+        val got = out.collect().map(_.toSeq).toSet
+        eq = got == monoRows
+        got.size.toLong
+      }
+      Caches.release()
+      (tm, tb, t1, t2, eq)
+    }
+
+    val reps = (0 until 2).map(oneRep)
+    require(reps.forall(_._5),
+      "incremental day-2 output must row-equal the monolithic run")
+    val mono = reps.map(_._1).min
+    val boot = reps.map(_._2).min
+    val d1 = reps.map(_._3).min
+    val d2 = reps.map(_._4).min
+
+    val json =
+      s"""{"metric":"incpipe_probe","sf":"$sfDir","input_rows":$inRows,""" +
+      s""""budget_per_stratum":$budget,"iters":2,"best_of":true,""" +
+      s""""mono_sec":${f2(mono)},"bootstrap_sec":${f2(boot)},""" +
+      s""""day1_sec":${f2(d1)},"day2_sec":${f2(d2)},""" +
+      s""""rows":{"base":$nBase,"day1":$n1,"day2":$n2},""" +
+      s""""day_frac":${f2(n1.toDouble / inRows)},""" +
+      s""""day1_vs_mono":${f2(d1 / mono)},"day2_vs_mono":${f2(d2 / mono)},""" +
+      s""""equal_rows":true,""" +
+      s""""rep_walls":{"mono":[${reps.map(r => f2(r._1)).mkString(",")}],""" +
+      s""""bootstrap":[${reps.map(r => f2(r._2)).mkString(",")}],""" +
+      s""""day1":[${reps.map(r => f2(r._3)).mkString(",")}],""" +
+      s""""day2":[${reps.map(r => f2(r._4)).mkString(",")}]}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_incpipe_probe.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -205,6 +205,26 @@ object ZOrderProbe {
       f"touched (full scan $spanWall%.2fs -> dict $dictWall%.2fs), " +
       f"$nUsers users")
 
+    // IN-list variant: the prune is the UNION of per-literal dict hits
+    // — k keys touch at most k bucket files, never the whole lake
+    val inUsers = Seq(someUser, someUser + 7, someUser + 23)
+    val (inHits, inFiles, inWall) = {
+      val t = System.nanoTime()
+      val df = graft.operators.Compactor.readPrunedIn(
+        s"$work/bucketed", Seq(("user_id", inUsers.map(lit(_)))))
+      df.queryExecution.toRdd.count()
+      val w = (System.nanoTime() - t) / 1e9
+      (df.count(), df.inputFiles.length, w)
+    }
+    val inFull = spark.read.parquet(s"$work/bucketed")
+      .filter(col("user_id").isin(inUsers: _*)).count()
+    require(inHits == inFull,
+      s"IN-list pruned read must match the full filter: $inHits vs $inFull")
+    require(inFiles <= inUsers.size * 2,
+      s"IN-list prune must stay per-literal: touched $inFiles")
+    println(f"[zorder] dict IN-list skip: ${inUsers.size} keys touch " +
+      f"$inFiles of $buckets files, wall $inWall%.2fs")
+
     println(f"[zorder] rewrite wall $zWall%.1fs, ${manifest.getLong(1)} files")
     val runJson = runs.map { case (t, h, sc, w) =>
       s"""{"run":"$t","hits":$h,"scan_rows":$sc,"wall_sec":${f2(w)}}"""
@@ -218,6 +238,8 @@ object ZOrderProbe {
       s""""dict_point_skip":{"bucket_files":$buckets,"touched":$dictFiles,""" +
       s""""users":$nUsers,"full_scan_sec":${f2(spanWall)},""" +
       s""""dict_sec":${f2(dictWall)}},""" +
+      s""""dict_in_list_skip":{"keys":${inUsers.size},"touched":$inFiles,""" +
+      s""""bucket_files":$buckets,"wall_sec":${f2(inWall)}},""" +
       s""""runs":$runJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_zorder_probe.json"),

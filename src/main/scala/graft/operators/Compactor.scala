@@ -1021,27 +1021,63 @@ object Compactor {
   def readPrunedEq(dir: String, eqPreds: Seq[(String, Column)])
                   (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     require(eqPreds.nonEmpty, "readPrunedEq: need at least one predicate")
+    readPrunedIn(dir, eqPreds.map { case (c, v) => (c, Seq(v)) })
+  }
+
+  /** IN-list prune-set cap: the manifest predicate is a literal-wise
+    * OR, so an unbounded list would compile an unbounded expression
+    * (and a 10^5-key probe is a JOIN, not a point skip).
+    */
+  val MaxInListLiterals = 256
+
+  /** [[readPrunedEq]] over a bounded IN-list per column: a file
+    * survives the prune when ANY literal could live in it (union of
+    * per-literal dict/span hits), columns combine as a conjunction.
+    * Degradation contract is per literal, same as the point form: a
+    * null dict (over-cap file, pre-dict manifest) or null span keeps
+    * the file, so growing the list can only ever ADD files to the
+    * scan. Lists longer than [[MaxInListLiterals]] refuse loudly — at
+    * that size the right plan is a (broadcast) semi-join, not a
+    * planning-time file prune.
+    */
+  def readPrunedIn(dir: String, inPreds: Seq[(String, Seq[Column])])
+                  (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    require(inPreds.nonEmpty, "readPrunedIn: need at least one predicate")
+    inPreds.foreach { case (c, vs) =>
+      require(vs.nonEmpty, s"readPrunedIn: empty IN-list for column $c")
+      require(vs.size <= MaxInListLiterals,
+        s"readPrunedIn: ${vs.size} literals for column $c exceed " +
+        s"$MaxInListLiterals — probe that big is a semi-join, not a prune")
+    }
     prunedScan(dir,
-      applyExact = df => eqPreds.foldLeft(df) { case (d, (c, v)) =>
-        d.filter(col(c) === v) },
-      manifestPred = (manifest, full) => eqPreds.map { case (c, v) =>
-        // hash EXACTLY what the write side hashed: the value cast to
-        // the lake column's native type (xxhash64 is type-sensitive —
-        // an int literal probed against a long column would otherwise
-        // hash differently and silently skip the right files)
-        val typed = v.cast(full.schema(c).dataType)
-        val range =
-          if (manifest.columns.contains(s"min_$c"))
-            coalesce(col(s"max_$c") >= typed, lit(true)) &&
-              coalesce(col(s"min_$c") <= typed, lit(true))
-          else lit(true)
-        val dict =
-          if (manifest.columns.contains(s"dict_$c"))
-            coalesce(array_contains(col(s"dict_$c"), xxhash64(typed)),
-              lit(true))
-          else lit(true)
-        range && dict
+      applyExact = df => inPreds.foldLeft(df) { case (d, (c, vs)) =>
+        d.filter(vs.map(v => col(c) === v).reduce(_ || _)) },
+      manifestPred = (manifest, full) => inPreds.map { case (c, vs) =>
+        vs.map(v => pointFilePred(manifest, full, c, v)).reduce(_ || _)
       }.reduce(_ && _))
+  }
+
+  /** Can `col(c) = v` live in a manifest row's file? Span AND dict
+    * check for one literal; null stats keep the file (advisory-only).
+    */
+  private def pointFilePred(manifest: DataFrame, full: DataFrame,
+                            c: String, v: Column): Column = {
+    // hash EXACTLY what the write side hashed: the value cast to
+    // the lake column's native type (xxhash64 is type-sensitive —
+    // an int literal probed against a long column would otherwise
+    // hash differently and silently skip the right files)
+    val typed = v.cast(full.schema(c).dataType)
+    val range =
+      if (manifest.columns.contains(s"min_$c"))
+        coalesce(col(s"max_$c") >= typed, lit(true)) &&
+          coalesce(col(s"min_$c") <= typed, lit(true))
+      else lit(true)
+    val dict =
+      if (manifest.columns.contains(s"dict_$c"))
+        coalesce(array_contains(col(s"dict_$c"), xxhash64(typed)),
+          lit(true))
+      else lit(true)
+    range && dict
   }
 
   private def prunedScan(dir: String,

@@ -95,6 +95,49 @@ object CorpusPipeline {
           stats.map(_.stage).mkString(", ") + ")"))
   }
 
+  // ---- Shared stage formulas ----------------------------------------
+  // ONE definition each for the gopher gate, the pack-input statistics,
+  // and the shard assignment, consumed by BOTH the monolithic run()
+  // and [[IncrementalPipeline]] — the day-N path recomputes these for
+  // delta documents only, and a formula fork between the two would
+  // silently break the incremental == monolithic contract.
+
+  private[operators] val GopherStop = Seq("the", "a", "and", "of", "to", "is")
+
+  private[operators] def gopherGate(text: Column): Column =
+    graft.expressions.NativeFns.gopher_keep(text, GopherStop,
+      minTok = 10L, minMeanLen = 2.0, maxMeanLen = 8.0,
+      maxRepFrac = 0.3, minStopHits = 1L)
+
+  /** Pack-input statistics of a post-redaction corpus slice
+    * (doc_id, text) -> (doc_id, stratum, n_tok, quality).
+    */
+  private[operators] def packStats(s5: DataFrame): DataFrame = {
+    val words = TextFns.tokens(col("text"))
+    val nTok = size(words).cast("long")
+    val stopN = size(filter(words, w => w.isin(GopherStop: _*))).cast("double")
+    val lenSat = least(lit(1.0), nTok.cast("double") / lit(50.0))
+    val quality = round(lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5, 6)
+    s5.select(col("doc_id"), (col("doc_id") % 4).as("stratum"),
+      nTok.as("n_tok"), quality.as("quality"))
+  }
+
+  /** Seeded-permutation shard assignment over a packed set
+    * (doc_id, stratum, n_tok) -> + (shard, pos).
+    */
+  private[operators] def shardAssign(s6: DataFrame, nShards: Int): DataFrame = {
+    val h = md5(concat(lit("graft-shard:42:"), col("doc_id").cast("string")))
+    s6.withColumn("h", h)
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % nShards)
+          .cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("stratum"), col("n_tok"),
+        col("shard"), col("pos"))
+  }
+
   /** Shards of `out` whose positions are NOT a dense 1..n ranking —
     * the shard-permutation invariant both the spec and the probe pin
     * (one shared definition, so they cannot drift apart).
@@ -184,11 +227,8 @@ object CorpusPipeline {
     // text-carrying join to re-attach the verdict — cost 23 s of the
     // sf10 probe wall for the identical result; at 100 TB it is two
     // full-corpus token shuffles plus a corpus join versus none.)
-    val stop = Seq("the", "a", "and", "of", "to", "is")
     val s1 = staged("gopher_filter") {
-      docs.filter(graft.expressions.NativeFns.gopher_keep(col("text"), stop,
-        minTok = 10L, minMeanLen = 2.0, maxMeanLen = 8.0,
-        maxRepFrac = 0.3, minStopHits = 1L))
+      docs.filter(gopherGate(col("text")))
     }
 
     // -- stage 2: exact dedup (keep the lowest doc_id per text) --
@@ -243,32 +283,14 @@ object CorpusPipeline {
 
     // -- stage 6: token-budget pack (t11 quality, per-stratum budget) --
     val s6 = staged("token_pack") {
-      val words = TextFns.tokens(col("text"))
-      val nTok = size(words).cast("long")
-      val stopN = size(filter(words, w => w.isin(stop: _*))).cast("double")
-      val lenSat = least(lit(1.0), nTok.cast("double") / lit(50.0))
-      val quality = round(lenSat * 0.5 + (stopN / nTok.cast("double")) * 0.5, 6)
-      val base = s5.select(col("doc_id"), (col("doc_id") % 4).as("stratum"),
-        nTok.as("n_tok"), quality.as("quality"))
-      Curation.packByBudget(base, col("stratum"), col("quality"),
+      Curation.packByBudget(packStats(s5), col("stratum"), col("quality"),
         Seq(col("doc_id").asc), col("n_tok"), budgetPerStratum,
         qualityBounds = Some((0.0, 1.0)))
         .select(col("doc_id"), col("stratum"), col("n_tok"))
     }
 
     // -- stage 7: shard assignment (t21 seeded permutation) --
-    val s7 = staged("shard_assign") {
-      val h = md5(concat(lit("graft-shard:42:"), col("doc_id").cast("string")))
-      s6.withColumn("h", h)
-        .withColumn("shard",
-          (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % nShards)
-            .cast("long"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
-          .cast("long"))
-        .select(col("doc_id"), col("stratum"), col("n_tok"),
-          col("shard"), col("pos"))
-    }
+    val s7 = staged("shard_assign") { shardAssign(s6, nShards) }
 
     // -- optional stage 8: leakage-safe train/val annotation --
     // Assignment by near-dup CLUSTER at the (looser) split threshold.

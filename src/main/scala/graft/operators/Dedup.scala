@@ -407,13 +407,7 @@ object Dedup {
                     minHits: Long = 5,
                     broadcastBlocklist: Boolean = true): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, shingleN)
-    // 16-byte BINARY md5, not 32-hex: same function, same collisions,
-    // same oracle semantics (the key never leaves the plan) — half the
-    // shuffle bytes on the corpus-sized distinct
-    val keyed = sh
-      .select(col("doc_id"), explode(col("sh")).as("_sh"))
-      .select(col("doc_id"), unhex(md5(col("_sh"))).as("_k"))
-      .distinct()
+    val keyed = shingleKeys(sh)
     val blocklist = keyed.filter(isBench).select(col("_k")).distinct()
     // The blocklist is the distinct shingle-key set of the BENCH suite
     // — benchmarks are fixed-size (thousands of documents, ~16 B/key),
@@ -431,6 +425,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** DISTINCT (doc_id, _k) shingle-key projection of a shingle table —
+    * the decontamination probe frame. 16-byte BINARY md5, not 32-hex:
+    * same function, same collisions, same oracle semantics (the key
+    * never leaves the plan) — half the shuffle bytes on the
+    * corpus-sized distinct. Shared by [[decontaminate]] and
+    * [[IncrementalPipeline]] (which probes NEW bench keys against the
+    * persisted index instead of re-shingling the lake).
+    */
+  private[operators] def shingleKeys(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), explode(col("sh")).as("_sh"))
+      .select(col("doc_id"), unhex(md5(col("_sh"))).as("_k"))
+      .distinct()
 
   /** Incremental dedup: flag DELTA documents that duplicate the BASE
     * corpus — the shape every real 100 TB pipeline actually runs (you

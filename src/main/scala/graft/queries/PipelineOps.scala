@@ -202,7 +202,29 @@ object PipelineOps extends QuerySet {
       // away IS the fused production pipeline's output, and the gate
       // pays the pipeline once for both entries
       (s, d) => pipelineWithSplit(s, d).drop("rep", "split"),
-      Some("""WITH RECURSIVE W AS (SELECT doc_id,
+      Some(p03Oracle)),
+
+    // --- The day-N form of p03 at the oracle gate: bootstrap the
+    // curation state over the FIRST 60% of the corpus (by id), then
+    // curate the remaining 40% as an incremental delta against the
+    // persisted state (index-probed exact/near dedup, contracted-graph
+    // cluster extension, stored-count contamination update,
+    // affected-strata re-pack). The operator's contract is output ==
+    // monolithic (IncrementalPipelineSpec pins it against
+    // CorpusPipeline.run), so the oracle IS p03's oracle, verbatim —
+    // DuckDB restates the monolithic pipeline and the incremental
+    // composition must hash-match it.
+    Q("p05_incremental_pipeline",
+      (s, d) => incrementalRun(s, d),
+      Some(p03Oracle)),
+
+    Q("p04_pipeline_split",
+      (s, d) => pipelineWithSplit(s, d),
+      Some(p04OracleSql))
+  )
+
+  private lazy val p03Oracle: String =
+    ("""WITH RECURSIVE W AS (SELECT doc_id,
              |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
              |  FROM documents),
              |E0 AS (SELECT doc_id, unnest(words) AS w FROM W),
@@ -288,7 +310,7 @@ object PipelineOps extends QuerySet {
              |  ('0x' || h[1:4])::BIGINT % 64 AS shard,
              |  CAST(row_number() OVER (PARTITION BY ('0x' || h[1:4])::BIGINT % 64
              |    ORDER BY h, doc_id) AS BIGINT) AS pos
-             |FROM H""".stripMargin)),
+             |FROM H""").stripMargin
 
     // --- p03 + the leakage-safe train/val stage: the pipeline in its
     // training-ready configuration. The split threshold (0.3) is
@@ -301,9 +323,8 @@ object PipelineOps extends QuerySet {
     // oracle is p03's chain plus a second recursive-CC closure (P3/E3/
     // reach3 — same S/C band tables, mirroring the operator's memo
     // reuse) and the d10 hex-conv bucket rule on the representative.
-    Q("p04_pipeline_split",
-      (s, d) => pipelineWithSplit(s, d),
-      Some("""WITH RECURSIVE W AS (SELECT doc_id,
+  private lazy val p04OracleSql: String =
+    ("""WITH RECURSIVE W AS (SELECT doc_id,
              |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
              |  FROM documents),
              |E0 AS (SELECT doc_id, unnest(words) AS w FROM W),
@@ -403,6 +424,31 @@ object PipelineOps extends QuerySet {
              |  CASE WHEN ('0x' || substr(md5('graft-split:42:' ||
              |      CAST(COALESCE(R3.rep, H.doc_id) AS VARCHAR)), 1, 2))::BIGINT < 230
              |    THEN 'train' ELSE 'val' END AS split
-             |FROM H LEFT JOIN R3 ON R3.doc_id = H.doc_id""".stripMargin))
-  )
+             |FROM H LEFT JOIN R3 ON R3.doc_id = H.doc_id""").stripMargin
+
+  /** ONE bootstrap+incremental execution per (session, sf dir), like
+    * [[pipelineWithSplit]]; state lands in a fresh temp directory.
+    */
+  private val incrementalMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def incrementalRun(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame =
+    incrementalMemo.computeIfAbsent((s, d), { _ =>
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents").select($"doc_id", $"text")
+      val budget = docs.dropDuplicates("text")
+        .agg(sum(size(TextFns.tokens($"text")))).collect()(0)
+        .getLong(0) * 6 / 10 / 4
+      val cut = docs.agg(max($"doc_id")).collect()(0).getLong(0) * 3 / 5
+      val bench = $"doc_id" % 101 === 0
+      val dir = java.nio.file.Files.createTempDirectory("graft-incpipe")
+        .toFile.getAbsolutePath
+      graft.operators.IncrementalPipeline.bootstrap(dir,
+        docs.filter($"doc_id" <= cut), bench,
+        graft.operators.IncrementalPipeline.Params(budget))
+      val out = graft.operators.IncrementalPipeline.runIncremental(dir,
+        docs.filter($"doc_id" > cut), bench)
+      graft.operators.Caches.track(out)
+    })
 }

@@ -257,6 +257,50 @@ class ZOrderSpec extends SparkSpec {
       s"append must extend the dict skip: ${after.inputFiles.length}")
   }
 
+  test("IN-list point skip: union of per-literal dict hits, over-cap safe, bounded") {
+    implicit val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-dict-in").toString
+    // same layout as the point-skip fixture: file k holds users
+    // {k, 1000}; span pruning is useless, the dict isolates files
+    (0 until 12).foreach { k =>
+      (0 until 50).map(i => (if (i % 5 == 0) 1000L else k.toLong, k * 50L + i))
+        .toDF("user", "seq")
+        .coalesce(1).write.mode("append").parquet(lake)
+    }
+    val expect = spark.read.parquet(lake)
+      .filter($"user" === 3L || $"user" === 7L)
+
+    // over-cap: dict null everywhere, prune degrades, rows exact
+    Compactor.writeStatsManifest(lake, Seq("user"),
+      dictCols = Seq("user"), dictCap = 1)
+    val overCap = Compactor.readPrunedIn(lake,
+      Seq(("user", Seq(lit(3), lit(7)))))
+    assert(overCap.count() == expect.count() && expect.count() > 0,
+      "over-cap dict must degrade to span pruning, never drop rows")
+
+    // real dict: IN (3, 7) touches exactly the two files holding them
+    // (INT literals against the LONG column — cast-before-hash again)
+    Compactor.writeStatsManifest(lake, Seq("user"), dictCols = Seq("user"))
+    val hit = Compactor.readPrunedIn(lake, Seq(("user", Seq(lit(3), lit(7)))))
+    assert(hit.count() == expect.count())
+    assert(hit.inputFiles.length == 2,
+      s"IN-list must union the per-literal hits: ${hit.inputFiles.length}")
+    // one sentinel literal in the list drags every file back in — the
+    // union can only ADD files, rows stay exact
+    val withSentinel = Compactor.readPrunedIn(lake,
+      Seq(("user", Seq(lit(3), lit(1000)))))
+    assert(withSentinel.inputFiles.length == 12)
+    assert(withSentinel.count() == spark.read.parquet(lake)
+      .filter($"user" === 3L || $"user" === 1000L).count())
+    // an unbounded probe refuses loudly — that plan is a semi-join
+    val ex = intercept[IllegalArgumentException] {
+      Compactor.readPrunedIn(lake,
+        Seq(("user", (0 to Compactor.MaxInListLiterals).map(lit(_)))))
+    }
+    assert(ex.getMessage.contains("semi-join"))
+  }
+
   test("appendStatsManifest: prune stays active across an ingest without a manifest rewrite") {
     implicit val s = spark
     import s.implicits._
