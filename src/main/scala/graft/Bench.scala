@@ -175,7 +175,15 @@ object Bench {
       }
     }
     val iters = runs.size
-    val settledAll = settledFlags.forall(identity)
+    // `settled` stamps the HEADLINE, so it must describe the iteration
+    // the headline came from: best-of picks the min wall, and if THAT
+    // iteration started in-band the total is comparable — an earlier
+    // out-of-band attempt that the extra budget already out-ran must
+    // not contaminate the stamp (forall did exactly that: the bought
+    // in-band iteration still shipped settled:false). The full
+    // per-iteration flag list rides alongside so nothing is hidden.
+    val bestIdx = runs.indexWhere(_._1 == runs.map(_._1).min)
+    val settledBest = settledFlags(bestIdx)
     val loadAfter = sysLoad()
     val iterWallList = runs.map(r => f"${r._1}%.2f")
     val iterWalls = iterWallList.mkString("[", ",", "]")
@@ -185,9 +193,11 @@ object Bench {
     // the per-query budget below also subtracts the actual headline
     // overhead rather than assuming a fixed size
     val iterWallsSummary = iterWallList.take(8).mkString("[", ",", "]")
+    val settledList = settledFlags.mkString("[", ",", "]")
     val loadJson =
       s"""{"before":$loadBefore,"after":$loadAfter,"cpus":$cpus,""" +
-      s""""settled":$settledAll,"band":$settleTarget,"extra_iters":$extraUsed}"""
+      s""""settled":$settledBest,"settled_iters":$settledList,""" +
+      s""""band":$settleTarget,"extra_iters":$extraUsed}"""
     val total = runs.map(_._1).min
     // per-query minimum over iterations; a query erring in EVERY
     // iteration stays an error (negative sentinel elapsed), one clean

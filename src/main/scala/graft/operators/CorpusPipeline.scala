@@ -176,6 +176,14 @@ object CorpusPipeline {
     * @param trainValSplit when set, append the leakage-safe train/val
     *                     annotation stage (see [[SplitCfg]]) — output
     *                     gains `rep` and `split` columns.
+    * @param shingleN     word-shingle width for the shared shingle pass
+    * @param k            MinHash signature width
+    * @param bands        LSH band count (k must divide evenly)
+    *
+    * `shingleN`/`k`/`bands` exist so [[IncrementalPipeline.Params]]'
+    * recipe knobs have a true monolithic counterpart: the pinned
+    * "incremental == monolithic" contract holds for NON-default recipes
+    * only if the monolithic run can be parameterized identically.
     */
   def run(docs: DataFrame, benchPred: Column,
           budgetPerStratum: Long, nShards: Int = 64,
@@ -183,7 +191,8 @@ object CorpusPipeline {
           broadcastBlocklist: Boolean = true,
           materialize: Materialize = Materialize.None,
           collectStats: Boolean = false,
-          trainValSplit: Option[SplitCfg] = None): Result = {
+          trainValSplit: Option[SplitCfg] = None,
+          shingleN: Int = 3, k: Int = 16, bands: Int = 4): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStat]
     // Checkpoint mutates SESSION-GLOBAL state (SparkContext has one
     // checkpoint dir): set it ONCE at entry, and only when it differs —
@@ -262,7 +271,7 @@ object CorpusPipeline {
     val s4 = staged("near_dedup_decontam") {
       val nearDrops = {
         val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
-          minSim = minSim, k = 16, bands = 4)
+          shingleN = shingleN, minSim = minSim, k = k, bands = bands)
         // greedy representative rule, transitively closed: a doc is
         // dropped iff its cluster representative (min id, two-phase CC)
         // is not itself
@@ -270,7 +279,7 @@ object CorpusPipeline {
         cl.filter(col("doc_id") =!= col("cluster_rep")).select(col("doc_id"))
       }
       val contamDrops = Dedup.decontaminate(s2, col("doc_id"), col("text"),
-        benchPred, shingleN = 3, minHits = contamMinHits,
+        benchPred, shingleN = shingleN, minHits = contamMinHits,
         broadcastBlocklist = broadcastBlocklist).select(col("doc_id"))
       s2.join(nearDrops.unionByName(contamDrops).distinct(),
         Seq("doc_id"), "left_anti")
@@ -327,7 +336,7 @@ object CorpusPipeline {
         // ([[Curation.splitOfRep]]), so the pipeline annotation, the
         // standalone d10 operator, and their SQL oracles cannot drift.
         val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
-          minSim = cfg.minSim, k = 16, bands = 4)
+          shingleN = shingleN, minSim = cfg.minSim, k = k, bands = bands)
         val reps = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
           .select(col("doc_id"), col("cluster_rep"))
         s7.join(reps, Seq("doc_id"), "left")

@@ -63,7 +63,12 @@ object IncrementalPipeline {
 
   private val FormatVersion = 1
 
-  /** Pipeline parameters, fixed at bootstrap and pinned in state. */
+  /** Pipeline parameters, fixed at bootstrap and pinned in state.
+    * `shingleN`/`k`/`bands` correspond 1:1 to [[CorpusPipeline.run]]'s
+    * recipe knobs of the same names — the incremental == monolithic
+    * equality contract is parameterized over ALL of them, not just the
+    * defaults (IncrementalPipelineSpec pins a non-default recipe too).
+    */
   final case class Params(budgetPerStratum: Long, nShards: Int = 64,
                           minSim: Double = 0.8, contamMinHits: Long = 20,
                           shingleN: Int = 3, k: Int = 16, bands: Int = 4,
@@ -85,6 +90,21 @@ object IncrementalPipeline {
                 params: Params): DataFrame = {
     val spark = docs.sparkSession
     val p = params
+    // Fresh-lineage guard: writeVersion's retirement only prunes BELOW
+    // ver-1, so stale v2+ dirs from a previous lineage would survive a
+    // re-bootstrap and a later loadState would pair the OLD highest
+    // committed version (its reps/horizon) with the freshly rebuilt
+    // index. Clear every v<N> dir and the index before writing v1.
+    locally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        if (n == "index" ||
+            (n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit)))
+          fs.delete(s.getPath, true)
+      }
+    }
     val s1 = docs.filter(CorpusPipeline.gopherGate(col("text")))
     val s2 = Caches.track(
       Dedup.exactFirst(s1, Seq(md5(col("text"))), Seq(col("doc_id").asc))
@@ -337,7 +357,15 @@ object IncrementalPipeline {
   private def componentsOf(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.limit((LocalCcEdgeCap + 1).toInt).collect()
+    // Collect through the primitive (Long, Long) tuple encoder, not
+    // Row: Tuple2 is @specialized on Long, so an edge costs ~32 B
+    // (object header + two unboxed longs) instead of the ~150 B of a
+    // GenericRow with boxed Longs — the cap's real driver footprint is
+    // ~64 MB, an order of magnitude below the Row-collect worst case.
+    val es = edges
+      .select(col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .as[(Long, Long)]
+      .limit((LocalCcEdgeCap + 1).toInt).collect()
     if (es.length <= LocalCcEdgeCap) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -347,8 +375,7 @@ object IncrementalPipeline {
         while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      es.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+      es.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }

@@ -38,6 +38,13 @@ object PipelineOps extends QuerySet {
       try df.unpersist() catch { case _: Throwable => }
     }
     sharedSplitRun.clear()
+    // p05's memo is the same warm-regime device — a harness pricing a
+    // fresh pipeline per measurement must drop BOTH, or p05 keeps
+    // serving iteration 1's pinned output (and its cache pin survives)
+    incrementalMemo.values.forEach { df =>
+      try df.unpersist() catch { case _: Throwable => }
+    }
+    incrementalMemo.clear()
   }
 
   private def pipelineWithSplit(s: org.apache.spark.sql.SparkSession,

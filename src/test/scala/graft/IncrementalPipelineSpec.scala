@@ -138,6 +138,50 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(!d1.contains(1011L), "exact dup of a base doc must drop against the index")
   }
 
+  test("non-default recipe: incremental == monolithic at shingleN=2, k=8, bands=2") {
+    val docs = docsAll
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val c1 = mx * 3 / 5
+    val budget = budgetOf(docs)
+    val dir = tmpDir("incpipe-recipe").toString
+    IncrementalPipeline.bootstrap(dir, docs.filter(col("doc_id") <= c1),
+      bench, Params(budget, shingleN = 2, k = 8, bands = 2))
+    val day1 = IncrementalPipeline.runIncremental(dir,
+      docs.filter(col("doc_id") > c1), bench)
+    val mono = CorpusPipeline.run(docs, benchPred = bench,
+      budgetPerStratum = budget, nShards = 64,
+      shingleN = 2, k = 8, bands = 2).out
+    assert(rows(day1) == rows(mono),
+      "the equality contract must hold for non-default recipes too — " +
+      "CorpusPipeline.run takes the same shingleN/k/bands knobs")
+  }
+
+  test("re-bootstrap clears stale lineage (v2+ dirs and the old index)") {
+    val docs = docsAll
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val (c1, c2) = (mx * 2 / 5, mx * 3 / 5)
+    val budget = budgetOf(docs)
+    val dir = tmpDir("incpipe-reboot").toString
+    // first lineage advances to v2 (bootstrap + one incremental day)
+    IncrementalPipeline.bootstrap(dir, docs.filter(col("doc_id") <= c1),
+      bench, Params(budget))
+    IncrementalPipeline.runIncremental(dir,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), bench)
+    assert(new java.io.File(s"$dir/v2/meta").exists(), "fixture: v2 must exist")
+    // re-bootstrap over a DIFFERENT base: without the fresh-lineage
+    // guard, loadState would pick the old v2 (highest committed) and
+    // pair its reps/horizon with the rebuilt index
+    IncrementalPipeline.bootstrap(dir, docs.filter(col("doc_id") <= c2),
+      bench, Params(budget))
+    assert(!new java.io.File(s"$dir/v2").exists(),
+      "re-bootstrap must delete stale v2+ dirs")
+    val day1 = IncrementalPipeline.runIncremental(dir,
+      docs.filter(col("doc_id") > c2), bench)
+    val mono = CorpusPipeline.run(docs, benchPred = bench,
+      budgetPerStratum = budget, nShards = 64).out
+    assert(rows(day1) == rows(mono))
+  }
+
   test("refuses deltas at or below the committed horizon; torn version dirs are ignored") {
     import spark.implicits._
     val docs = docsAll
