@@ -174,6 +174,28 @@ object Bench {
         extraUsed += 1
       }
     }
+    // ---- reset regime: price a FRESH flagship pipeline per iteration --
+    // The warm regime serves p03/p04/p05 from the cross-iteration memo
+    // pin (PipelineOps.sharedSplitRun/incrementalMemo), so 3 of the 101
+    // plans never execute inside a warm measured iteration — a pipeline
+    // plan regression could hide behind the pin. The reset regime drops
+    // BOTH memos (and their cache pins) before each iteration, so every
+    // iteration pays one fresh monolithic pipeline and one fresh
+    // bootstrap+incremental run. Dedup's shingle/pair memos are NOT
+    // cleared — that warm-memo sharing is the same regime the dedup
+    // family (d02-d10, p01/p02, t15) always ran under, and the two
+    // totals stay attributable: reset − warm ≈ the flagship pipeline
+    // cost. Scale probes (SPARK_GRAFT_ONLY set) default to 0 reset
+    // iterations; SPARK_GRAFT_RESET_ITERS overrides either way.
+    val resetItersReq = sys.env.getOrElse("SPARK_GRAFT_RESET_ITERS",
+      if (only.isDefined) "0" else itersReq.toString).toInt.max(0)
+    val resetSettled = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val resetRuns = (1 to resetItersReq).map { _ =>
+      graft.queries.PipelineOps.resetSharedRun()
+      resetSettled += settle()
+      oneIteration()
+    }
+
     val iters = runs.size
     // `settled` stamps the HEADLINE, so it must describe the iteration
     // the headline came from: best-of picks the min wall, and if THAT
@@ -226,8 +248,25 @@ object Bench {
       }.mkString("[", ",", "]")
       s"\"" + n + "\":" + vals
     }.mkString("{", ",", "}")
+    // reset-regime artifacts: headline total (best-of), per-iteration
+    // walls + settle flags, and the full per-query iteration spread —
+    // p03/p04/p05 must show non-trivial walls here, or the pin crept
+    // back. value_reset = -1 when the regime was skipped.
+    val totalReset = if (resetRuns.isEmpty) -1.0 else resetRuns.map(_._1).min
+    val resetWalls = resetRuns.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+    val qItersReset =
+      if (resetRuns.isEmpty) "{}"
+      else names.map { n =>
+        val vals = resetRuns.map(_._2(n)).map { case (v, err) =>
+          f"${if (err.isEmpty) v else -v}%.3f"
+        }.mkString("[", ",", "]")
+        s"\"" + n + "\":" + vals
+      }.mkString("{", ",", "}")
+    val resetJson =
+      s""""value_reset":${f"$totalReset%.3f"},"reset_iters":${resetRuns.size},""" +
+      s""""reset_walls":$resetWalls,"reset_settled":${resetSettled.mkString("[", ",", "]")}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"materialize":"full_rows","iter_walls":$iterWalls,"load":$loadJson,"errors":$errs,"queries":$qs,"query_iters":$qIters}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"materialize":"full_rows",$resetJson,"iter_walls":$iterWalls,"load":$loadJson,"errors":$errs,"queries":$qs,"query_iters":$qIters,"query_iters_reset":$qItersReset}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => } // read-only cwd must not kill the stdout line
@@ -248,15 +287,27 @@ object Bench {
     // chars for the capped map; total line stays < 1500. Derived from the
     // ACTUAL headline overhead (iter_walls/load/sf lengths vary), not a
     // fixed guess that a long iter list would silently blow past.
+    // the summary carries the reset headline and the three flagship
+    // reset walls (the plans the regime exists to price) — the full
+    // reset per-query spread stays in BENCH_LOCAL.json
+    val pipeReset =
+      if (resetRuns.isEmpty) "{}"
+      else names.filter(_.startsWith("p0")).collect {
+        case n if Set("p03_full_pipeline", "p04_pipeline_split",
+                      "p05_incremental_pipeline").contains(n) =>
+          val best = resetRuns.map(_._2(n)).collect { case (v, None) => v }
+          s"\"" + n.take(3) + "\":" + (if (best.nonEmpty) f"${best.min}%.2f" else "-1")
+      }.mkString("{", ",", "}")
     val qBudget = math.max(300,
       1460 - 170 - iterWallsSummary.length - loadJson.length -
-        sfDir.length - errs.length)
+        sfDir.length - errs.length - resetJson.length -
+        pipeReset.length - 20)
     bySlowest.foreach { case (k, (v, err)) =>
       val ent = "\"" + k + "\":" + (if (err.isEmpty) fmt2(v) else fmt2(-v))
       if (used + ent.length + 1 <= qBudget) { capped += ent; used += ent.length + 1 }
     }
     val summary =
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"materialize":"full_rows","iter_walls":$iterWallsSummary,"load":$loadJson,"nq":${merged.size},"shown":${capped.size},"full":"BENCH_LOCAL.json","errors":$errs,"queries":${capped.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"materialize":"full_rows",$resetJson,"pipe_reset":$pipeReset,"iter_walls":$iterWallsSummary,"load":$loadJson,"nq":${merged.size},"shown":${capped.size},"full":"BENCH_LOCAL.json","errors":$errs,"queries":${capped.mkString("{", ",", "}")}}"""
     println(summary)
     spark.stop()
   }
