@@ -109,6 +109,65 @@ object IncPipeProbe {
     val d1 = reps.map(_._3).min
     val d2 = reps.map(_._4).min
 
+    // ---- retro-decontamination probe: inverted keys table vs legacy
+    // shingle-array scan, at two bench-add sizes. A delta that ADDS
+    // bench documents must re-score every base doc against the NEW
+    // blocklist keys; the persisted `index/keys` table answers that
+    // from partition-pruned flat state, the legacy path re-derives
+    // every base doc's keys from the shingle arrays (base-CPU-sized
+    // regardless of how few keys the delta added). Both plans are
+    // built verbatim from IncrementalPipeline's retro path and timed
+    // to their count() on the SAME committed state.
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("incpipe-retro")
+      .toFile.getAbsolutePath
+    Caches.release()
+    IncrementalPipeline.bootstrap(dir, docs, bench,
+      IncrementalPipeline.Params(budget))
+    val bl = spark.read.parquet(s"$dir/v1/blocklist")
+    def benchDelta(nDocs: Int, words: Int, tag: String): DataFrame = {
+      import spark.implicits._
+      (0 until nDocs).map { i =>
+        val id = (mx / 101 + 2 + i) * 101 // > mx, % 101 == 0 (bench)
+        (id, (0 until words).map(w => s"rt$tag$i" + "w" + w).mkString(" "))
+      }.toDF("doc_id", "text")
+    }
+    def keysOf(delta: DataFrame): DataFrame =
+      graft.operators.Dedup.shingleTable(delta, col("doc_id"), col("text"), 3)
+        .select(col("doc_id"), explode(col("sh")).as("_sh"))
+        .select(unhex(md5(col("_sh"))).as("_k")).distinct()
+        .join(bl, Seq("_k"), "left_anti")
+    def retroWalls(newKeys: DataFrame): (Long, Double, Double) = {
+      val nk = newKeys.count()
+      val nkB = broadcast(newKeys)
+      val parts = newKeys
+        .select(pmod(xxhash64(col("_k")), lit(64)).as("_kp"))
+        .distinct().collect().map(_.getLong(0))
+      val inverted = spark.read.parquet(s"$dir/index/keys")
+        .filter(col("_kp").isin(parts.toIndexedSeq: _*))
+        .filter(col("doc_id") <= mx && !bench)
+        .join(nkB, "_k")
+        .select(col("doc_id"), col("_k")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_add"))
+      val scan = spark.read.parquet(s"$dir/index/shingles")
+        .toDF("doc_id", "sh").filter(col("doc_id") <= mx && !bench)
+        .select(col("doc_id"), explode(col("sh")).as("_sh"))
+        .select(col("doc_id"), unhex(md5(col("_sh"))).as("_k"))
+        .join(nkB, "_k").distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("_add"))
+      val (ti, _) = timed(inverted.queryExecution.toRdd.count())
+      val (ts, _) = timed(scan.queryExecution.toRdd.count())
+      (nk, ti, ts)
+    }
+    // best-of-2 per variant (fresh plans each rep; parquet reads are
+    // not memoized, so both walls price real state IO)
+    def bestRetro(delta: DataFrame): (Long, Double, Double) = {
+      val two = (0 until 2).map(_ => retroWalls(keysOf(delta)))
+      (two.head._1, two.map(_._2).min, two.map(_._3).min)
+    }
+    val (nkBig, invBig, scanBig) = bestRetro(benchDelta(120, 100, "b"))
+    val (nkSmall, invSmall, scanSmall) = bestRetro(benchDelta(1, 12, "s"))
+
     val json =
       s"""{"metric":"incpipe_probe","sf":"$sfDir","input_rows":$inRows,""" +
       s""""budget_per_stratum":$budget,"iters":2,"best_of":true,""" +
@@ -118,6 +177,11 @@ object IncPipeProbe {
       s""""day_frac":${f2(n1.toDouble / inRows)},""" +
       s""""day1_vs_mono":${f2(d1 / mono)},"day2_vs_mono":${f2(d2 / mono)},""" +
       s""""equal_rows":true,""" +
+      s""""retro_probe":{"base_rows":$inRows,""" +
+      s""""big_add":{"new_keys":$nkBig,"inverted_sec":${f2(invBig)},""" +
+      s""""scan_sec":${f2(scanBig)},"speedup":${f2(scanBig / invBig)}},""" +
+      s""""small_add":{"new_keys":$nkSmall,"inverted_sec":${f2(invSmall)},""" +
+      s""""scan_sec":${f2(scanSmall)},"speedup":${f2(scanSmall / invSmall)}}},""" +
       s""""rep_walls":{"mono":[${reps.map(r => f2(r._1)).mkString(",")}],""" +
       s""""bootstrap":[${reps.map(r => f2(r._2)).mkString(",")}],""" +
       s""""day1":[${reps.map(r => f2(r._3)).mkString(",")}],""" +

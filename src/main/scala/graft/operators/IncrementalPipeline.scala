@@ -137,16 +137,39 @@ object IncrementalPipeline {
         (annotateSplit(sharded, reps3, cfg), Some(reps3))
       case None => (sharded, None)
     }
-    val blocklist = Dedup.shingleKeys(
-        Dedup.shingleTable(s2, col("doc_id"), col("text"), p.shingleN))
-      .filter(benchPred).select("_k").distinct()
+    val keyed = Dedup.shingleKeys(
+      Dedup.shingleTable(s2, col("doc_id"), col("text"), p.shingleN))
+    val blocklist = keyed.filter(benchPred).select("_k").distinct()
     val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
     DedupIndex.write(s"$dir/index", s2, col("doc_id"), col("text"),
       p.shingleN, p.k, p.bands)
+    writeKeys(dir, keyed, "overwrite")
     writeVersion(spark, dir, 1, maxId, p,
       reps, repsSplit, counts, blocklist, surv, packed)
     out
   }
+
+  // ---- inverted key -> doc index (retro decontamination probe) ------ //
+  // `index/keys` stores the per-doc-DISTINCT shingle keys of the
+  // indexed corpus FLAT and PRE-HASHED (doc_id, 16-byte _k), hash-
+  // partitioned into [[KeyParts]] directories by key. The retro
+  // decontamination probe (a delta that ADDS bench documents must
+  // re-score BASE docs against the new blocklist keys) then reads only
+  // the partitions the new keys hash into and broadcast-joins them —
+  // state touched is O(min(newKeys, KeyParts)/KeyParts) of the table,
+  // with no per-shingle explode or md5 re-derivation (the legacy path
+  // re-derived every base doc's keys from the index's shingle arrays —
+  // a base-CPU-sized pass even though its output was tiny). Appends
+  // ride the day-N commit alongside the other index tables and heal
+  // the same way: rows beyond the committed horizon are ignored.
+  private val KeyParts = 64
+  private def keyPart(k: Column): Column = pmod(xxhash64(k), lit(KeyParts))
+
+  private def writeKeys(dir: String, keyed: DataFrame, mode: String): Unit =
+    keyed.select(col("doc_id"), col("_k"))
+      .withColumn("_kp", keyPart(col("_k")))
+      .repartition(col("_kp"))
+      .write.mode(mode).partitionBy("_kp").parquet(s"$dir/index/keys")
 
   /** Curate `delta` (doc_id, text) against the state at `dir`; returns
     * the FULL curated output over base ∪ delta (== the monolithic run)
@@ -245,28 +268,44 @@ object IncrementalPipeline {
     val deltaCounts = Caches.track(keyedD.filter(!benchPred)
       .join(broadcast(fullBl), "_k")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")))
-    // base retro probe: explode the index's (already per-doc-distinct)
-    // shingle arrays and BROADCAST-FILTER against the new keys BEFORE
-    // any distinct — the base-sized pass is then a scan-side map with
-    // no shuffle, and only the (rare) matching rows reach an exchange.
-    // A persisted key->doc inverted index would make even the scan
-    // delta-sized; at the current state layout the scan is the
-    // documented degraded path and is skipped when the delta adds no
-    // bench content.
+    // base retro probe: hits of BASE docs against the NEW blocklist
+    // keys only (skipped entirely when the delta adds no bench
+    // content). Primary path: the persisted inverted `index/keys`
+    // table — partition-pruned to the directories the new keys hash
+    // into, broadcast-joined, distinct-ed (torn-append duplicates
+    // below the horizon must count once). Legacy fallback (a pre-keys
+    // state dir): re-derive keys by exploding the index's shingle
+    // arrays — base-CPU-sized, kept only so old state loads; the spec
+    // pins both paths to the same monolithic output.
     val baseCounts =
       if (nNewKeys == 0) st.contam
-      else Caches.track(st.contam
-        .join(shB.toDF("doc_id", "sh")
-            .filter(!benchPred)
-            .select(col("doc_id"), explode(col("sh")).as("_sh"))
-            .select(col("doc_id"), unhex(md5(col("_sh"))).as("_k"))
-            .join(broadcast(newKeys), "_k")
-            .distinct()
-            .groupBy(col("doc_id")).agg(count(lit(1)).as("_add")),
-          Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          (coalesce(col("n_hits"), lit(0L)) + coalesce(col("_add"), lit(0L)))
-            .as("n_hits")))
+      else {
+        val keysPath = new org.apache.hadoop.fs.Path(s"$dir/index/keys")
+        val fsK = keysPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val probeHits =
+          if (fsK.exists(keysPath)) {
+            val parts = newKeys.select(keyPart(col("_k")).as("_kp"))
+              .distinct().collect().map(_.getLong(0)) // bounded: <= KeyParts rows
+            spark.read.parquet(keysPath.toString)
+              .filter(col("_kp").isin(parts.toIndexedSeq: _*))
+              .filter(col("doc_id") <= hz && !benchPred)
+              .join(broadcast(newKeys), "_k")
+              .select(col("doc_id"), col("_k")).distinct()
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("_add"))
+          } else
+            shB.toDF("doc_id", "sh")
+              .filter(!benchPred)
+              .select(col("doc_id"), explode(col("sh")).as("_sh"))
+              .select(col("doc_id"), unhex(md5(col("_sh"))).as("_k"))
+              .join(broadcast(newKeys), "_k")
+              .distinct()
+              .groupBy(col("doc_id")).agg(count(lit(1)).as("_add"))
+        Caches.track(st.contam
+          .join(probeHits, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("n_hits"), lit(0L)) + coalesce(col("_add"), lit(0L)))
+              .as("n_hits")))
+      }
 
     // -- delta survivors -> redact -> pack stats --
     val dDrops = repsNew
@@ -322,10 +361,18 @@ object IncrementalPipeline {
     // -- commit: index append first (invisible until the horizon
     //    advances), then the new version dir with meta LAST --
     val ixNew = DedupIndex.frames(d2, col("doc_id"), col("text"), ix.meta)
+    // keys append only when the table exists: a legacy (pre-keys) state
+    // must stay on the fallback path — a keys table covering only the
+    // deltas would hand the probe a partial corpus
+    val haveKeys = locally {
+      val kp = new org.apache.hadoop.fs.Path(s"$dir/index/keys")
+      kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp)
+    }
     sect("index_append")(runAll(Seq(
       () => ixNew.hashes.write.mode("append").parquet(s"$dir/index/hashes"),
       () => ixNew.bands.write.mode("append").parquet(s"$dir/index/bands"),
-      () => ixNew.shingles.write.mode("append").parquet(s"$dir/index/shingles"))))
+      () => ixNew.shingles.write.mode("append").parquet(s"$dir/index/shingles")) ++
+      (if (haveKeys) Seq(() => writeKeys(dir, keyedD, "append")) else Nil)))
     sect("write_version")(writeVersion(spark, dir, st.ver + 1, idr.getLong(1), p,
       repsNew, repsSplitNew, baseCounts.unionByName(deltaCounts),
       fullBl, survNew, packedNew))

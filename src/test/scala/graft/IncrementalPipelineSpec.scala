@@ -77,7 +77,7 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(rows(day1) == rows(mono))
   }
 
-  test("retro paths: a delta bridge merges base clusters; delta bench keys retro-contaminate") {
+  private def retroCase(dirTag: String, dropKeysTable: Boolean): Unit = {
     import spark.implicits._
     // tokens: unique 6-char words; trigram-shingle set algebra is then
     // controllable block by block (see inline comments)
@@ -123,11 +123,21 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(prePairs == Set((1L, 1000L), (2L, 1000L)),
       s"fixture: C must bridge A and B without an A-B edge, got $prePairs")
 
-    val dir = tmpDir("incpipe-retro").toString
+    val dir = tmpDir(dirTag).toString
     val day0 = IncrementalPipeline.bootstrap(dir, base, bench, Params(budget))
     val d0 = day0.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(d0.contains(2L) && d0.contains(3L),
       s"fixture: B and D must survive day 0, got $d0")
+    val keysDir = new java.io.File(s"$dir/index/keys")
+    assert(keysDir.exists(), "bootstrap must write the inverted keys table")
+    if (dropKeysTable) {
+      // legacy (pre-keys) state: the retro probe must fall back to the
+      // shingle-array scan and produce the SAME monolithic output
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(keysDir)
+    }
     val day1 = IncrementalPipeline.runIncremental(dir, delta, bench)
     val mono = CorpusPipeline.run(union, benchPred = bench,
       budgetPerStratum = budget, nShards = 64).out
@@ -136,6 +146,14 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(!d1.contains(2L), "bridge merge must retro-drop base doc 2 (rep moves to 1)")
     assert(!d1.contains(3L), "new bench keys must retro-contaminate base doc 3")
     assert(!d1.contains(1011L), "exact dup of a base doc must drop against the index")
+  }
+
+  test("retro paths: a delta bridge merges base clusters; delta bench keys retro-contaminate") {
+    retroCase("incpipe-retro", dropKeysTable = false)
+  }
+
+  test("retro probe fallback: a legacy state without index/keys scans the shingle arrays to the same answer") {
+    retroCase("incpipe-retro-legacy", dropKeysTable = true)
   }
 
   test("non-default recipe: incremental == monolithic at shingleN=2, k=8, bands=2") {
