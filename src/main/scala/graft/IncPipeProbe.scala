@@ -86,8 +86,12 @@ object IncPipeProbe {
       }
       Caches.release()
       val (t1, _) = timed {
-        IncrementalPipeline.runIncremental(dir, day1, bench)
-          .queryExecution.toRdd.count()
+        val out = IncrementalPipeline.runIncremental(dir, day1, bench)
+        val ta = System.nanoTime()
+        val n = out.queryExecution.toRdd.count()
+        if (sys.env.get("SPARK_GRAFT_INCPIPE_DEBUG").contains("1"))
+          System.err.println(f"[incpipe] out_count      ${(System.nanoTime() - ta) / 1e9}%.2fs")
+        n
       }
       Caches.release()
       var eq = false

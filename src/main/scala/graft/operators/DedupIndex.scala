@@ -137,7 +137,7 @@ object DedupIndex {
     ix.shingles.write.mode("append").parquet(s"$path/shingles")
   }
 
-  private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
+  private[operators] def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
     import spark.implicits._
     Seq((FormatVersion, meta.shingleN, meta.k, meta.bands))
       .toDF("version", "shingle_n", "k", "bands")

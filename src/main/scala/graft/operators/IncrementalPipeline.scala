@@ -90,7 +90,7 @@ object IncrementalPipeline {
                 params: Params): DataFrame = {
     val spark = docs.sparkSession
     val p = params
-    // Fresh-lineage guard: writeVersion's retirement only prunes BELOW
+    // Fresh-lineage guard: commitMeta's retirement only prunes BELOW
     // ver-1, so stale v2+ dirs from a previous lineage would survive a
     // re-bootstrap and a later loadState would pair the OLD highest
     // committed version (its reps/horizon) with the freshly rebuilt
@@ -127,26 +127,40 @@ object IncrementalPipeline {
         Seq(col("doc_id").asc), col("n_tok"), p.budgetPerStratum,
         qualityBounds = Some((0.0, 1.0)))
       .select(col("doc_id"), col("stratum"), col("n_tok"))
-    val sharded = CorpusPipeline.shardAssign(packed, p.nShards)
-    val (out, repsSplit) = p.split match {
-      case Some(cfg) =>
-        val pairs3 = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
-          p.shingleN, p.k, p.bands, cfg.minSim)
-        val reps3 = Dedup.clusters(pairs3, col("doc_a"), col("doc_b"))
-          .select(col("doc_id"), col("cluster_rep").as("rep"))
-        (annotateSplit(sharded, reps3, cfg), Some(reps3))
-      case None => (sharded, None)
+    val repsSplit = p.split.map { cfg =>
+      val pairs3 = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
+        p.shingleN, p.k, p.bands, cfg.minSim)
+      Dedup.clusters(pairs3, col("doc_a"), col("doc_b"))
+        .select(col("doc_id"), col("cluster_rep").as("rep"))
     }
     val keyed = Dedup.shingleKeys(
       Dedup.shingleTable(s2, col("doc_id"), col("text"), p.shingleN))
     val blocklist = keyed.filter(benchPred).select("_k").distinct()
     val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
-    DedupIndex.write(s"$dir/index", s2, col("doc_id"), col("text"),
-      p.shingleN, p.k, p.bands)
-    writeKeys(dir, keyed, "overwrite")
-    writeVersion(spark, dir, 1, maxId, p,
-      reps, repsSplit, counts, blocklist, surv, packed)
-    out
+    // every write below reads only the docs input (through the cached
+    // post-exact s2), so the index tables, the inverted keys, and the
+    // six version tables fan out as ONE concurrent batch; the metas
+    // land strictly after (version meta = the commit point)
+    val ixB = DedupIndex.frames(s2, col("doc_id"), col("text"),
+      DedupIndex.Meta(p.shingleN, p.k, p.bands))
+    runAll(Seq(
+      () => ixB.hashes.write.mode("overwrite").parquet(s"$dir/index/hashes"),
+      () => ixB.bands.write.mode("overwrite").parquet(s"$dir/index/bands"),
+      () => ixB.shingles.write.mode("overwrite").parquet(s"$dir/index/shingles"),
+      () => writeKeys(dir, keyed, "overwrite")))
+    DedupIndex.writeMeta(spark, s"$dir/index", ixB.meta)
+    writeTables(dir, 1, reps, repsSplit, counts, blocklist, surv, packed)
+    commitMeta(spark, dir, 1, maxId, p)
+    // the returned output re-roots on the committed v1 state (the same
+    // device as runIncremental's return): the caller's action re-reads
+    // the narrow packed table instead of recomputing the pack chain
+    val shardedOut = CorpusPipeline.shardAssign(
+      spark.read.parquet(s"$dir/v1/packed"), p.nShards)
+    p.split match {
+      case Some(cfg) => annotateSplit(shardedOut,
+        spark.read.parquet(s"$dir/v1/reps_split"), cfg)
+      case None => shardedOut
+    }
   }
 
   // ---- inverted key -> doc index (retro decontamination probe) ------ //
@@ -165,10 +179,19 @@ object IncrementalPipeline {
   private val KeyParts = 64
   private def keyPart(k: Column): Column = pmod(xxhash64(k), lit(KeyParts))
 
+  // Writer task count: a dynamic-partition write pays per-task
+  // file-open/commit overhead for every (task, partition) pair it
+  // touches, so a day-sized append wants FEW tasks each covering many
+  // prefixes (measured: 32 tasks 4.2 s vs 8 tasks ~1 s for the same
+  // 10k-key append). At cluster scale raise toward KeyParts (one task
+  // per directory) once per-task volume, not per-task overhead, is the
+  // binding cost.
+  private val KeyWriteTasks = 8
+
   private def writeKeys(dir: String, keyed: DataFrame, mode: String): Unit =
     keyed.select(col("doc_id"), col("_k"))
       .withColumn("_kp", keyPart(col("_k")))
-      .repartition(col("_kp"))
+      .repartition(KeyWriteTasks, col("_kp"))
       .write.mode(mode).partitionBy("_kp").parquet(s"$dir/index/keys")
 
   /** Curate `delta` (doc_id, text) against the state at `dir`; returns
@@ -191,9 +214,16 @@ object IncrementalPipeline {
   def runIncremental(dir: String, delta: DataFrame,
                      benchPred: Column): DataFrame = {
     val spark = delta.sparkSession
+    // the three opening steps — state load (meta collect + 6 table
+    // opens), index load (meta collect + 3 opens), and the delta id
+    // range — have no mutual dependencies: overlap them
+    val ixF = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => DedupIndex.load(spark, s"$dir/index"))
+    val idrF = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => delta.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0))
     val st = sect("load_state")(loadState(spark, dir))
     val p = st.params
-    val ix = DedupIndex.load(spark, s"$dir/index")
+    val ix = sect("load_index")(ixF.get())
     require(ix.meta.shingleN == p.shingleN && ix.meta.k == p.k &&
       ix.meta.bands == p.bands, s"state at $dir: index recipe ${ix.meta} " +
       s"does not match pinned params $p")
@@ -204,7 +234,7 @@ object IncrementalPipeline {
     val bandsB = ix.bands.filter(col("base_id") <= hz)
     val shB = ix.shingles.filter(col("base_id") <= hz)
 
-    val idr = sect("id_range")(delta.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0))
+    val idr = sect("id_range")(idrF.get())
     if (idr.isNullAt(0)) {
       // no-op day: nothing to curate — re-emit the committed output
       // from the stored packed set, advance nothing
@@ -224,6 +254,7 @@ object IncrementalPipeline {
     // no distinct on the index hash side: left_anti is set-semantics
     // regardless of build-side duplicates, and the distinct was a
     // base-sized shuffle bought for nothing
+    val tPlan0 = System.nanoTime()
     val s1 = delta.filter(CorpusPipeline.gopherGate(col("text")))
     val d2 = Caches.track(Dedup.exactFirst(
         s1.withColumn("_h", md5(col("text")))
@@ -254,16 +285,34 @@ object IncrementalPipeline {
       Dedup.jaccardPairs(d2, col("doc_id"), col("text"),
         p.shingleN, p.k, p.bands, t).select(col("doc_a"), col("doc_b"))
 
+    // -- decontamination probe keys (declared FIRST: the tiny count
+    //    job overlaps extend_reps' driver collect below). Cached: the
+    //    frame feeds newKeys, deltaCounts, AND the day's keys append —
+    //    uncached, each consumer re-paid the explode+distinct shuffle --
+    val keyedD = Caches.track(Dedup.shingleKeys(shD))
+    val newKeys = Caches.track(keyedD.filter(benchPred).select("_k").distinct()
+      .join(st.blocklist, Seq("_k"), "left_anti"))
+    // ONE tiny job returns both the new-key count and the key-partition
+    // histogram the retro probe prunes by (<= KeyParts rows), and it is
+    // delta-sized but job-scheduling-bound at the day floor — run it
+    // concurrently with extend_reps' driver collect below (independent
+    // lineages; shared upstreams are cached and Spark's block locks
+    // serialize their materialization)
+    val newKeyPartsF = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => newKeys.groupBy(keyPart(col("_k")).as("_kp"))
+        .agg(count(lit(1)).as("n")).collect())
+
+    if (debugTiming) System.err.println(
+      f"[incpipe] plan_build1    ${(System.nanoTime() - tPlan0) / 1e9}%.2fs")
+
     // -- near-dup clusters extended at the drop threshold --
     val repsNew = sect("extend_reps")(Caches.track(
       extendReps(st.reps, crossAt(p.minSim), deltaPairsAt(p.minSim))))
 
     // -- decontamination: delta probes the full blocklist; base docs
     //    are re-scored against NEW keys only (skipped when none) --
-    val keyedD = Dedup.shingleKeys(shD)
-    val newKeys = Caches.track(keyedD.filter(benchPred).select("_k").distinct()
-      .join(st.blocklist, Seq("_k"), "left_anti"))
-    val nNewKeys = sect("new_keys")(newKeys.count()) // tiny: distinct keys of delta BENCH docs
+    val keyHist = sect("new_keys")(newKeyPartsF.get())
+    val nNewKeys = keyHist.map(_.getLong(1)).sum
     val fullBl = st.blocklist.unionByName(newKeys)
     val deltaCounts = Caches.track(keyedD.filter(!benchPred)
       .join(broadcast(fullBl), "_k")
@@ -279,13 +328,12 @@ object IncrementalPipeline {
     // pins both paths to the same monolithic output.
     val baseCounts =
       if (nNewKeys == 0) st.contam
-      else {
+      else sect("retro_plan") {
         val keysPath = new org.apache.hadoop.fs.Path(s"$dir/index/keys")
         val fsK = keysPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val probeHits =
           if (fsK.exists(keysPath)) {
-            val parts = newKeys.select(keyPart(col("_k")).as("_kp"))
-              .distinct().collect().map(_.getLong(0)) // bounded: <= KeyParts rows
+            val parts = keyHist.map(_.getLong(0)) // bounded: <= KeyParts entries
             spark.read.parquet(keysPath.toString)
               .filter(col("_kp").isin(parts.toIndexedSeq: _*))
               .filter(col("doc_id") <= hz && !benchPred)
@@ -308,6 +356,7 @@ object IncrementalPipeline {
       }
 
     // -- delta survivors -> redact -> pack stats --
+    val tPlan1 = System.nanoTime()
     val dDrops = repsNew
       .filter(col("doc_id") > hz && col("doc_id") =!= col("rep"))
       .select("doc_id")
@@ -348,18 +397,35 @@ object IncrementalPipeline {
               qualityBounds = Some((0.0, 1.0)))
             .select(col("doc_id"), col("stratum"), col("n_tok"))))
 
-    // -- shard/pos permutation over the packed narrow set --
-    val sharded = CorpusPipeline.shardAssign(packedNew, p.nShards)
-    val (out, repsSplitNew) = p.split match {
-      case Some(cfg) =>
-        val r3 = Caches.track(extendReps(st.repsSplit.get,
-          crossAt(cfg.minSim), deltaPairsAt(cfg.minSim)))
-        (annotateSplit(sharded, r3, cfg), Some(r3))
-      case None => (sharded, None)
+    // -- split-stage rep extension (when configured) --
+    val repsSplitNew = p.split.map { cfg =>
+      Caches.track(extendReps(st.repsSplit.get,
+        crossAt(cfg.minSim), deltaPairsAt(cfg.minSim)))
     }
 
-    // -- commit: index append first (invisible until the horizon
-    //    advances), then the new version dir with meta LAST --
+    // -- commit. Ordering is load-bearing TWICE over:
+    //    1. ONE spine action first: packedNew's lineage covers survNew
+    //       -> retro -> repsNew/baseCounts and dStats -> deltaCounts,
+    //       so a single count() materializes every cached state frame
+    //       in dependency order instead of letting concurrent write
+    //       jobs race to build overlapping uncached lineages.
+    //    2. Version tables BEFORE index appends: Spark recaches by
+    //       path on insert, so appending to index/* INVALIDATES every
+    //       cached frame whose lineage reads the index files — i.e.
+    //       all of them. Appends running first (or concurrently) made
+    //       the version-table writes recompute the whole day from
+    //       parquet (measured: the commit + the caller's first action
+    //       each re-paid ~4 s of a ~12 s day at probe scale).
+    //    Meta stays strictly LAST (the commit point): a version dir
+    //    without meta — like index rows beyond the horizon — is
+    //    invisible, so a crash anywhere in between is torn, not wrong.
+    val vNew = st.ver + 1
+    if (debugTiming) System.err.println(
+      f"[incpipe] plan_build2    ${(System.nanoTime() - tPlan1) / 1e9}%.2fs")
+    sect("materialize") {
+      packedNew.count()
+      repsSplitNew.foreach(_.count())
+    }
     val ixNew = DedupIndex.frames(d2, col("doc_id"), col("text"), ix.meta)
     // keys append only when the table exists: a legacy (pre-keys) state
     // must stay on the fallback path — a keys table covering only the
@@ -368,15 +434,35 @@ object IncrementalPipeline {
       val kp = new org.apache.hadoop.fs.Path(s"$dir/index/keys")
       kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp)
     }
-    sect("index_append")(runAll(Seq(
-      () => ixNew.hashes.write.mode("append").parquet(s"$dir/index/hashes"),
-      () => ixNew.bands.write.mode("append").parquet(s"$dir/index/bands"),
-      () => ixNew.shingles.write.mode("append").parquet(s"$dir/index/shingles")) ++
-      (if (haveKeys) Seq(() => writeKeys(dir, keyedD, "append")) else Nil)))
-    sect("write_version")(writeVersion(spark, dir, st.ver + 1, idr.getLong(1), p,
-      repsNew, repsSplitNew, baseCounts.unionByName(deltaCounts),
-      fullBl, survNew, packedNew))
-    out
+    sect("state_write")(writeTables(dir, vNew, repsNew, repsSplitNew,
+      baseCounts.unionByName(deltaCounts), fullBl, survNew, packedNew))
+    // hashes append LAST and alone: d2's lineage reads index/hashes
+    // (the exact-dedup anti-join), so appending hashes first would
+    // invalidate the cached d2 and make the bands/shingles/keys appends
+    // recompute the delta from parquet mid-fan-out (the same
+    // recache-by-path trap as the state_write ordering above)
+    sect("index_append") {
+      runAll(Seq(
+        () => sect("  app_bands")(ixNew.bands.write.mode("append").parquet(s"$dir/index/bands")),
+        () => sect("  app_shingles")(ixNew.shingles.write.mode("append").parquet(s"$dir/index/shingles"))) ++
+        (if (haveKeys) Seq(() => sect("  app_keys")(writeKeys(dir, keyedD, "append"))) else Nil))
+      sect("  app_hashes")(ixNew.hashes.write.mode("append").parquet(s"$dir/index/hashes"))
+    }
+    sect("meta_commit")(commitMeta(spark, dir, vNew, idr.getLong(1), p))
+
+    // -- the returned output re-roots on the JUST-COMMITTED state: its
+    //    lineage reads only v<N> paths (never appended), so the index
+    //    appends above cannot invalidate it and the caller's action is
+    //    a narrow parquet read + the shard window — never a day
+    //    recompute. Values are identical by construction (v<N>/packed
+    //    IS packedNew; shard/pos are deterministic functions of it). --
+    val shardedOut = CorpusPipeline.shardAssign(
+      spark.read.parquet(s"$dir/v$vNew/packed"), p.nShards)
+    p.split match {
+      case Some(cfg) => annotateSplit(shardedOut,
+        spark.read.parquet(s"$dir/v$vNew/reps_split"), cfg)
+      case None => shardedOut
+    }
   }
 
   // ---------------------------------------------------------------- //
@@ -475,7 +561,7 @@ object IncrementalPipeline {
     */
   private def runAll(jobs: Seq[() => Unit]): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, math.max(1, jobs.size)))
+      math.min(8, math.max(1, jobs.size)))
     try {
       val fs = jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = j()
@@ -490,23 +576,40 @@ object IncrementalPipeline {
     } finally pool.shutdown()
   }
 
-  private def writeVersion(spark: SparkSession, dir: String, ver: Int,
-                           maxId: Long, p: Params,
-                           reps: DataFrame, repsSplit: Option[DataFrame],
-                           contam: DataFrame, blocklist: DataFrame,
-                           survivors: DataFrame, packed: DataFrame): Unit = {
+  /** The six state tables are independent writes — run them as
+    * concurrent jobs on a bounded pool (the maintainLake recipe,
+    * awaiting EVERY future) instead of sequential job round-trips.
+    */
+  /** Writer task count per state table. The tables are narrow survivor
+    * metadata; at day scale a 32-task write is pure per-task overhead
+    * (the KeyWriteTasks lesson). At cluster scale raise it once
+    * per-task volume binds. coalesce (not repartition): narrow read of
+    * the cached partitions, no shuffle.
+    */
+  private val StateWriteTasks = 8
+
+  private def writeTables(dir: String, ver: Int,
+                          reps: DataFrame, repsSplit: Option[DataFrame],
+                          contam: DataFrame, blocklist: DataFrame,
+                          survivors: DataFrame, packed: DataFrame): Unit = {
     val v = s"$dir/v$ver"
-    // the six state tables are independent writes — run them as
-    // concurrent jobs on a bounded pool (the maintainLake recipe,
-    // awaiting EVERY future) instead of six sequential job round-trips;
-    // meta stays strictly LAST because its write is the commit point
+    def w(df: DataFrame, name: String): Unit =
+      df.coalesce(StateWriteTasks).write.mode("overwrite").parquet(s"$v/$name")
     runAll(Seq(
-      () => reps.write.mode("overwrite").parquet(s"$v/reps"),
-      () => repsSplit.foreach(_.write.mode("overwrite").parquet(s"$v/reps_split")),
-      () => contam.write.mode("overwrite").parquet(s"$v/contam"),
-      () => blocklist.write.mode("overwrite").parquet(s"$v/blocklist"),
-      () => survivors.write.mode("overwrite").parquet(s"$v/survivors"),
-      () => packed.write.mode("overwrite").parquet(s"$v/packed")))
+      () => w(reps, "reps"),
+      () => repsSplit.foreach(w(_, "reps_split")),
+      () => w(contam, "contam"),
+      () => w(blocklist, "blocklist"),
+      () => w(survivors, "survivors"),
+      () => w(packed, "packed")))
+  }
+
+  /** Meta is written LAST — its write is the commit point — then
+    * versions older than ver-1 retire (keep one rollback).
+    */
+  private def commitMeta(spark: SparkSession, dir: String, ver: Int,
+                         maxId: Long, p: Params): Unit = {
+    val v = s"$dir/v$ver"
     import spark.implicits._
     Seq((FormatVersion, ver, maxId, p.budgetPerStratum, p.nShards, p.minSim,
         p.contamMinHits, p.shingleN, p.k, p.bands,
@@ -551,12 +654,17 @@ object IncrementalPipeline {
       m.getAs[Double]("min_sim"), m.getAs[Long]("contam_min_hits"),
       m.getAs[Int]("shingle_n"), m.getAs[Int]("k"), m.getAs[Int]("bands"),
       split)
+    // spark.read.parquet pays a driver-side listing + footer schema
+    // read per table — ~50-100 ms each, serial = a visible slice of
+    // the day floor. The six are independent: open them concurrently.
+    import java.util.concurrent.CompletableFuture
+    def rd(name: String) =
+      CompletableFuture.supplyAsync(() => spark.read.parquet(s"$v/$name"))
+    val (fReps, fContam, fBl, fSurv, fPacked) =
+      (rd("reps"), rd("contam"), rd("blocklist"), rd("survivors"), rd("packed"))
+    val fSplit = split.map(_ => rd("reps_split"))
     State(m.getAs[Int]("ver"), m.getAs[Long]("max_id"), p,
-      spark.read.parquet(s"$v/reps"),
-      split.map(_ => spark.read.parquet(s"$v/reps_split")),
-      spark.read.parquet(s"$v/contam"),
-      spark.read.parquet(s"$v/blocklist"),
-      spark.read.parquet(s"$v/survivors"),
-      spark.read.parquet(s"$v/packed"))
+      fReps.get(), fSplit.map(_.get()),
+      fContam.get(), fBl.get(), fSurv.get(), fPacked.get())
   }
 }
