@@ -153,6 +153,16 @@ object RecallProbe {
           Similarity.knnSketchRerank(queries, e, k, m = m, sketchDim = sd),
           m.toDouble)
       }
+      // int8 serve knob (r15): same pass-1 ranking over quantized
+      // sketches — 1 byte/element, 1/16 of the vector bytes. Recall
+      // delta vs the float rows above IS the quantization cost.
+      val q8Rows = for ((sd, frac) <- Seq((16, 0.05), (16, 0.10))) yield {
+        val m = math.max(k, math.ceil(frac * corpusN).toInt)
+        recallRow(f"sketch${sd}_q8_rerank_m${(frac * 100).toInt}pct",
+          Similarity.knnSketchRerank(queries, e, k, m = m, sketchDim = sd,
+            quantize = true),
+          m.toDouble)
+      }
 
       val nCells = if (label.startsWith("clustered")) 32 else 16
       val lshRows = Seq(
@@ -178,7 +188,7 @@ object RecallProbe {
             nprobe = np, trained = Some(cents)),
           meter(np))
       }
-      sketchRows ++ lshRows ++ ivfRows
+      sketchRows ++ q8Rows ++ lshRows ++ ivfRows
     }
 
     val organic = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -216,9 +216,14 @@ object AnnIndex {
   // into a quarter-size columnar scan with a bounded exact tail.
   // ------------------------------------------------------------------
 
-  private val SketchFormatVersion = 1
+  // v2 adds the `sketches_q8` sibling (vec_id, sk: array<tinyint>) —
+  // the int8-quantized serve knob: pass 1 over q8 reads 1 byte/element
+  // instead of 4 (1/16 of the vector bytes at 16/64). v1 indexes load
+  // fine; searchSketch(quantized = true) requires v2.
+  private val SketchFormatVersion = 2
 
-  final case class SketchMeta(sketchDim: Int, dim: Int, seed: Long)
+  final case class SketchMeta(sketchDim: Int, dim: Int, seed: Long,
+                              hasQ8: Boolean)
 
   /** Sketch every corpus vector and persist both tables + meta. The
     * projection matrix is not stored — it is a pure function of
@@ -241,6 +246,13 @@ object AnnIndex {
     spark.read.parquet(s"$path/vectors")
       .select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
       .write.mode("overwrite").parquet(s"$path/sketches")
+    // the int8 sibling derives from the WRITTEN float sketches (same
+    // single-execution discipline as vectors -> sketches): quantization
+    // is a pure per-row function, so a served q8 search is row-identical
+    // to the inline quantize=true operator
+    spark.read.parquet(s"$path/sketches")
+      .select(col("vec_id"), Similarity.quantizeSketch(col("sk")).as("sk"))
+      .write.mode("overwrite").parquet(s"$path/sketches_q8")
     import spark.implicits._
     Seq((SketchFormatVersion, sketchDim, dim, seed))
       .toDF("version", "sketch_dim", "dim", "seed")
@@ -270,7 +282,7 @@ object AnnIndex {
     require(v >= 1 && v <= SketchFormatVersion,
       s"sketch index at $path: format version $v, expected <= $SketchFormatVersion")
     SketchMeta(m(0).getAs[Int]("sketch_dim"), m(0).getAs[Int]("dim"),
-      m(0).getAs[Long]("seed"))
+      m(0).getAs[Long]("seed"), hasQ8 = v >= 2)
   }
 
   /** Sketch-prefilter + exact re-rank against the persisted index —
@@ -280,17 +292,26 @@ object AnnIndex {
     * only `sketches`; pass 2 joins the m survivors against `vectors`.
     */
   def searchSketch(spark: SparkSession, path: String, queries: DataFrame,
-                   k: Int, m: Int): DataFrame = {
+                   k: Int, m: Int, quantized: Boolean = false): DataFrame = {
     import graft.expressions.NativeFns.sketch_project
     require(m >= k, s"searchSketch: m=$m must be >= k=$k")
     val meta = loadSketchMeta(spark, path)
+    require(!quantized || meta.hasQ8,
+      s"sketch index at $path predates the int8 sibling (v1) — rebuild " +
+      "with writeSketch, or search with quantized = false")
     val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
     val q = queries.toDF("query_id", "q_vec")
     val qs = broadcast(q.withColumn("q_sk", sketch_project(col("q_vec"), r))
       .select(col("query_id"), col("q_sk")))
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("vec_id").asc)
-    val cand = spark.read.parquet(s"$path/sketches")
+    // quantized: pass 1 scans the int8 sibling — 1/4 the sketch bytes;
+    // the per-vector scale cancels in cosine so a cast IS the dequant
+    val skTable =
+      if (quantized) spark.read.parquet(s"$path/sketches_q8")
+        .select(col("vec_id"), Similarity.dequantSketch(col("sk")).as("sk"))
+      else spark.read.parquet(s"$path/sketches")
+    val cand = skTable
       .join(qs, col("query_id") =!= col("vec_id"))
       .withColumn("s", VecFns.cosine(col("q_sk"), col("sk")))
       .withColumn("srk", row_number().over(wS))
@@ -347,22 +368,42 @@ object AnnIndex {
     // contract. Detect via an id-only anti-join (columnar: reads the
     // two id columns, ~sketchDim/dim of the table bytes); only a real
     // orphan set pays the full-vector re-read.
+    // the q8 sibling (v2 indexes) appends in lockstep: both the orphan
+    // repair and the delta pass derive its rows from the same float
+    // sketches they just appended, keeping quantize-at-write ==
+    // quantize-at-rebuild
+    def appendSketches(src: DataFrame): Unit = {
+      val sk = src.select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
+      sk.write.mode("append").parquet(s"$path/sketches")
+      if (meta.hasQ8)
+        sk.select(col("vec_id"), Similarity.quantizeSketch(col("sk")).as("sk"))
+          .write.mode("append").parquet(s"$path/sketches_q8")
+    }
+    // q8-specific crash repair first: a prior append that died between
+    // the float-sketch and q8 writes left q8 rows missing — invisible
+    // to every quantized search. Repair derives from the float table
+    // (cheap: sketch-sized, no vector re-read).
+    if (meta.hasQ8) {
+      val q8Orphans = spark.read.parquet(s"$path/sketches").select("vec_id")
+        .join(spark.read.parquet(s"$path/sketches_q8").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      if (!q8Orphans.isEmpty)
+        spark.read.parquet(s"$path/sketches").join(q8Orphans, Seq("vec_id"))
+          .select(col("vec_id"), Similarity.quantizeSketch(col("sk")).as("sk"))
+          .write.mode("append").parquet(s"$path/sketches_q8")
+    }
     val orphanIds = spark.read.parquet(s"$path/vectors").select("vec_id")
       .join(spark.read.parquet(s"$path/sketches").select("vec_id"),
         Seq("vec_id"), "left_anti")
     if (!orphanIds.isEmpty)
-      spark.read.parquet(s"$path/vectors")
-        .join(orphanIds, Seq("vec_id"))
-        .select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
-        .write.mode("append").parquet(s"$path/sketches")
+      appendSketches(spark.read.parquet(s"$path/vectors")
+        .join(orphanIds, Seq("vec_id")))
     val before = listing()
     vecs.toDF("vec_id", "c_vec")
       .write.mode("append").parquet(s"$path/vectors")
     val delta = (listing() -- before).toSeq.sorted
     if (delta.nonEmpty)
-      spark.read.parquet(delta: _*)
-        .select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
-        .write.mode("append").parquet(s"$path/sketches")
+      appendSketches(spark.read.parquet(delta: _*))
   }
 
   /** Assign `vecs` (id, vec) to their nearest existing centroids and

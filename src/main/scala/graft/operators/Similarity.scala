@@ -331,8 +331,9 @@ object Similarity {
     *      the scan projection). Top `m` per query survive. The pass
     *      touches every row but only sketchDim/dim of the FLOATS — at
     *      100 TB the sketch is a persisted sibling column and the scan
-    *      reads 1/4 of the bytes (8-bit quantization would make it
-    *      1/32; float sketches keep the oracle exact).
+    *      reads 1/4 of the bytes; the opt-in int8 knob (`quantize`,
+    *      [[quantizeSketch]]) cuts it to 1/16 of the vector bytes.
+    *      Float sketches keep the oracle exact.
     *   2. RE-RANK pass: exact 6-dp cosine over the full vectors of the
     *      m survivors only, top-k — so the expensive scoring fraction
     *      is m/|corpus|, the dial RecallProbe measures.
@@ -341,9 +342,40 @@ object Similarity {
     * s06 oracle replays both passes with the projection matrix
     * embedded as literals.
     */
+  /** Per-vector symmetric int8 quantization of a float sketch:
+    * q_i = round(127 * s_i / max|s|), stored as array<byte>. COSINE is
+    * scale-invariant, so pass-1 ranking over quantized sketches needs
+    * no stored scale and no dequantization beyond a cast — the only
+    * loss is the <= 1/254 per-element rounding. Zero vectors quantize
+    * to zeros (their cosine is 0/NaN either way).
+    */
+  def quantizeSketch(sk: Column): Column = {
+    val mx = array_max(transform(sk, x => abs(x)))
+    when(mx === 0.0f, transform(sk, _ => lit(0).cast("byte")))
+      .otherwise(transform(sk,
+        x => round(x * lit(127.0f) / mx, 0).cast("byte")))
+  }
+
+  /** Cast an int8 sketch back to floats for cosine scoring (the
+    * per-vector scale cancels — see [[quantizeSketch]]).
+    */
+  def dequantSketch(q: Column): Column = transform(q, x => x.cast("float"))
+
+  /** @param quantize serve-path knob: score pass 1 over int8-quantized
+    *                 corpus sketches — 1 byte/element instead of 4, so
+    *                 the full-corpus pass reads sketchDim/(4*dim) of
+    *                 the vector bytes (16/256 = 1/16 at defaults; the
+    *                 float sketch is 1/4). Pass 2 re-ranks the exact
+    *                 floats either way, so output scores stay exact
+    *                 6-dp cosines — quantization can only perturb WHICH
+    *                 m candidates survive pass 1 (recall measured in
+    *                 BENCH_ann_recall.json q8 rows). The s06/s07
+    *                 oracles pin the float path; this knob is opt-in.
+    */
   def knnSketchRerank(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
                       sketchDim: Int = 16, dim: Int = 64,
-                      seed: Long = 20260814L): DataFrame = {
+                      seed: Long = 20260814L,
+                      quantize: Boolean = false): DataFrame = {
     import graft.expressions.NativeFns.sketch_project
     require(m >= k, s"knnSketchRerank: m=$m must be >= k=$k")
     val R = sketchMatrix(dim, sketchDim, seed)
@@ -356,18 +388,22 @@ object Similarity {
     val c = corpus.toDF("vec_id", "c_vec")
     // pass 1 NEVER exchanges full vectors: project to (vec_id, sketch)
     // FIRST, then spread the NARROW frame for scoring parallelism — the
-    // exchange carries sketchDim floats per row, i.e. sketchDim/dim of
-    // the bytes, which is the entire budget of the pass. (Repartitioning
-    // `c` itself — the r13 form — moved every 64-float vector through a
-    // full round-robin shuffle before any sketching happened.)
+    // exchange carries sketchDim floats (or int8s) per row, i.e. the
+    // entire byte budget of the pass. (Repartitioning `c` itself — the
+    // r13 form — moved every 64-float vector through a full round-robin
+    // shuffle before any sketching happened.)
     val qs = broadcast(q.withColumn("q_sk", sk(col("q_vec")))
       .select(col("query_id"), col("q_sk")))
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("s").desc, col("vec_id").asc)
-    val cand = c.select(col("vec_id"), sk(col("c_vec")).as("c_sk"))
+    val cSk =
+      if (quantize) c.select(col("vec_id"), quantizeSketch(sk(col("c_vec"))).as("c_sk"))
+      else c.select(col("vec_id"), sk(col("c_vec")).as("c_sk"))
+    val cand = cSk
       .repartition(par)
       .join(qs, col("query_id") =!= col("vec_id"))
-      .withColumn("s", VecFns.cosine(col("q_sk"), col("c_sk")))
+      .withColumn("s", VecFns.cosine(col("q_sk"),
+        if (quantize) dequantSketch(col("c_sk")) else col("c_sk")))
       .withColumn("srk", row_number().over(wS))
       .filter(col("srk") <= m)
       .select(col("query_id"), col("vec_id"))

@@ -94,7 +94,7 @@ class AnnIndexSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-sk-ix").toString
     AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64)
     assert(AnnIndex.loadSketchMeta(spark, dir) ==
-      AnnIndex.SketchMeta(16, 64, 20260814L))
+      AnnIndex.SketchMeta(16, 64, 20260814L, hasQ8 = true))
 
     val q = emb.filter(col("vec_id") < 5)
     val got = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)
@@ -163,6 +163,64 @@ class AnnIndexSpec extends SparkSpec {
     // ...and formerly-orphaned rows actually serve as hits
     assert(healed.filter(col("vec_id") % 3 === 1).count() > 0,
       "healed orphans must be servable")
+  }
+
+  test("int8 sketch knob: served q8 == inline quantize=true; scores stay exact cosines; bytes ~1/4 of float sketches") {
+    val dir = Files.createTempDirectory("graft-sk-q8").toString
+    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64)
+    val q = emb.filter(col("vec_id") < 5)
+    // dequantized-scoring parity: the stored int8 sibling serves the
+    // same rows as quantizing inline at query time
+    val served = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40,
+      quantized = true)
+    val inline = Similarity.knnSketchRerank(q, emb, k = 5, m = 40,
+      sketchDim = 16, dim = 64, quantize = true)
+    val got = rows(served)
+    assert(got.nonEmpty && got == rows(inline))
+    // quantization perturbs only pass-1 candidate SELECTION — every
+    // returned score must equal the exact 6-dp cosine of its pair
+    // (pass 2 always re-ranks the full floats)
+    import spark.implicits._
+    val exact = served.toDF("query_id", "rk", "vec_id", "cos")
+      .join(emb.toDF("vec_id", "c_vec"), "vec_id")
+      .join(emb.toDF("query_id", "q_vec"), "query_id")
+      .withColumn("cos_exact",
+        round(graft.functions.VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+      .filter(col("cos") =!= col("cos_exact")).count()
+    assert(exact == 0, "q8 output scores must be exact full-float cosines")
+    // byte claim: int8 sibling ~1/4 of the float sketch table
+    def bytes(sub: String): Long = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    assert(bytes("sketches_q8").toDouble / bytes("sketches") < 0.5,
+      s"q8 table must be well under half the float sketches: " +
+        s"${bytes("sketches_q8")} vs ${bytes("sketches")}")
+  }
+
+  test("int8 sketch knob: appends keep the q8 sibling in lockstep; v1 indexes refuse quantized search") {
+    val dir = Files.createTempDirectory("graft-sk-q8").toString
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.writeSketch(dir, base, sketchDim = 16, dim = 64)
+    AnnIndex.appendSketchVectors(dir, delta)
+    val q = emb.filter(col("vec_id") < 5)
+    val got = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40,
+      quantized = true)
+    val inline = Similarity.knnSketchRerank(q, emb, k = 5, m = 40,
+      sketchDim = 16, dim = 64, quantize = true)
+    assert(rows(got) == rows(inline))
+    assert(got.filter(col("vec_id") % 2 === 1).count() > 0,
+      "appended rows must serve through the q8 sibling")
+    // a v1 index (no q8 sibling) must refuse loudly, not silently scan
+    import spark.implicits._
+    Seq((1, 16, 64, 20260814L)).toDF("version", "sketch_dim", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sketch_meta")
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40, quantized = true))
+    assert(e.getMessage.contains("int8"))
+    // float search over the v1 meta still serves
+    assert(rows(AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)).nonEmpty)
   }
 
   test("sketch index: foreign format version fails loudly") {
