@@ -122,7 +122,10 @@ object IncrementalPipeline {
       .distinct()
     val s5 = s2.join(drops, Seq("doc_id"), "left_anti")
       .withColumn("text", Redact.redact(col("text")))
-    val surv = CorpusPipeline.packStats(s5)
+    // cached: three consumers scan the redact+tokenize chain — the
+    // pack's eager offsets pass (populates the cache), the survivors
+    // state write, and the packed write racing it in the fan-out below
+    val surv = Caches.track(CorpusPipeline.packStats(s5))
     val packed = Curation.packByBudget(surv, col("stratum"), col("quality"),
         Seq(col("doc_id").asc), col("n_tok"), p.budgetPerStratum,
         qualityBounds = Some((0.0, 1.0)))
