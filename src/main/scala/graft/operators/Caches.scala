@@ -42,12 +42,13 @@ object Caches {
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame => Unit]()
 
   @volatile private var cap: Int =
-    sys.env.getOrElse("SPARK_GRAFT_CACHE_CAP", "48").toInt
+    sys.env.getOrElse("SPARK_GRAFT_CACHE_CAP", "64").toInt
 
-  /** Max live tracked frames before LRU eviction. The default (48)
-    * covers every concurrent Bench/Verify wave (the full 75-query run
-    * peaks well under it) while bounding a session that iterates over
-    * unboundedly many corpora.
+  /** Max live tracked frames before LRU eviction. The default (64)
+    * covers every concurrent Bench/Verify wave — the 101-query suite
+    * plus one full incremental-pipeline run (which tracks ~17 frames
+    * across bootstrap + day) peaks under it — while bounding a session
+    * that iterates over unboundedly many corpora.
     */
   def capacity: Int = cap
 
