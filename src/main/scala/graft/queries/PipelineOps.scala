@@ -221,9 +221,24 @@ object PipelineOps extends QuerySet {
     // CorpusPipeline.run), so the oracle IS p03's oracle, verbatim —
     // DuckDB restates the monolithic pipeline and the incremental
     // composition must hash-match it.
+    //
+    // ONE incremental execution serves BOTH day-N entries (the same
+    // device as the p03/p04 shared run): the state bootstraps WITH the
+    // train/val split stage, p06 is the full annotated output gated
+    // against p04's oracle verbatim, and p05 is provably its
+    // projection — the split stage only ANNOTATES (rep, split), so
+    // dropping the two columns recovers the split-free day-N output.
     Q("p05_incremental_pipeline",
-      (s, d) => incrementalRun(s, d),
+      (s, d) => incrementalRun(s, d).drop("rep", "split"),
       Some(p03Oracle)),
+
+    // --- p04's day-N form: incremental curation INCLUDING the
+    // leakage-safe split annotation (cluster reps extended over the
+    // contracted graph at the looser split threshold, cluster-atomic
+    // assignment preserved across days). Oracle = p04's, verbatim.
+    Q("p06_incremental_split",
+      (s, d) => incrementalRun(s, d),
+      Some(p04OracleSql)),
 
     Q("p04_pipeline_split",
       (s, d) => pipelineWithSplit(s, d),
@@ -434,7 +449,9 @@ object PipelineOps extends QuerySet {
              |FROM H LEFT JOIN R3 ON R3.doc_id = H.doc_id""").stripMargin
 
   /** ONE bootstrap+incremental execution per (session, sf dir), like
-    * [[pipelineWithSplit]]; state lands in a fresh temp directory.
+    * [[pipelineWithSplit]]; state lands in a fresh temp directory. The
+    * state bootstraps WITH the split stage so the single run serves
+    * p06 directly and p05 as its (rep, split)-free projection.
     */
   private val incrementalMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
@@ -453,7 +470,8 @@ object PipelineOps extends QuerySet {
         .toFile.getAbsolutePath
       graft.operators.IncrementalPipeline.bootstrap(dir,
         docs.filter($"doc_id" <= cut), bench,
-        graft.operators.IncrementalPipeline.Params(budget))
+        graft.operators.IncrementalPipeline.Params(budget,
+          split = Some(graft.operators.CorpusPipeline.SplitCfg())))
       val out = graft.operators.IncrementalPipeline.runIncremental(dir,
         docs.filter($"doc_id" > cut), bench)
       graft.operators.Caches.track(out)

@@ -75,6 +75,13 @@ class IncrementalPipelineSpec extends SparkSpec {
       budgetPerStratum = budget, nShards = 64,
       trainValSplit = Some(cfg)).out
     assert(rows(day1) == rows(mono))
+    // the projection identity the p05/p06 shared gate run rests on:
+    // the split stage only annotates, so dropping (rep, split) from
+    // the split-enabled day recovers the split-free day-N output
+    val monoPlain = CorpusPipeline.run(docs, benchPred = bench,
+      budgetPerStratum = budget, nShards = 64).out
+    assert(rows(day1.drop("rep", "split")) == rows(monoPlain),
+      "split-enabled incremental output must project to the split-free output")
   }
 
   private def retroCase(dirTag: String, dropKeysTable: Boolean): Unit = {
