@@ -172,6 +172,21 @@ object IncPipeProbe {
     val (nkBig, invBig, scanBig) = bestRetro(benchDelta(120, 100, "b"))
     val (nkSmall, invSmall, scanSmall) = bestRetro(benchDelta(1, 12, "s"))
 
+    // ---- split-enabled day (the p06 form): the increment over the
+    // plain day is one extra rep extension at the looser threshold
+    // (crossScored/jaccard memos shared) + the annotation join
+    Caches.release()
+    val dirS = java.nio.file.Files.createTempDirectory("incpipe-split")
+      .toFile.getAbsolutePath
+    IncrementalPipeline.bootstrap(dirS, base, bench,
+      IncrementalPipeline.Params(budget,
+        split = Some(graft.operators.CorpusPipeline.SplitCfg())))
+    Caches.release()
+    val (tSplitDay, _) = timed {
+      IncrementalPipeline.runIncremental(dirS, day1, bench)
+        .queryExecution.toRdd.count()
+    }
+
     val json =
       s"""{"metric":"incpipe_probe","sf":"$sfDir","input_rows":$inRows,""" +
       s""""budget_per_stratum":$budget,"iters":2,"best_of":true,""" +
@@ -181,6 +196,7 @@ object IncPipeProbe {
       s""""day_frac":${f2(n1.toDouble / inRows)},""" +
       s""""day1_vs_mono":${f2(d1 / mono)},"day2_vs_mono":${f2(d2 / mono)},""" +
       s""""equal_rows":true,""" +
+      s""""day1_split_sec":${f2(tSplitDay)},""" +
       s""""retro_probe":{"base_rows":$inRows,""" +
       s""""big_add":{"new_keys":$nkBig,"inverted_sec":${f2(invBig)},""" +
       s""""scan_sec":${f2(scanBig)},"speedup":${f2(scanBig / invBig)}},""" +
