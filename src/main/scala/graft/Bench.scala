@@ -150,9 +150,37 @@ object Bench {
       }
       l <= settleTarget
     }
+    // ---- fixed-work sentinel (r16): self-normalizing headline ----------
+    // Three same-code r15 captures spanned 10.97-20.64 s purely on
+    // ambient snapshot-machine load, forcing a manual load-discount
+    // paragraph every round. The sentinel is a CONSTANT-WORK, CPU-bound
+    // aggregate (xxhash64 over 256M longs, one partition per core, no
+    // I/O, no shuffle) timed SOLO before the warm regime, between the
+    // regimes, and after the reset regime. Ambient contention steals
+    // cores from the sentinel exactly as it steals them from the suite,
+    // so value_norm = value * (ref / observed_sentinel) is a
+    // load-discounted total comparable across rounds:
+    //   load doubles everything -> sentinel 2x ref, total 2x true,
+    //   value_norm = 2*true * ref/(2*ref) = true.
+    // ref is the quiet-machine wall (load < 0.5) measured at commit
+    // time; SPARK_GRAFT_SENTINEL_REF overrides. The warm norm uses the
+    // mean of the sentinels bracketing the warm iterations, the reset
+    // norm the pair bracketing the reset iterations — mid-run load
+    // swings land on the regime they actually contaminated.
+    // quiet-machine reference: 5 solo walls measured at loadavg < 2.5 on
+    // the 32-cpu driver box spanned 0.767-0.846 s; 0.80 is the midpoint
+    val sentinelRef = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF", "0.80").toDouble
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 1L << 32, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) as h").collect() // xor: no ANSI overflow
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // untimed JIT/codegen warm-up of the sentinel itself
     val loadBefore = sysLoad()
     val itersReq = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val settledFlags = scala.collection.mutable.ArrayBuffer[Boolean]()
+    val sentPre = sentinel()
     var runs = (1 to itersReq).map { _ => settledFlags += settle(); oneIteration() }
     // In-band headline discipline: r13's official artifact was captured
     // at load 12.87 against the 4.0 band, making its 26 s total
@@ -187,6 +215,7 @@ object Bench {
     // totals stay attributable: reset − warm ≈ the flagship pipeline
     // cost. Scale probes (SPARK_GRAFT_ONLY set) default to 0 reset
     // iterations; SPARK_GRAFT_RESET_ITERS overrides either way.
+    val sentMid = sentinel()
     val resetItersReq = sys.env.getOrElse("SPARK_GRAFT_RESET_ITERS",
       if (only.isDefined) "0" else itersReq.toString).toInt.max(0)
     val resetSettled = scala.collection.mutable.ArrayBuffer[Boolean]()
@@ -195,6 +224,7 @@ object Bench {
       resetSettled += settle()
       oneIteration()
     }
+    val sentPost = if (resetRuns.isEmpty) sentMid else sentinel()
 
     val iters = runs.size
     // `settled` stamps the HEADLINE, so it must describe the iteration
@@ -262,8 +292,24 @@ object Bench {
         }.mkString("[", ",", "]")
         s"\"" + n + "\":" + vals
       }.mkString("{", ",", "}")
+    // sentinel-normalized totals: value_norm (warm) and value_reset_norm
+    // (reset, the PRIMARY cross-round comparator — it prices every plan,
+    // including the flagship pipelines the warm memo pins out). Norm
+    // factors are clamped to <= 1.25 so a suspiciously fast sentinel
+    // (e.g. a turbo burst) can't flatter the total by more than 25%;
+    // there is no lower clamp — heavy ambient load discounts fully.
+    val normWarm = math.min(1.25, sentinelRef / ((sentPre + sentMid) / 2))
+    val normReset = math.min(1.25, sentinelRef / ((sentMid + sentPost) / 2))
+    val valueNorm = total * normWarm
+    val valueResetNorm = if (totalReset < 0) -1.0 else totalReset * normReset
+    val sentinelJson =
+      s"""{"ref":$sentinelRef,"pre":${f"$sentPre%.3f"},"mid":${f"$sentMid%.3f"},""" +
+      s""""post":${f"$sentPost%.3f"},"norm_warm":${f"$normWarm%.3f"},""" +
+      s""""norm_reset":${f"$normReset%.3f"}}"""
     val resetJson =
       s""""value_reset":${f"$totalReset%.3f"},"reset_iters":${resetRuns.size},""" +
+      s""""value_norm":${f"$valueNorm%.3f"},"value_reset_norm":${f"$valueResetNorm%.3f"},""" +
+      s""""primary":"value_reset_norm","sentinel":$sentinelJson,""" +
       s""""reset_walls":$resetWalls,"reset_settled":${resetSettled.mkString("[", ",", "]")}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"materialize":"full_rows",$resetJson,"iter_walls":$iterWalls,"load":$loadJson,"errors":$errs,"queries":$qs,"query_iters":$qIters,"query_iters_reset":$qItersReset}"""
@@ -287,14 +333,16 @@ object Bench {
     // chars for the capped map; total line stays < 1500. Derived from the
     // ACTUAL headline overhead (iter_walls/load/sf lengths vary), not a
     // fixed guess that a long iter list would silently blow past.
-    // the summary carries the reset headline and the three flagship
-    // reset walls (the plans the regime exists to price) — the full
-    // reset per-query spread stays in BENCH_LOCAL.json
+    // the summary carries the reset headline and the four flagship
+    // reset walls (the plans the warm memo pins out — p06 is served by
+    // the same incrementalMemo as p05, so its regression must be
+    // visible here too) — the full reset per-query spread stays in
+    // BENCH_LOCAL.json
     val pipeReset =
       if (resetRuns.isEmpty) "{}"
       else names.filter(_.startsWith("p0")).collect {
         case n if Set("p03_full_pipeline", "p04_pipeline_split",
-                      "p05_incremental_pipeline").contains(n) =>
+                      "p05_incremental_pipeline", "p06_incremental_split").contains(n) =>
           val best = resetRuns.map(_._2(n)).collect { case (v, None) => v }
           s"\"" + n.take(3) + "\":" + (if (best.nonEmpty) f"${best.min}%.2f" else "-1")
       }.mkString("{", ",", "}")

@@ -164,6 +164,35 @@ object RecallProbe {
           m.toDouble)
       }
 
+      // recall-TARGETED serving (r16): the caller states recall, the
+      // index's stored build-time curve picks m (AnnIndex.chooseM).
+      // The row's measured recall vs ground truth is the test of the
+      // curve itself — sampled self-queries at build predicting
+      // held-out queries at serve.
+      val targetRows = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-recall-ix").toString
+        graft.operators.AnnIndex.writeSketch(dir,
+          e.select(col("vec_id"), col("embedding")),
+          sketchDim = 16, dim = 64, curve = true)
+        val meta = graft.operators.AnnIndex.loadSketchMeta(spark, dir)
+        for (t <- Seq(0.8, 0.9)) yield {
+          try {
+            val m = graft.operators.AnnIndex.chooseM(meta, k, t)
+            recallRow(f"sketch16_target${(t * 100).toInt}_m$m",
+              graft.operators.AnnIndex.searchSketchAtRecall(
+                spark, dir, queries, k, t),
+              m.toDouble)
+          } catch {
+            case ex: IllegalArgumentException =>
+              // curve ceiling below the target: refusing IS the contract
+              println(s"[recall] target $t unreachable on $label: ${ex.getMessage}")
+              s"""{"corpus":"$label","variant":"sketch16_target${(t * 100).toInt}",""" +
+              s""""recall_mean":-1,"recall_worst":-1,"cand_frac":-1,"wall_sec":-1}"""
+          }
+        }
+      }
+
       val nCells = if (label.startsWith("clustered")) 32 else 16
       val lshRows = Seq(
         recallRow("lsh_p4_single",
@@ -188,7 +217,7 @@ object RecallProbe {
             nprobe = np, trained = Some(cents)),
           meter(np))
       }
-      sketchRows ++ q8Rows ++ lshRows ++ ivfRows
+      sketchRows ++ q8Rows ++ targetRows ++ lshRows ++ ivfRows
     }
 
     val organic = spark.read.parquet(s"$sfDir/embeddings.parquet")

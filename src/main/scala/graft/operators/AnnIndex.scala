@@ -216,14 +216,23 @@ object AnnIndex {
   // into a quarter-size columnar scan with a bounded exact tail.
   // ------------------------------------------------------------------
 
-  // v2 adds the `sketches_q8` sibling (vec_id, sk: array<tinyint>) —
+  // v2 added the `sketches_q8` sibling (vec_id, sk: array<tinyint>) —
   // the int8-quantized serve knob: pass 1 over q8 reads 1 byte/element
-  // instead of 4 (1/16 of the vector bytes at 16/64). v1 indexes load
-  // fine; searchSketch(quantized = true) requires v2.
-  private val SketchFormatVersion = 2
+  // instead of 4 (1/16 of the vector bytes at 16/64).
+  // v3 (r16) makes q8 OPT-IN (`has_q8` meta column; v2 indexes always
+  // wrote the sibling, so they load as has_q8=true) and adds the
+  // build-time recall-vs-m curve (`curve_m`/`curve_recall` meta
+  // columns, measured by sampled self-queries) that
+  // [[searchSketchAtRecall]] uses to pick m for a target recall
+  // instead of making the caller guess. v1/v2 indexes load fine;
+  // searchSketch(quantized = true) requires the q8 sibling.
+  private val SketchFormatVersion = 3
 
   final case class SketchMeta(sketchDim: Int, dim: Int, seed: Long,
-                              hasQ8: Boolean)
+                              hasQ8: Boolean,
+                              curveM: Seq[Int] = Nil,
+                              curveRecall: Seq[Double] = Nil,
+                              curveK: Int = 0, curveQ: Int = 0)
 
   /** Sketch every corpus vector and persist both tables + meta. The
     * projection matrix is not stored — it is a pure function of
@@ -232,7 +241,9 @@ object AnnIndex {
     * row-identical to the inline operator.
     */
   def writeSketch(path: String, corpus: DataFrame, sketchDim: Int = 16,
-                  dim: Int = 64, seed: Long = 20260814L): Unit = {
+                  dim: Int = 64, seed: Long = 20260814L,
+                  q8: Boolean = false, curve: Boolean = false,
+                  curveK: Int = 10, curveQ: Int = 32): Unit = {
     import graft.expressions.NativeFns.sketch_project
     val spark = corpus.sparkSession
     val r = Similarity.sketchMatrix(dim, sketchDim, seed)
@@ -246,17 +257,110 @@ object AnnIndex {
     spark.read.parquet(s"$path/vectors")
       .select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
       .write.mode("overwrite").parquet(s"$path/sketches")
-    // the int8 sibling derives from the WRITTEN float sketches (same
-    // single-execution discipline as vectors -> sketches): quantization
-    // is a pure per-row function, so a served q8 search is row-identical
-    // to the inline quantize=true operator
+    // the int8 sibling is OPT-IN (r16): a float-only serving path never
+    // reads it, so writing it unconditionally taxed every index build
+    // with a third write action (measured: s07 iter-1 3.68 s vs ~3.0 s).
+    // Callers that serve quantized build it here or later via [[addQ8]];
+    // either way it derives from the WRITTEN float sketches (same
+    // single-execution discipline as vectors -> sketches), so a served
+    // q8 search is row-identical to the inline quantize=true operator.
+    if (q8)
+      spark.read.parquet(s"$path/sketches")
+        .select(col("vec_id"), Similarity.quantizeSketch(col("sk")).as("sk"))
+        .write.mode("overwrite").parquet(s"$path/sketches_q8")
+    val (cm, cr) =
+      if (curve) measureRecallCurve(spark, path, r, curveK, curveQ)
+      else (Nil, Nil)
+    writeSketchMeta(spark, path, sketchDim, dim, seed, hasQ8 = q8,
+      curveM = cm, curveRecall = cr, curveK = if (curve) curveK else 0,
+      curveQ = if (curve) curveQ else 0)
+  }
+
+  private def writeSketchMeta(spark: SparkSession, path: String,
+                              sketchDim: Int, dim: Int, seed: Long,
+                              hasQ8: Boolean, curveM: Seq[Int],
+                              curveRecall: Seq[Double], curveK: Int,
+                              curveQ: Int): Unit = {
+    import spark.implicits._
+    Seq((SketchFormatVersion, sketchDim, dim, seed, hasQ8,
+         curveM, curveRecall, curveK, curveQ))
+      .toDF("version", "sketch_dim", "dim", "seed", "has_q8",
+        "curve_m", "curve_recall", "curve_k", "curve_q")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sketch_meta")
+  }
+
+  /** Build the int8 sibling for an existing sketch index — the explicit
+    * form of what v2's writeSketch did unconditionally. Derives from
+    * the WRITTEN float sketches (quantization is a pure per-row
+    * function), then flips `has_q8` in the meta; every other meta field
+    * (including a measured recall curve) is preserved.
+    */
+  def addQ8(spark: SparkSession, path: String): Unit = {
+    val meta = loadSketchMeta(spark, path)
     spark.read.parquet(s"$path/sketches")
       .select(col("vec_id"), Similarity.quantizeSketch(col("sk")).as("sk"))
       .write.mode("overwrite").parquet(s"$path/sketches_q8")
-    import spark.implicits._
-    Seq((SketchFormatVersion, sketchDim, dim, seed))
-      .toDF("version", "sketch_dim", "dim", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/sketch_meta")
+    writeSketchMeta(spark, path, meta.sketchDim, meta.dim, meta.seed,
+      hasQ8 = true, curveM = meta.curveM, curveRecall = meta.curveRecall,
+      curveK = meta.curveK, curveQ = meta.curveQ)
+  }
+
+  /** Measure recall@`curveK` of the sketch ranking as a function of the
+    * pass-1 survivor count m, by self-querying the WRITTEN index with
+    * `curveQ` deterministically sampled corpus vectors (smallest
+    * xxhash64(vec_id) — stable across runs, no RNG).
+    *
+    * One joined pass computes, per sampled query, BOTH the exact rank
+    * (full-vector cosine — the ranking pass 2 serves) and the sketch
+    * rank (the ranking pass 1 cuts at m); recall(m) is then just the
+    * fraction of exact top-`curveK` rows whose sketch rank is <= m —
+    * the whole curve falls out of ONE `curveQ` x N join and a
+    * `curveQ` x `curveK`-row collect (driver-bounded). The m grid is
+    * FRACTIONS of the corpus (0.2%..50%), because on unstructured
+    * corpora recall tracks the scored fraction almost linearly
+    * (BENCH_ann_recall.json organic rows) — an absolute grid would
+    * top out below any useful target at scale.
+    *
+    * Cost: one full-vector scan of the corpus joined against `curveQ`
+    * broadcast queries, at BUILD time, opt-in. At 100 TB this is the
+    * same order as the sketch-derivation write the build already pays,
+    * and it converts "guess m" into "state a recall target".
+    */
+  private def measureRecallCurve(spark: SparkSession, path: String,
+                                 r: Array[Array[Float]], curveK: Int,
+                                 curveQ: Int): (Seq[Int], Seq[Double]) = {
+    import graft.expressions.NativeFns.sketch_project
+    import org.apache.spark.sql.expressions.Window
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val n = vectors.count()
+    val qs = broadcast(vectors
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(math.min(curveQ, n).toInt)
+      .select(col("vec_id").as("query_id"), col("c_vec").as("q_vec"),
+        sketch_project(col("c_vec"), r).as("q_sk")))
+    val joined = spark.read.parquet(s"$path/sketches")
+      .join(vectors, "vec_id")
+      .join(qs, col("query_id") =!= col("vec_id"))
+    // both rankings use the SAME keys as the serve path: sketch rank =
+    // unrounded sketch cosine desc / vec_id asc (searchSketch wS),
+    // exact rank = 6-dp full cosine desc / vec_id asc (pass-2 w)
+    val wSk = Window.partitionBy(col("query_id"))
+      .orderBy(col("s").desc, col("vec_id").asc)
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ranked = joined
+      .withColumn("s", graft.functions.VecFns.cosine(col("q_sk"), col("sk")))
+      .withColumn("cos", round(graft.functions.VecFns.cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("srk", row_number().over(wSk))
+      .withColumn("erk", row_number().over(wEx))
+      .filter(col("erk") <= curveK)
+      .select(col("srk")).collect().map(_.getInt(0))
+    val total = ranked.length.toDouble
+    val grid = Seq(0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.2, 0.35, 0.5)
+      .map(f => math.max(curveK.toLong, math.ceil(f * n).toLong).min(n).toInt)
+      .distinct.sorted
+    val recalls = grid.map(m => ranked.count(_ <= m) / total)
+    (grid, recalls)
   }
 
   /** [[writeSketch]] to a managed temp dir, once per (corpus plan,
@@ -264,12 +368,13 @@ object AnnIndex {
     * amortization as [[writeOnce]].
     */
   def writeSketchOnce(corpus: DataFrame, sketchDim: Int = 16,
-                      dim: Int = 64, seed: Long = 20260814L): String = {
+                      dim: Int = 64, seed: Long = 20260814L,
+                      q8: Boolean = false, curve: Boolean = false): String = {
     val key = s"sk:${corpus.queryExecution.analyzed.semanticHash()}:" +
-      s"$sketchDim:$dim:$seed"
+      s"$sketchDim:$dim:$seed:$q8:$curve"
     builtDirs.computeIfAbsent(key, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-sk-ix").toString
-      writeSketch(dir, corpus, sketchDim, dim, seed)
+      writeSketch(dir, corpus, sketchDim, dim, seed, q8 = q8, curve = curve)
       dir
     })
   }
@@ -281,8 +386,63 @@ object AnnIndex {
     val v = m(0).getAs[Int]("version")
     require(v >= 1 && v <= SketchFormatVersion,
       s"sketch index at $path: format version $v, expected <= $SketchFormatVersion")
-    SketchMeta(m(0).getAs[Int]("sketch_dim"), m(0).getAs[Int]("dim"),
-      m(0).getAs[Long]("seed"), hasQ8 = v >= 2)
+    // back-compat: v1 never had the sibling; v2 ALWAYS wrote it (hasQ8
+    // follows from the version alone); v3 records both the opt-in q8
+    // flag and the optional recall curve explicitly
+    if (v <= 2)
+      SketchMeta(m(0).getAs[Int]("sketch_dim"), m(0).getAs[Int]("dim"),
+        m(0).getAs[Long]("seed"), hasQ8 = v == 2)
+    else
+      SketchMeta(m(0).getAs[Int]("sketch_dim"), m(0).getAs[Int]("dim"),
+        m(0).getAs[Long]("seed"), hasQ8 = m(0).getAs[Boolean]("has_q8"),
+        curveM = m(0).getSeq[Int](m(0).fieldIndex("curve_m")),
+        curveRecall = m(0).getSeq[Double](m(0).fieldIndex("curve_recall")),
+        curveK = m(0).getAs[Int]("curve_k"),
+        curveQ = m(0).getAs[Int]("curve_q"))
+  }
+
+  /** Pick the pass-1 survivor count m for a target recall@k from the
+    * index's stored build-time curve — the serving dial a caller can
+    * actually state ("I need 0.9 recall") instead of the internal knob
+    * they had to guess (m; organic corpora need ~25% of the corpus for
+    * 0.9 where clustered need ~2% — BENCH_ann_recall.json).
+    *
+    * m = the smallest measured grid point whose recall meets the
+    * target (the curve is monotone in m by construction), scaled by
+    * k/curve_k when the caller's k exceeds the k the curve was
+    * measured at (recall@k at fixed m degrades as k grows — the top-k
+    * tail reaches deeper into the sketch ranking; linear scaling is
+    * the standard conservative correction). A target above the curve's
+    * ceiling fails loudly rather than silently under-serving: the
+    * caller asked for a guarantee this index cannot give (rebuild with
+    * a bigger sketchDim, or search exact).
+    */
+  def chooseM(meta: SketchMeta, k: Int, targetRecall: Double): Int = {
+    require(meta.curveM.nonEmpty,
+      "sketch index has no recall curve — rebuild with writeSketch(curve = true)")
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val curve = meta.curveM.zip(meta.curveRecall)
+    val hit = curve.find(_._2 >= targetRecall).map(_._1).getOrElse {
+      throw new IllegalArgumentException(
+        f"target recall $targetRecall%.2f exceeds this index's measured " +
+        f"ceiling ${curve.map(_._2).max}%.3f (at m=${curve.maxBy(_._2)._1}); " +
+        "rebuild with a larger sketchDim or search exact")
+    }
+    val scaled = if (k > meta.curveK)
+      math.ceil(hit.toDouble * k / meta.curveK).toInt else hit
+    math.max(k, scaled)
+  }
+
+  /** [[searchSketch]] with m chosen from the stored recall curve for
+    * `targetRecall` — see [[chooseM]].
+    */
+  def searchSketchAtRecall(spark: SparkSession, path: String,
+                           queries: DataFrame, k: Int,
+                           targetRecall: Double,
+                           quantized: Boolean = false): DataFrame = {
+    val m = chooseM(loadSketchMeta(spark, path), k, targetRecall)
+    searchSketch(spark, path, queries, k, m, quantized)
   }
 
   /** Sketch-prefilter + exact re-rank against the persisted index —
@@ -297,8 +457,25 @@ object AnnIndex {
     require(m >= k, s"searchSketch: m=$m must be >= k=$k")
     val meta = loadSketchMeta(spark, path)
     require(!quantized || meta.hasQ8,
-      s"sketch index at $path predates the int8 sibling (v1) — rebuild " +
-      "with writeSketch, or search with quantized = false")
+      s"sketch index at $path has no int8 sibling — rebuild with " +
+      "writeSketch(q8 = true) / addQ8, or search with quantized = false")
+    // Completeness gate (ADVICE r15): a crash between the float-sketch
+    // and q8 appends leaves q8 missing rows, and repair only runs on
+    // the NEXT appendSketchVectors — in the interim a quantized pass 1
+    // would silently never see those vectors. A row-count equality
+    // check catches exactly that failure shape (appends only ever add
+    // rows; the siblings march in lockstep or q8 is short), and costs
+    // two parquet footer reads, no data scan. Fail loudly with the
+    // repair path rather than silently under-serving.
+    if (quantized) {
+      val nF = spark.read.parquet(s"$path/sketches").count()
+      val nQ8 = spark.read.parquet(s"$path/sketches_q8").count()
+      require(nF == nQ8,
+        s"sketch index at $path: int8 sibling is incomplete " +
+        s"($nQ8 of $nF rows — a prior append died between the two " +
+        "writes). Run appendSketchVectors (repairs orphans first) or " +
+        "addQ8 to heal, or search with quantized = false")
+    }
     val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
     val q = queries.toDF("query_id", "q_vec")
     val qs = broadcast(q.withColumn("q_sk", sketch_project(col("q_vec"), r))

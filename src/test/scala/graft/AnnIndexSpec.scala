@@ -93,8 +93,9 @@ class AnnIndexSpec extends SparkSpec {
   test("sketch index: served search == inline knnSketchRerank; sketches are ~sketchDim/dim of the vector bytes") {
     val dir = Files.createTempDirectory("graft-sk-ix").toString
     AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64)
+    // q8 is opt-in as of v3: a default build is float-only, no curve
     assert(AnnIndex.loadSketchMeta(spark, dir) ==
-      AnnIndex.SketchMeta(16, 64, 20260814L, hasQ8 = true))
+      AnnIndex.SketchMeta(16, 64, 20260814L, hasQ8 = false))
 
     val q = emb.filter(col("vec_id") < 5)
     val got = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)
@@ -167,7 +168,7 @@ class AnnIndexSpec extends SparkSpec {
 
   test("int8 sketch knob: served q8 == inline quantize=true; scores stay exact cosines; bytes ~1/4 of float sketches") {
     val dir = Files.createTempDirectory("graft-sk-q8").toString
-    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64)
+    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64, q8 = true)
     val q = emb.filter(col("vec_id") < 5)
     // dequantized-scoring parity: the stored int8 sibling serves the
     // same rows as quantizing inline at query time
@@ -202,7 +203,7 @@ class AnnIndexSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-sk-q8").toString
     val base = emb.filter(col("vec_id") % 2 === 0)
     val delta = emb.filter(col("vec_id") % 2 === 1)
-    AnnIndex.writeSketch(dir, base, sketchDim = 16, dim = 64)
+    AnnIndex.writeSketch(dir, base, sketchDim = 16, dim = 64, q8 = true)
     AnnIndex.appendSketchVectors(dir, delta)
     val q = emb.filter(col("vec_id") < 5)
     val got = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40,
@@ -232,6 +233,116 @@ class AnnIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       AnnIndex.loadSketchMeta(spark, dir))
     assert(e.getMessage.contains("format version"))
+  }
+
+  test("addQ8 retrofits the int8 sibling: quantized serves row-identical, meta keeps every other field") {
+    val dir = Files.createTempDirectory("graft-sk-q8").toString
+    // float-only build (the default), then the explicit retrofit
+    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64, curve = true)
+    val pre = AnnIndex.loadSketchMeta(spark, dir)
+    assert(!pre.hasQ8 && pre.curveM.nonEmpty)
+    AnnIndex.addQ8(spark, dir)
+    val post = AnnIndex.loadSketchMeta(spark, dir)
+    assert(post.hasQ8, "addQ8 must flip has_q8")
+    assert(post.curveM == pre.curveM && post.curveRecall == pre.curveRecall,
+      "addQ8 must preserve the stored recall curve")
+    val q = emb.filter(col("vec_id") < 5)
+    val served = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40,
+      quantized = true)
+    val inline = Similarity.knnSketchRerank(q, emb, k = 5, m = 40,
+      sketchDim = 16, dim = 64, quantize = true)
+    assert(rows(served).nonEmpty && rows(served) == rows(inline))
+  }
+
+  test("quantized search refuses an incomplete q8 sibling (torn append) instead of silently under-serving") {
+    val dir = Files.createTempDirectory("graft-sk-q8").toString
+    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64, q8 = true)
+    // simulate the torn append: float sketches grew, the crash hit
+    // before the q8 write — the interim quantized search must refuse
+    spark.read.parquet(s"$dir/sketches").limit(7)
+      .write.mode("append").parquet(s"$dir/sketches")
+    val q = emb.filter(col("vec_id") < 5)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40, quantized = true))
+    assert(e.getMessage.contains("incomplete"))
+    // float search is unaffected by the q8 tear
+    assert(rows(AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40)).nonEmpty)
+    // addQ8 heals (rebuilds the sibling from the float table)...
+    AnnIndex.addQ8(spark, dir)
+    // ...and quantized serving resumes
+    assert(rows(AnnIndex.searchSketch(spark, dir, q, k = 5, m = 40,
+      quantized = true)).nonEmpty)
+  }
+
+  test("recall curve: measured at build, monotone in m, spans corpus fractions") {
+    val dir = Files.createTempDirectory("graft-sk-ix").toString
+    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64, curve = true)
+    val meta = AnnIndex.loadSketchMeta(spark, dir)
+    assert(meta.curveK == 10 && meta.curveQ == 32)
+    assert(meta.curveM.nonEmpty &&
+      meta.curveM == meta.curveM.sorted &&
+      meta.curveM.distinct == meta.curveM)
+    assert(meta.curveM.zip(meta.curveRecall).forall { case (_, r) =>
+      r >= 0.0 && r <= 1.0 })
+    // recall is monotone non-decreasing in m by construction (recall(m)
+    // counts sketch-ranks <= m over a fixed truth set)
+    assert(meta.curveRecall.zip(meta.curveRecall.tail).forall {
+      case (a, b) => b >= a }, s"curve must be monotone: ${meta.curveRecall}")
+    // the grid's top fraction (50% of the corpus) must buy high recall
+    // even on this unstructured fixture
+    assert(meta.curveRecall.last > 0.85,
+      s"recall at m=50% of corpus should be high: ${meta.curveRecall}")
+  }
+
+  test("chooseM pins the m selection arithmetic; unreachable targets fail loudly") {
+    val meta = AnnIndex.SketchMeta(16, 64, 1L, hasQ8 = false,
+      curveM = Seq(10, 50, 100), curveRecall = Seq(0.5, 0.92, 0.99),
+      curveK = 10, curveQ = 32)
+    // smallest measured m meeting the target
+    assert(AnnIndex.chooseM(meta, k = 10, targetRecall = 0.9) == 50)
+    assert(AnnIndex.chooseM(meta, k = 10, targetRecall = 0.95) == 100)
+    // k above curve_k scales m linearly (conservative correction)
+    assert(AnnIndex.chooseM(meta, k = 20, targetRecall = 0.9) == 100)
+    // k below curve_k keeps the measured m (recall@smaller-k >= @curve_k)
+    assert(AnnIndex.chooseM(meta, k = 5, targetRecall = 0.9) == 50)
+    // never below k itself
+    assert(AnnIndex.chooseM(meta, k = 60, targetRecall = 0.5) == 60)
+    // a target above the measured ceiling refuses
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.chooseM(meta, k = 10, targetRecall = 0.999))
+    assert(e.getMessage.contains("ceiling"))
+    // an index built without a curve refuses with the rebuild hint
+    val noCurve = AnnIndex.SketchMeta(16, 64, 1L, hasQ8 = false)
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.chooseM(noCurve, k = 10, targetRecall = 0.9))
+    assert(e2.getMessage.contains("curve"))
+  }
+
+  test("searchSketchAtRecall serves searchSketch at the curve-chosen m and meets the target on held-out queries") {
+    val dir = Files.createTempDirectory("graft-sk-ix").toString
+    AnnIndex.writeSketch(dir, emb, sketchDim = 16, dim = 64, curve = true)
+    val meta = AnnIndex.loadSketchMeta(spark, dir)
+    val target = 0.9
+    val m = AnnIndex.chooseM(meta, k = 10, target)
+    val q = emb.filter(col("vec_id") < 5)
+    val got = AnnIndex.searchSketchAtRecall(spark, dir, q, k = 10,
+      targetRecall = target)
+    assert(rows(got) == rows(AnnIndex.searchSketch(spark, dir, q, k = 10, m)),
+      "searchSketchAtRecall must be exactly searchSketch at chooseM's m")
+    // measured recall on queries NOT in the curve sample direction:
+    // vs brute-force truth, mean recall should be near the target
+    // (curve is a 32-query sample; allow sampling slack)
+    def ids(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (qid, rs) =>
+          qid -> rs.map(_.getLong(1)).toSet }
+    val truth = ids(Similarity.knnBruteForce(q, emb, 10))
+    val gotIds = ids(got)
+    val recalls = truth.map { case (qid, t) =>
+      gotIds.get(qid).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= target - 0.15,
+      f"served recall $mean%.3f too far below target $target (m=$m)")
   }
 
   test("a persisted v1 index still loads: seeding defaults to the exact v1 semantics") {
