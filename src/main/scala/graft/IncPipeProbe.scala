@@ -141,11 +141,57 @@ object IncPipeProbe {
         .select(col("doc_id"), explode(col("sh")).as("_sh"))
         .select(unhex(md5(col("_sh"))).as("_k")).distinct()
         .join(bl, Seq("_k"), "left_anti")
-    def retroWalls(newKeys: DataFrame): (Long, Double, Double) = {
+    // Bytes-read instrumentation (VERDICT r15 #2): the structural claim
+    // is "inverted-path bytes ∝ touched key partitions, scan-path bytes
+    // ∝ base size" — measure it two independent ways per variant:
+    //  - task inputMetrics summed over the job's tasks (what Spark
+    //    actually read, columnar pruning included);
+    //  - the on-disk size of the files the plan CAN touch (the pruned
+    //    _kp directories vs the whole shingles table) — deterministic,
+    //    listener-free.
+    def fsBytes(paths: Seq[org.apache.hadoop.fs.Path]): (Long, Long) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      var (b, f) = (0L, 0L)
+      paths.foreach { p =>
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val s = it.next()
+            if (s.getPath.getName.endsWith(".parquet")) { b += s.getLen; f += 1 }
+          }
+        }
+      }
+      (b, f)
+    }
+    def measured[T](body: => T): (T, Double, Long) = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val (t, r) = { settle(); val t0 = System.nanoTime()
+          val x = body; ((System.nanoTime() - t0) / 1e9, x) }
+        Thread.sleep(1500) // listener bus drain (events are async)
+        (r, t, bytes.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    final case class Retro(nk: Long, invSec: Double, scanSec: Double,
+                           invBytes: Long, scanBytes: Long,
+                           invDirBytes: Long, invFiles: Long,
+                           scanDirBytes: Long, scanFiles: Long)
+    def retroWalls(newKeys: DataFrame): Retro = {
       val nk = newKeys.count()
       val nkB = broadcast(newKeys)
+      // the probe prunes by IncrementalPipeline's OWN partition
+      // function (private[graft]) — a re-derived copy here would
+      // silently read the wrong _kp directories if it ever changed
       val parts = newKeys
-        .select(pmod(xxhash64(col("_k")), lit(64)).as("_kp"))
+        .select(IncrementalPipeline.keyPart(col("_k")).as("_kp"))
         .distinct().collect().map(_.getLong(0))
       val inverted = spark.read.parquet(s"$dir/index/keys")
         .filter(col("_kp").isin(parts.toIndexedSeq: _*))
@@ -159,18 +205,24 @@ object IncPipeProbe {
         .select(col("doc_id"), unhex(md5(col("_sh"))).as("_k"))
         .join(nkB, "_k").distinct()
         .groupBy(col("doc_id")).agg(count(lit(1)).as("_add"))
-      val (ti, _) = timed(inverted.queryExecution.toRdd.count())
-      val (ts, _) = timed(scan.queryExecution.toRdd.count())
-      (nk, ti, ts)
+      val (_, ti, bi) = measured(inverted.queryExecution.toRdd.count())
+      val (_, ts, bs) = measured(scan.queryExecution.toRdd.count())
+      val (dbI, dfI) = fsBytes(parts.toIndexedSeq.map(kp =>
+        new org.apache.hadoop.fs.Path(s"$dir/index/keys/_kp=$kp")))
+      val (dbS, dfS) = fsBytes(Seq(
+        new org.apache.hadoop.fs.Path(s"$dir/index/shingles")))
+      Retro(nk, ti, ts, bi, bs, dbI, dfI, dbS, dfS)
     }
     // best-of-2 per variant (fresh plans each rep; parquet reads are
-    // not memoized, so both walls price real state IO)
-    def bestRetro(delta: DataFrame): (Long, Double, Double) = {
+    // not memoized, so both walls price real state IO). Bytes are
+    // per-run identical (same plan, same files) — keep the first.
+    def bestRetro(delta: DataFrame): Retro = {
       val two = (0 until 2).map(_ => retroWalls(keysOf(delta)))
-      (two.head._1, two.map(_._2).min, two.map(_._3).min)
+      two.head.copy(invSec = two.map(_.invSec).min,
+        scanSec = two.map(_.scanSec).min)
     }
-    val (nkBig, invBig, scanBig) = bestRetro(benchDelta(120, 100, "b"))
-    val (nkSmall, invSmall, scanSmall) = bestRetro(benchDelta(1, 12, "s"))
+    val big = bestRetro(benchDelta(120, 100, "b"))
+    val small = bestRetro(benchDelta(1, 12, "s"))
 
     // ---- split-enabled day (the p06 form): the increment over the
     // plain day is one extra rep extension at the looser threshold
@@ -187,6 +239,15 @@ object IncPipeProbe {
         .queryExecution.toRdd.count()
     }
 
+    def retroJson(tag: String, r: Retro): String =
+      s""""$tag":{"new_keys":${r.nk},"inverted_sec":${f2(r.invSec)},""" +
+      s""""scan_sec":${f2(r.scanSec)},"speedup":${f2(r.scanSec / r.invSec)},""" +
+      s""""inverted_task_bytes":${r.invBytes},"scan_task_bytes":${r.scanBytes},""" +
+      s""""bytes_ratio":${f2(r.scanBytes.toDouble / math.max(1L, r.invBytes))},""" +
+      s""""inverted_pruned_dir_bytes":${r.invDirBytes},""" +
+      s""""inverted_pruned_files":${r.invFiles},""" +
+      s""""scan_table_bytes":${r.scanDirBytes},"scan_files":${r.scanFiles}}"""
+
     val json =
       s"""{"metric":"incpipe_probe","sf":"$sfDir","input_rows":$inRows,""" +
       s""""budget_per_stratum":$budget,"iters":2,"best_of":true,""" +
@@ -198,10 +259,7 @@ object IncPipeProbe {
       s""""equal_rows":true,""" +
       s""""day1_split_sec":${f2(tSplitDay)},""" +
       s""""retro_probe":{"base_rows":$inRows,""" +
-      s""""big_add":{"new_keys":$nkBig,"inverted_sec":${f2(invBig)},""" +
-      s""""scan_sec":${f2(scanBig)},"speedup":${f2(scanBig / invBig)}},""" +
-      s""""small_add":{"new_keys":$nkSmall,"inverted_sec":${f2(invSmall)},""" +
-      s""""scan_sec":${f2(scanSmall)},"speedup":${f2(scanSmall / invSmall)}}},""" +
+      retroJson("big_add", big) + "," + retroJson("small_add", small) + "}," +
       s""""rep_walls":{"mono":[${reps.map(r => f2(r._1)).mkString(",")}],""" +
       s""""bootstrap":[${reps.map(r => f2(r._2)).mkString(",")}],""" +
       s""""day1":[${reps.map(r => f2(r._3)).mkString(",")}],""" +

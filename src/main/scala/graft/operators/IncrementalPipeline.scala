@@ -179,8 +179,11 @@ object IncrementalPipeline {
   // a base-CPU-sized pass even though its output was tiny). Appends
   // ride the day-N commit alongside the other index tables and heal
   // the same way: rows beyond the committed horizon are ignored.
-  private val KeyParts = 64
-  private def keyPart(k: Column): Column = pmod(xxhash64(k), lit(KeyParts))
+  // private[graft]: the retro probe (IncPipeProbe) prunes by the SAME
+  // partition function — a re-derived copy there would silently read
+  // the wrong _kp directories if this ever changed (ADVICE r15)
+  private[graft] val KeyParts = 64
+  private[graft] def keyPart(k: Column): Column = pmod(xxhash64(k), lit(KeyParts))
 
   // Writer task count: a dynamic-partition write pays per-task
   // file-open/commit overhead for every (task, partition) pair it
@@ -259,11 +262,25 @@ object IncrementalPipeline {
     // base-sized shuffle bought for nothing
     val tPlan0 = System.nanoTime()
     val s1 = delta.filter(CorpusPipeline.gopherGate(col("text")))
-    val d2 = Caches.track(Dedup.exactFirst(
+    // LOCAL CHECKPOINT, not cache (r16): d2 is the root of every day
+    // frame, and its lineage reads index/hashes (the exact-dedup
+    // anti-join). A cached d2 forces the hashes append to wait for
+    // every state write (Spark recaches by path on insert — the r15
+    // triple-pay); a checkpointed d2's plan roots at a LogicalRDD,
+    // path-FREE, so no append can ever invalidate the day's caches and
+    // the whole index fan-out overlaps the commit. Two further wins:
+    // the scan listing is frozen at load (appends are invisible to the
+    // captured physical plan even pre-materialization), and every
+    // downstream analyzed tree shallows by the full delta-pipeline
+    // subtree — measured ~1s off the day's driver-side plan
+    // construction alone. Lazy (eager=false): the first spine/append
+    // job to touch it materializes all partitions once.
+    val d2 = Dedup.exactFirst(
         s1.withColumn("_h", md5(col("text")))
           .join(hashes.select(col("_h")), Seq("_h"), "left_anti"),
         Seq(col("_h")), Seq(col("doc_id").asc))
-      .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false)
 
     // -- ONE shingle pass over the delta feeds everything below --
     val shD = Dedup.shingleTable(d2, col("doc_id"), col("text"), p.shingleN)
@@ -308,6 +325,22 @@ object IncrementalPipeline {
     if (debugTiming) System.err.println(
       f"[incpipe] plan_build1    ${(System.nanoTime() - tPlan0) / 1e9}%.2fs")
 
+    // -- per-row pack stats of the WHOLE post-exact delta, materialized
+    //    CONCURRENTLY with the rep extensions below. Stats are per-row
+    //    and drop-independent, so computing them before the drop set is
+    //    known wastes only the dropped fraction — post-exact-dedup days
+    //    are typically a few % near-dup/contam drops (the heavy
+    //    duplicate kill already happened in d2) — and it takes the
+    //    day's heaviest per-row pass (redact + tokenize + quality) off
+    //    the serial chain: it used to run inside packByBudget's eager
+    //    offsets job, strictly AFTER extend_reps (measured ~2.8s of a
+    //    ~10s day at 5k rows). dStats then anti-joins the NARROW stats
+    //    instead of re-deriving them from text.
+    val statsAll = Caches.track(CorpusPipeline.packStats(
+      d2.withColumn("text", Redact.redact(col("text")))))
+    val statsAllF = java.util.concurrent.CompletableFuture.runAsync(
+      () => statsAll.count())
+
     // -- near-dup clusters extended at the drop threshold --
     val repsNew = sect("extend_reps")(Caches.track(
       extendReps(st.reps, crossAt(p.minSim), deltaPairsAt(p.minSim))))
@@ -351,14 +384,20 @@ object IncrementalPipeline {
               .join(broadcast(newKeys), "_k")
               .distinct()
               .groupBy(col("doc_id")).agg(count(lit(1)).as("_add"))
-        Caches.track(st.contam
+        // checkpoint, not cache, for the same reason as d2: this is the
+        // only other day frame whose lineage reads an appended index
+        // path (index/keys — or index/shingles on the legacy fallback);
+        // truncating it makes the keys append safe to overlap the
+        // commit even on retro days
+        st.contam
           .join(probeHits, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             (coalesce(col("n_hits"), lit(0L)) + coalesce(col("_add"), lit(0L)))
-              .as("n_hits")))
+              .as("n_hits"))
+          .localCheckpoint(false)
       }
 
-    // -- delta survivors -> redact -> pack stats --
+    // -- delta survivors: drop rows from the precomputed stats --
     val tPlan1 = System.nanoTime()
     val dDrops = repsNew
       .filter(col("doc_id") > hz && col("doc_id") =!= col("rep"))
@@ -366,9 +405,9 @@ object IncrementalPipeline {
       .unionByName(deltaCounts.filter(col("n_hits") >= p.contamMinHits)
         .select("doc_id"))
       .distinct()
-    val dStats = CorpusPipeline.packStats(
-      d2.join(dDrops, Seq("doc_id"), "left_anti")
-        .withColumn("text", Redact.redact(col("text"))))
+    // row-equal to packStats(d2 anti-join drops): packStats is per-row,
+    // so filtering before or after it is the same set of rows
+    val dStats = statsAll.join(dDrops, Seq("doc_id"), "left_anti")
 
     // -- base survivor retro-drops (cluster merges through a delta
     //    bridge; threshold crossings from new blocklist keys) --
@@ -406,22 +445,30 @@ object IncrementalPipeline {
         crossAt(cfg.minSim), deltaPairsAt(cfg.minSim)))
     }
 
-    // -- commit. Ordering is load-bearing TWICE over:
-    //    1. ONE spine action first: packedNew's lineage covers survNew
-    //       -> retro -> repsNew/baseCounts and dStats -> deltaCounts,
-    //       so a single count() materializes every cached state frame
-    //       in dependency order instead of letting concurrent write
-    //       jobs race to build overlapping uncached lineages.
-    //    2. Version tables BEFORE index appends: Spark recaches by
-    //       path on insert, so appending to index/* INVALIDATES every
-    //       cached frame whose lineage reads the index files — i.e.
-    //       all of them. Appends running first (or concurrently) made
-    //       the version-table writes recompute the whole day from
-    //       parquet (measured: the commit + the caller's first action
-    //       each re-paid ~4 s of a ~12 s day at probe scale).
-    //    Meta stays strictly LAST (the commit point): a version dir
-    //    without meta — like index rows beyond the horizon — is
-    //    invisible, so a crash anywhere in between is torn, not wrong.
+    // -- commit. r15 ordered state writes before index appends because
+    //    Spark recaches by path on insert and every cached day frame
+    //    then read the index files through d2's lineage. r16 removes
+    //    the hazard at the root instead: d2 and baseCounts — the ONLY
+    //    day frames whose lineage touches an appended path — are
+    //    locally checkpointed (plans root at LogicalRDD, path-free),
+    //    and crossScored/candX (the remaining index readers) are dead
+    //    after the EAGER rep extensions above. No live cached lineage
+    //    reads index/*, so ALL index appends fan out as one concurrent
+    //    batch overlapping the spine materialization and the state
+    //    writes. Correctness never depended on the order anyway: every
+    //    index consumer filters to the committed horizon, and scan
+    //    listings are frozen at load — the ordering was purely a
+    //    recompute-cost story. Still load-bearing:
+    //    1. ONE spine action before the state writes: packedNew's
+    //       lineage covers survNew -> retro -> repsNew/baseCounts and
+    //       dStats -> deltaCounts, so a single count() materializes
+    //       every cached state frame in dependency order instead of
+    //       letting concurrent write jobs race to build overlapping
+    //       uncached lineages.
+    //    2. Meta strictly LAST (the commit point): a version dir
+    //       without meta — like index rows beyond the horizon — is
+    //       invisible, so a crash anywhere in between is torn, not
+    //       wrong.
     val vNew = st.ver + 1
     if (debugTiming) System.err.println(
       f"[incpipe] plan_build2    ${(System.nanoTime() - tPlan1) / 1e9}%.2fs")
@@ -433,48 +480,33 @@ object IncrementalPipeline {
       val kp = new org.apache.hadoop.fs.Path(s"$dir/index/keys")
       kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp)
     }
-    // EARLY appends: which index tables can append while the spine /
-    // state writes still read caches? An append invalidates exactly the
-    // cached plans whose lineage reads the appended path — after the
-    // rep extensions above, crossScored/candX (the only readers of
-    // index/bands, and of index/shingles when the keys path is active)
-    // are DEAD, so those two appends overlap the whole commit for free.
-    // The keys append joins them only when no retro probe will read
-    // index/keys this day (nNewKeys == 0 — the fixed-benchmark common
-    // case); index/hashes ALWAYS waits for the end (d2's exact-dedup
-    // anti-join reads it from every still-live lineage).
-    val keysEarly = haveKeys && nNewKeys == 0
     val early = java.util.concurrent.CompletableFuture.runAsync(() =>
       runAll(Seq(
-        () => sect("  app_bands")(ixNew.bands.write.mode("append").parquet(s"$dir/index/bands"))) ++
+        () => sect("  app_bands")(ixNew.bands.write.mode("append").parquet(s"$dir/index/bands")),
+        () => sect("  app_shingles")(ixNew.shingles.write.mode("append").parquet(s"$dir/index/shingles")),
+        () => sect("  app_hashes")(ixNew.hashes.write.mode("append").parquet(s"$dir/index/hashes"))) ++
         (if (haveKeys) Seq(
-          () => sect("  app_shingles")(ixNew.shingles.write.mode("append").parquet(s"$dir/index/shingles")))
-         else Nil) ++
-        (if (keysEarly) Seq(
           () => sect("  app_keys")(writeKeys(dir, keyedD, "append")))
          else Nil)))
-    sect("materialize") {
-      packedNew.count()
-      repsSplitNew.foreach(_.count())
+    // If materialize/state_write throws, the `early` append jobs must
+    // NOT be left running while the caller unwinds: a retry of
+    // runIncremental would race the orphan's appends to the same index
+    // dirs (FileOutputCommitter _temporary collisions) — the
+    // single-writer contract broken from inside the pipeline (ADVICE
+    // r15). Await it before propagating; its own error is secondary.
+    try {
+      sect("materialize") {
+        packedNew.count()
+        repsSplitNew.foreach(_.count())
+      }
+      sect("state_write")(writeTables(dir, vNew, repsNew, repsSplitNew,
+        baseCounts.unionByName(deltaCounts), fullBl, survNew, packedNew))
+    } catch {
+      case e: Throwable =>
+        try early.get() catch { case _: Throwable => }
+        throw e
     }
-    sect("state_write")(writeTables(dir, vNew, repsNew, repsSplitNew,
-      baseCounts.unionByName(deltaCounts), fullBl, survNew, packedNew))
-    // hashes append LAST and alone: d2's lineage reads index/hashes
-    // (the exact-dedup anti-join), so appending hashes first would
-    // invalidate the cached d2 and make the bands/shingles/keys appends
-    // recompute the delta from parquet mid-fan-out (the same
-    // recache-by-path trap as the state_write ordering above)
-    sect("index_append") {
-      early.get()
-      runAll(
-        (if (!haveKeys) Seq(
-          () => sect("  app_shingles")(ixNew.shingles.write.mode("append").parquet(s"$dir/index/shingles")))
-         else Nil) ++
-        (if (haveKeys && !keysEarly) Seq(
-          () => sect("  app_keys")(writeKeys(dir, keyedD, "append")))
-         else Nil))
-      sect("  app_hashes")(ixNew.hashes.write.mode("append").parquet(s"$dir/index/hashes"))
-    }
+    sect("index_append")(early.get())
     sect("meta_commit")(commitMeta(spark, dir, vNew, idr.getLong(1), p))
 
     // -- the returned output re-roots on the JUST-COMMITTED state: its

@@ -155,6 +155,56 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(!d1.contains(1011L), "exact dup of a base doc must drop against the index")
   }
 
+  test("commit path-freedom pin: the returned output scans ONLY v<N> paths, and later index appends cannot change it") {
+    // The r16 commit overlaps ALL index appends with the state writes.
+    // That is only safe while two structural invariants hold; this test
+    // pins them against refactors:
+    //  1. the returned output re-roots on the committed v<N> tables —
+    //     its physical plan must contain no index/* (or input-delta)
+    //     scan, so an index append can never invalidate or recompute it;
+    //  2. rows already returned stay byte-identical even if the index
+    //     dirs grow afterwards (torn-append healing relies on exactly
+    //     this: beyond-horizon rows are invisible).
+    val docs = docsAll
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val budget = budgetOf(docs)
+    val dir = tmpDir("incpipe-pathfree").toString
+    IncrementalPipeline.bootstrap(dir, docs.filter(col("doc_id") <= mx * 3 / 5),
+      bench, Params(budget))
+    val day = IncrementalPipeline.runIncremental(dir,
+      docs.filter(col("doc_id") > mx * 3 / 5), bench)
+    val before = rows(day)
+    // 1. every file scan in the returned plan lives under v<N>
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // collect() stops at AQE boundaries (AdaptiveSparkPlanExec and
+    // QueryStageExec expose their inner plan via fields, not children)
+    // — recurse through them explicitly or the traversal sees nothing
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      val here = p.collect {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(s.plan)
+      }.flatten
+      here ++ nested
+    }
+    val roots = scansOf(day.queryExecution.executedPlan)
+    assert(roots.nonEmpty, "output must read the committed state")
+    assert(roots.forall(_.matches(s".*/v\\d+/.*")),
+      s"output must scan only v<N> paths, got: $roots")
+    // 2. an out-of-band index append (simulating day N+1's overlap or a
+    // torn retry) leaves the already-returned frame untouched
+    spark.read.parquet(s"$dir/index/hashes").limit(3)
+      .withColumn("base_id", col("base_id") + 1000000L)
+      .write.mode("append").parquet(s"$dir/index/hashes")
+    assert(rows(day) == before,
+      "index appends must not be able to change a returned output")
+  }
+
   test("retro paths: a delta bridge merges base clusters; delta bench keys retro-contaminate") {
     retroCase("incpipe-retro", dropKeysTable = false)
   }
