@@ -67,6 +67,40 @@ object IncPipeProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // SPARK_GRAFT_INCPIPE_DAYONLY=1: skip mono/retro/split — bootstrap
+    // + two timed days only, no artifact write (day-floor iteration
+    // loop; the full probe is the artifact of record)
+    if (sys.env.get("SPARK_GRAFT_INCPIPE_DAYONLY").contains("1")) {
+      // per-job walls: which driver actions the day actually pays
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            t0.put(j.jobId, System.nanoTime())
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val w = (System.nanoTime() - t0.getOrDefault(j.jobId, System.nanoTime())) / 1e9
+            if (w > 0.15) System.err.println(f"[job] ${j.jobId}%4d ${w}%6.2fs")
+          }
+        })
+      val dir = java.nio.file.Files.createTempDirectory("incpipe-dayonly")
+        .toFile.getAbsolutePath
+      IncrementalPipeline.bootstrap(dir, base, bench,
+        IncrementalPipeline.Params(budget))
+      Caches.release()
+      val (t1, _) = timed {
+        IncrementalPipeline.runIncremental(dir, day1, bench)
+          .queryExecution.toRdd.count()
+      }
+      Caches.release()
+      val (t2, _) = timed {
+        IncrementalPipeline.runIncremental(dir, day2, bench)
+          .queryExecution.toRdd.count()
+      }
+      println(f"[dayonly] day1 $t1%.2fs day2 $t2%.2fs")
+      spark.stop()
+      return
+    }
+
     var monoRows = Set.empty[Seq[Any]]
     def oneRep(i: Int): (Double, Double, Double, Double, Boolean) = {
       Caches.release()

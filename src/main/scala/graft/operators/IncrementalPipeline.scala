@@ -341,30 +341,24 @@ object IncrementalPipeline {
     val statsAllF = java.util.concurrent.CompletableFuture.runAsync(
       () => statsAll.count())
 
-    // -- near-dup clusters extended at the drop threshold --
-    val repsNew = sect("extend_reps")(Caches.track(
-      extendReps(st.reps, crossAt(p.minSim), deltaPairsAt(p.minSim))))
-
-    // -- decontamination: delta probes the full blocklist; base docs
-    //    are re-scored against NEW keys only (skipped when none) --
-    val keyHist = sect("new_keys")(newKeyPartsF.get())
-    val nNewKeys = keyHist.map(_.getLong(1)).sum
-    val fullBl = st.blocklist.unionByName(newKeys)
-    val deltaCounts = Caches.track(keyedD.filter(!benchPred)
-      .join(broadcast(fullBl), "_k")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")))
-    // base retro probe: hits of BASE docs against the NEW blocklist
-    // keys only (skipped entirely when the delta adds no bench
-    // content). Primary path: the persisted inverted `index/keys`
-    // table — partition-pruned to the directories the new keys hash
-    // into, broadcast-joined, distinct-ed (torn-append duplicates
-    // below the horizon must count once). Legacy fallback (a pre-keys
-    // state dir): re-derive keys by exploding the index's shingle
-    // arrays — base-CPU-sized, kept only so old state loads; the spec
-    // pins both paths to the same monolithic output.
-    val baseCounts =
-      if (nNewKeys == 0) st.contam
-      else sect("retro_plan") {
+    // -- decontamination retro chain, fully ASYNC: key histogram ->
+    //    base-doc re-score against NEW keys — it depends only on keyedD
+    //    and the persisted state, never on the rep extensions, so the
+    //    whole chain (including the checkpoint's stage execution)
+    //    overlaps extend_reps' collect below. Skipped (st.contam
+    //    passthrough) when the delta adds no bench content.
+    //    Primary path: the persisted inverted `index/keys` table —
+    //    partition-pruned to the directories the new keys hash into,
+    //    broadcast-joined, distinct-ed (torn-append duplicates below
+    //    the horizon must count once). Legacy fallback (a pre-keys
+    //    state dir): re-derive keys by exploding the index's shingle
+    //    arrays — base-CPU-sized, kept only so old state loads; the
+    //    spec pins both paths to the same monolithic output.
+    val baseCountsF = java.util.concurrent.CompletableFuture.supplyAsync(() => {
+      val keyHist = newKeyPartsF.get()
+      val nNewKeys = keyHist.map(_.getLong(1)).sum
+      if (nNewKeys == 0) (st.contam, nNewKeys)
+      else {
         val keysPath = new org.apache.hadoop.fs.Path(s"$dir/index/keys")
         val fsK = keysPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val probeHits =
@@ -388,35 +382,59 @@ object IncrementalPipeline {
         // only other day frame whose lineage reads an appended index
         // path (index/keys — or index/shingles on the legacy fallback);
         // truncating it makes the keys append safe to overlap the
-        // commit even on retro days
-        st.contam
+        // commit even on retro days. (AQE runs the non-result stages
+        // inside this call — which is exactly why it lives on this
+        // future instead of the serial chain.)
+        (st.contam
           .join(probeHits, Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             (coalesce(col("n_hits"), lit(0L)) + coalesce(col("_add"), lit(0L)))
               .as("n_hits"))
-          .localCheckpoint(false)
+          .localCheckpoint(false), nNewKeys)
       }
+    })
+    val fullBl = st.blocklist.unionByName(newKeys)
+    val deltaCounts = Caches.track(keyedD.filter(!benchPred)
+      .join(broadcast(fullBl), "_k")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")))
+
+    // -- near-dup clusters extended at the drop threshold --
+    val repsNew = sect("extend_reps")(Caches.track(
+      extendReps(st.reps, crossAt(p.minSim), deltaPairsAt(p.minSim))))
+
+    val baseCounts = sect("retro_join")(baseCountsF.get()._1)
+    // warm the two caches at the BOTTOM of the spine's dependency chain
+    // while the driver is still building plans and launching the append
+    // fan-out — their stages are first on the spine's critical path,
+    // and they depend on nothing the spine hasn't already produced.
+    // Errors are swallowed: the spine recomputes and surfaces them.
+    val warmF = java.util.concurrent.CompletableFuture.runAsync(() =>
+      try { deltaCounts.count(); repsNew.count() }
+      catch { case _: Throwable => })
 
     // -- delta survivors: drop rows from the precomputed stats --
     val tPlan1 = System.nanoTime()
+    // no distinct: dDrops only ever feeds anti-joins, which are
+    // set-semantics regardless of right-side duplicates — the distinct
+    // was one more AQE stage round-trip on the day's critical path
     val dDrops = repsNew
       .filter(col("doc_id") > hz && col("doc_id") =!= col("rep"))
       .select("doc_id")
       .unionByName(deltaCounts.filter(col("n_hits") >= p.contamMinHits)
         .select("doc_id"))
-      .distinct()
     // row-equal to packStats(d2 anti-join drops): packStats is per-row,
     // so filtering before or after it is the same set of rows
     val dStats = statsAll.join(dDrops, Seq("doc_id"), "left_anti")
 
     // -- base survivor retro-drops (cluster merges through a delta
     //    bridge; threshold crossings from new blocklist keys) --
+    // same no-distinct argument: retro feeds one anti-join and one
+    // semi-join, both duplicate-tolerant
     val retro = repsNew
       .filter(col("doc_id") <= hz && col("doc_id") =!= col("rep"))
       .select("doc_id")
       .unionByName(baseCounts.filter(col("n_hits") >= p.contamMinHits)
         .select("doc_id"))
-      .distinct()
     val baseSurv = st.survivors.join(retro, Seq("doc_id"), "left_anti")
     val survNew = Caches.track(baseSurv.unionByName(dStats))
 
@@ -432,11 +450,11 @@ object IncrementalPipeline {
       st.packed.join(broadcast(affStrata), Seq("stratum"), "left_anti")
         .select(col("doc_id"), col("stratum"), col("n_tok"))
         .unionByName(
-          Curation.packByBudget(
+          sect("  pack_offsets")(Curation.packByBudget(
               survNew.join(broadcast(affStrata), Seq("stratum"), "left_semi"),
               col("stratum"), col("quality"), Seq(col("doc_id").asc),
               col("n_tok"), p.budgetPerStratum,
-              qualityBounds = Some((0.0, 1.0)))
+              qualityBounds = Some((0.0, 1.0))))
             .select(col("doc_id"), col("stratum"), col("n_tok"))))
 
     // -- split-stage rep extension (when configured) --
@@ -495,6 +513,13 @@ object IncrementalPipeline {
     // single-writer contract broken from inside the pipeline (ADVICE
     // r15). Await it before propagating; its own error is secondary.
     try {
+      // ONE spine action before the state writes: packedNew's lineage
+      // covers survNew -> retro -> repsNew/baseCounts and dStats ->
+      // deltaCounts, so a single count() materializes every cached
+      // state frame in dependency order. (Measured both ways at 5k
+      // rows: fusing the spine into the six concurrent writes convoys
+      // them on block locks over the deep cold chains — day-1 walls
+      // 15-17s vs ~10s with the spine. The spine stays.)
       sect("materialize") {
         packedNew.count()
         repsSplitNew.foreach(_.count())

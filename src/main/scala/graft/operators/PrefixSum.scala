@@ -118,20 +118,38 @@ private[graft] object PrefixSum {
       else coalesce(graft.expressions.NativeFns.range_bucket(c, bounds),
         lit(if (nullsLast) bounds.length else 0))
 
-    // exclusive per-group offsets over the tiny totals table; the EAGER
-    // localCheckpoint materializes it while `narrow` is still cached and
-    // pins the result, so phase 3's execution re-reads a few hundred
-    // checkpointed rows, not the totals aggregation
+    // exclusive per-group offsets over the tiny totals table, pinned by
+    // localCheckpoint so phase 3's execution re-reads a few hundred
+    // checkpointed rows, not the totals aggregation.
+    //  - quantile path (`cached`): EAGER — it must materialize while
+    //    `narrow` is still persisted (approxQuantile already built that
+    //    cache; lazy would recompute the projection after the unpersist
+    //    below).
+    //  - static-bounds path: NO checkpoint — nothing is cached to
+    //    protect, and ANY localCheckpoint here (even eager=false: AQE's
+    //    toRdd runs every non-result stage) was a pure serialization
+    //    barrier — the offsets aggregation ran as its own job strictly
+    //    before the caller could finish building its plan. Uncheck-
+    //    pointed, the offsets subtree folds into the caller's first
+    //    action as ONE DAG whose scheduler overlaps it with the other
+    //    independent stages (measured: ~2.5s off the incremental
+    //    pipeline's day floor at 5k rows). A caller that materializes
+    //    the result repeatedly without caching re-runs the subtree —
+    //    standard lazy-plan semantics.
     val wOff = Window.partitionBy(col("_st")).orderBy(col("_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = narrow.withColumn("_bucket", bucketOf(col("_ord")))
+    val offsetsRaw = narrow.withColumn("_bucket", bucketOf(col("_ord")))
       .groupBy(col("_st"), col("_bucket"))
       .agg(sum(col("_val")).as("_total"))
       .withColumn("_offset", coalesce(sum(col("_total")).over(wOff), lit(0L)))
       .select(col("_st").as("_off_st"), col("_bucket").as("_off_bucket"),
         col("_offset"))
-      .localCheckpoint()
-    if (cached) narrow.unpersist(false)
+    val offsets =
+      if (cached) {
+        val c = offsetsRaw.localCheckpoint()
+        narrow.unpersist(false)
+        c
+      } else offsetsRaw
 
     // Phase 3 (lazy, computed when the caller materializes): ONE fresh
     // pass over the full source — bucket, broadcast-join the offset,
