@@ -329,13 +329,29 @@ object AnnIndex {
   private def measureRecallCurve(spark: SparkSession, path: String,
                                  r: Array[Array[Float]], curveK: Int,
                                  curveQ: Int): (Seq[Int], Seq[Double]) = {
+    val n = spark.read.parquet(s"$path/vectors").count()
+    val grid = Seq(0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.2, 0.35, 0.5)
+      .map(f => math.max(curveK.toLong, math.ceil(f * n).toLong).min(n).toInt)
+      .distinct.sorted
+    (grid, recallAt(spark, path, r, curveK, curveQ, grid))
+  }
+
+  /** recall@`kEval` of the sketch ranking at each m in `grid`, by
+    * self-querying the CURRENT on-disk tables with `nQ` deterministic
+    * sample vectors — the shared kernel of the build-time curve and
+    * the serve-time drift check. One |Q| x N join, one |Q| x kEval
+    * collect.
+    */
+  private def recallAt(spark: SparkSession, path: String,
+                       r: Array[Array[Float]], kEval: Int, nQ: Int,
+                       grid: Seq[Int]): Seq[Double] = {
     import graft.expressions.NativeFns.sketch_project
     import org.apache.spark.sql.expressions.Window
     val vectors = spark.read.parquet(s"$path/vectors")
     val n = vectors.count()
     val qs = broadcast(vectors
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(math.min(curveQ, n).toInt)
+      .limit(math.min(nQ.toLong, n).toInt)
       .select(col("vec_id").as("query_id"), col("c_vec").as("q_vec"),
         sketch_project(col("c_vec"), r).as("q_sk")))
     val joined = spark.read.parquet(s"$path/sketches")
@@ -353,14 +369,57 @@ object AnnIndex {
       .withColumn("cos", round(graft.functions.VecFns.cosine(col("q_vec"), col("c_vec")), 6))
       .withColumn("srk", row_number().over(wSk))
       .withColumn("erk", row_number().over(wEx))
-      .filter(col("erk") <= curveK)
+      .filter(col("erk") <= kEval)
       .select(col("srk")).collect().map(_.getInt(0))
     val total = ranked.length.toDouble
-    val grid = Seq(0.002, 0.005, 0.01, 0.02, 0.05, 0.1, 0.2, 0.35, 0.5)
-      .map(f => math.max(curveK.toLong, math.ceil(f * n).toLong).min(n).toInt)
-      .distinct.sorted
-    val recalls = grid.map(m => ranked.count(_ <= m) / total)
-    (grid, recalls)
+    grid.map(m => ranked.count(_ <= m) / total)
+  }
+
+  /** One drift row: recall the stored curve promised at m vs what the
+    * CURRENT corpus delivers.
+    */
+  final case class Drift(m: Int, stored: Double, current: Double) {
+    def delta: Double = current - stored
+  }
+
+  /** Re-measure the stored curve's grid against the CURRENT on-disk
+    * tables — the serve-side staleness check the build-time curve
+    * needs to stay trustworthy. Appends grow N while the stored m
+    * values are ABSOLUTE rows, so the fraction each m buys shrinks and
+    * recall at a stored grid point decays monotonically with growth;
+    * the curve never updates itself (appendSketchVectors is delta-only
+    * by design). Cost: the same one-pass |Q| x N self-query as the
+    * build-time measurement — a maintenance action, not a serve-path
+    * one.
+    */
+  def measureDrift(spark: SparkSession, path: String): Seq[Drift] = {
+    val meta = loadSketchMeta(spark, path)
+    require(meta.curveM.nonEmpty,
+      "sketch index has no recall curve — rebuild with writeSketch(curve = true)")
+    val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
+    val cur = recallAt(spark, path, r, meta.curveK, meta.curveQ, meta.curveM)
+    meta.curveM.lazyZip(meta.curveRecall).lazyZip(cur).map(Drift.apply)
+  }
+
+  /** Retrain signal: does the m [[chooseM]] would serve for
+    * (k, targetRecall) still deliver the target on the CURRENT corpus,
+    * within `slack`? False = keep serving; true = the stored curve has
+    * drifted past its promise (typically after heavy appends) —
+    * rebuild with writeSketch(curve = true) to re-measure. The serve
+    * path itself stays curve-driven and cheap; this check is the
+    * explicit maintenance hook.
+    */
+  def needsRetrain(spark: SparkSession, path: String, k: Int,
+                   targetRecall: Double, slack: Double = 0.05): Boolean = {
+    val meta = loadSketchMeta(spark, path)
+    val m = chooseM(meta, k, targetRecall)
+    // drift at the serving m: smallest stored grid point >= m (the
+    // curve is measured only at grid points; m may be k/curveK-scaled
+    // above them, in which case the largest grid point is the floor
+    // of what serving delivers)
+    val drift = measureDrift(spark, path)
+    val at = drift.find(_.m >= m).getOrElse(drift.last)
+    at.current < targetRecall - slack
   }
 
   /** [[writeSketch]] to a managed temp dir, once per (corpus plan,
