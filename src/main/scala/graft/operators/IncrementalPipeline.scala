@@ -724,6 +724,27 @@ object IncrementalPipeline {
     }
   }
 
+  /** The committed id horizon at `dir`, or None when no bootstrap has
+    * committed yet — the public probe [[graft.streaming.CurationStream]]
+    * uses to make micro-batch replays idempotent (a replayed batch's
+    * ids are at or below the horizon; filtering them out turns the
+    * replay into runIncremental's no-op re-emit path instead of a
+    * horizon violation).
+    */
+  def committedHorizon(spark: SparkSession, dir: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val vers = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).sorted.reverse
+    vers.find { n =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$n/meta/_SUCCESS"))
+    }.map { n =>
+      spark.read.parquet(s"$dir/v$n/meta").collect()(0).getAs[Long]("max_id")
+    }
+  }
+
   private def loadState(spark: SparkSession, dir: String): State = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
