@@ -73,10 +73,23 @@ object CurationStream {
       case None =>
         IncrementalPipeline.bootstrap(stateDir, batch, benchPred, params)
       case Some(hz) =>
-        // ids at or below the horizon are already curated — on the
-        // normal path the filter passes everything through; on a
-        // crash-after-state-commit replay it empties the delta and
-        // runIncremental re-emits the committed output (no-op day)
+        // ids at or below the horizon are already curated. The three
+        // shapes a batch can take are distinguishable and only one may
+        // filter silently:
+        //  - ALL ids above hz: the normal day — pass through;
+        //  - ALL ids at/below hz: the crash-after-state-commit replay —
+        //    the filter empties the delta and runIncremental re-emits
+        //    the committed output (no-op day);
+        //  - MIXED: not a replay (a replayed batch was committed whole)
+        //    but a source violating the append-only id discipline —
+        //    silently dropping its old-id rows would be data loss, so
+        //    it fails loudly instead (one agg over the batch).
+        val mm = batch.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+        require(mm.isNullAt(0) || mm.getLong(0) > hz || mm.getLong(1) <= hz,
+          s"curation stream batch $batchId mixes ids at/below the " +
+          s"committed horizon $hz (${mm.getLong(0)}..${mm.getLong(1)}) " +
+          "with new ids — not a replay, but an append-only id " +
+          "discipline violation; re-key the source")
         IncrementalPipeline.runIncremental(stateDir,
           batch.filter(col("doc_id") > hz), benchPred)
     }

@@ -94,6 +94,15 @@ class CurationStreamSpec extends SparkSpec {
       assert(new java.io.File(s"$stateDir/commits/1").exists())
       assert(IncrementalPipeline.committedHorizon(spark, stateDir)
         .contains(mx), "replay must not advance the horizon")
+      // a MIXED batch (old + new ids) is not a replay — it is an
+      // append-only id-discipline violation and must refuse loudly
+      // instead of silently dropping the old-id rows
+      val mixed = Seq((cut, "old id reused text"),
+                      (mx + 10, "genuinely new text row")).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException](
+        CurationStream.processBatch(mixed, stateDir, outDir, bench,
+          params, 2L))
+      assert(e.getMessage.contains("discipline"))
     } finally q.stop()
   }
 }
