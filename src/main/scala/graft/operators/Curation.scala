@@ -132,4 +132,73 @@ object Curation {
         .cast("long") < trainBuckets, "train")
       .otherwise("val")
   }
+
+  /** Temperature-resampled training mix (the mT5/XLM-R multilingual
+    * sampling rule): per-stratum document targets proportional to
+    * `p^alpha` where `p` is the stratum's corpus share — `alpha < 1`
+    * flattens the mix (upsamples the tail strata, downsamples the
+    * head), `alpha = 1` is proportional, `alpha = 0` uniform. Each
+    * stratum then contributes its `target` lowest-`md5(id)` documents
+    * (the t10 deterministic-sampling recipe), so the selection is a
+    * pure function of the corpus — no RNG, both engines replay it.
+    * Returns the SELECTED rows: (id, stratum, n_stratum, target).
+    *
+    * Determinism across engines: the renormalizer sums the per-stratum
+    * weights as DECIMAL(10,6) — decimal addition is exact and
+    * order-independent, so partition order cannot perturb `target`
+    * through a float-sum ulp; the only doubles are `pow` (rounded to
+    * 6dp before the decimal cast, the house convention) and the final
+    * `round(budget * w / norm)` whose inputs are bit-identical decimal
+    * casts on both engines.
+    *
+    * Scale shape: one tiny per-stratum count aggregate (|strata| rows,
+    * broadcast back) + ONE corpus pass through
+    * [[PrefixSum.runningTotal]] over a static uniform grid on the hash
+    * prefix — per-stratum rank without any single-stratum serial sort,
+    * so a 90%-English web corpus fans its rank across `buckets` tasks
+    * exactly like [[packByBudget]]'s hot stratum.
+    */
+  def temperatureMix(docs: DataFrame, stratumCol: Column, idCol: Column,
+                     alpha: Double, budget: Long,
+                     buckets: Int = 0): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs.select(stratumCol.as("stratum"), idCol.as("id"))
+    // per-stratum counts -> exact-decimal renormalized p^alpha targets;
+    // the counts table is |strata|-sized, so the full-frame windows
+    // below shuffle a handful of rows, never the corpus
+    val wAll = Window.partitionBy()
+    val targets = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("_tot", sum(col("n_stratum")).over(wAll))
+      .withColumn("_w", round(
+        pow(col("n_stratum").cast("double") / col("_tot").cast("double"),
+          alpha), 6).cast(DecimalType(10, 6)))
+      .withColumn("_norm", sum(col("_w")).over(wAll))
+      .select(col("stratum").as("_t_st"), col("n_stratum"),
+        greatest(lit(1L),
+          round(lit(budget.toDouble) * col("_w").cast("double")
+            / col("_norm").cast("double")).cast("long")).as("target"))
+    // per-stratum rank in (md5(id), id) order via the distributed
+    // prefix sum (value 1 = document count), then cut at the target
+    val hashed = base.withColumn("_h", md5(col("id").cast("string")))
+    val ranked = PrefixSum.runningTotal(hashed,
+      groupCol = col("stratum"),
+      // numeric image of the hash's first 8 hex chars: monotone with
+      // the full-hash lexicographic order (fixed-length lowercase hex),
+      // uniform on [0, 2^32) so the static grid needs no quantile pass
+      ordKey = conv(substring(col("_h"), 1, 8), 16, 10).cast("double"),
+      orderCols = Seq(col("_h").asc, col("id").asc),
+      valueCol = lit(1L),
+      buckets = buckets,
+      inclusive = true,
+      nullsLast = true,
+      outCol = "_rk",
+      ordBounds = Some((0.0, 4294967296.0)))
+    ranked.join(broadcast(targets), col("stratum") <=> col("_t_st"))
+      .filter(col("_rk") <= col("target"))
+      .select(col("id"), col("stratum"), col("n_stratum"), col("target"))
+  }
 }

@@ -581,4 +581,49 @@ object Dedup {
         graft.expressions.ScoredPairs(col("_ra"), col("_rb"),
           col("_lo") === col("_hi"), minCos).as(Seq("id_a", "id_b", "cos")))
   }
+
+  /** SemDeDup (semantic deduplication, Abbas et al. 2023 — reference
+    * has no embedding-space dedup; this is the north-star §2.11
+    * extension): cluster the embedding space with the deterministic
+    * k-means of [[Similarity.trainIvfCentroids]], score cosine pairs
+    * only WITHIN each cell, connect the τ-similar pairs into
+    * components, and keep one representative (the minimum id) per
+    * component. Returns one row per input vector:
+    * (vec_id, cell, rep, kept).
+    *
+    * Scale shape — each stage is an already-probed kernel:
+    *  - centroid training: `iters` passes, map-side VectorAvg buffers
+    *    (one (dim+1)-double buffer per (cell, partition) on the
+    *    shuffle), k x dim doubles on the driver;
+    *  - pair scoring: [[embeddingPairs]] — cellCap-blocked triangle
+    *    join, never all-pairs; the kmeans cell bounds candidates the
+    *    same way SemDeDup's paper formulation does (pairs only inside
+    *    a cluster), so pair cost is Σ|cell|²/cellCap, not N²;
+    *  - components: [[clusters]] — basin contraction + logarithmic
+    *    pointer jumping, edge-linear rounds.
+    * A 100x corpus grows the pair stage with Σ|cell|² — the nCells
+    * dial (≈ sqrt(N) cells in production) keeps cells bounded, exactly
+    * the trade the IVF index already measures in BENCH_ann_recall.
+    */
+  def semDedup(emb: DataFrame, idCol: Column, vecCol: Column,
+               nCells: Int, iters: Int, dim: Int, tau: Double,
+               seedMode: String = "kcenter",
+               cellCap: Int = 1024): DataFrame = {
+    val base = emb.select(idCol.as("vec_id"), vecCol.as("v"))
+    val cents = Similarity.trainIvfCentroids(
+      base, nCells, iters, dim, seedMode)
+    val assigned = base.withColumn("cell",
+      graft.expressions.NativeFns.nearest_centroid(col("v"), cents))
+    val pairs = embeddingPairs(assigned, col("vec_id"), col("v"),
+      col("cell"), minCos = tau, cellCap = cellCap)
+    val comps = clusters(pairs, col("id_a"), col("id_b"))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"))
+    // vectors touching no τ-pair are their own singleton component
+    assigned.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("rep"),
+        (coalesce(col("cluster_rep"), col("vec_id")) === col("vec_id"))
+          .as("kept"))
+  }
 }

@@ -251,6 +251,44 @@ object DedupOps extends QuerySet {
               |  CASE WHEN ('0x' || substr(md5('graft-split:42:' ||
               |      CAST(COALESCE(R.rep, d.doc_id) AS VARCHAR)), 1, 2))::BIGINT < 230
               |    THEN 'train' ELSE 'val' END AS split
-              |FROM documents d LEFT JOIN R ON R.doc_id = d.doc_id""".stripMargin))
+              |FROM documents d LEFT JOIN R ON R.doc_id = d.doc_id""".stripMargin)),
+
+    // --- SemDeDup (Abbas et al. 2023): embedding-space dedup — kmeans
+    // cells (the deterministic IVF training of s04, restated CTE for
+    // CTE by IvfSql.assignCtes), cosine pairs only WITHIN a cell,
+    // connected components over the τ-similar pair graph, keep the
+    // min-id representative per component. One row per vector with its
+    // cell, representative, and kept flag. Oracle: shared IVF
+    // assignment CTEs + d05's pair arithmetic + d07's recursive-CC
+    // closure — every piece already proven in isolation.
+    Q("d11_semdedup",
+      (s, d) => {
+        import s.implicits._
+        Dedup.semDedup(Tables.load(s, d, "embeddings"),
+          $"vec_id", $"embedding",
+          nCells = 8, iters = 2, dim = 64, tau = 0.3,
+          seedMode = "kcenter")
+      },
+      Some(IvfSql.assignCtes(nCells = 8, iters = 2, dim = 64)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |ev AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
+        |P AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) /
+        |    (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+        |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |PF AS (SELECT id_a, id_b FROM P WHERE cos > 0.3),
+        |EDG AS (SELECT id_a AS src, id_b AS dst FROM PF
+        |  UNION SELECT id_b, id_a FROM PF),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM EDG
+        |  UNION
+        |  SELECT r.src, g.dst FROM reach r JOIN EDG g ON r.dst = g.src),
+        |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src)
+        |SELECT ev.vec_id, CAST(ev.cell AS BIGINT) AS cell,
+        |  COALESCE(comp.rep, ev.vec_id) AS rep,
+        |  (COALESCE(comp.rep, ev.vec_id) = ev.vec_id) AS kept
+        |FROM ev LEFT JOIN comp USING (vec_id)""".stripMargin))
   )
 }

@@ -4,40 +4,25 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Similarity
 
-/** Similarity-search operators over `embeddings.embedding:
-  * array<float>`: brute-force cosine top-k (exact baseline) and the
-  * IVF-style cell-partitioned variant (scale path). See
-  * [[graft.operators.Similarity]].
+/** Generated-SQL restatement of the deterministic IVF build
+  * ([[graft.operators.Similarity.trainIvfCentroids]]), shared by the
+  * s04/s05 search oracle and d11's SemDeDup oracle: greedy k-center
+  * seeding, `iters` Lloyd rounds, final cosine-argmax cell assignment.
+  * The step-by-step derivation (why each stage replays bit-for-bit) is
+  * documented at [[SimilarityOps]]'s oracle builder.
   */
-object SimilarityOps extends QuerySet {
+private[queries] object IvfSql {
 
-  private val cosSql =
-    """round(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
-      |  (sqrt(list_sum(list_transform(qv, x -> x*x))) *
-      |   sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)""".stripMargin
+  /** Name of the final centroid CTE produced by [[assignCtes]]. */
+  def finalCents(iters: Int): String = s"cents$iters"
 
-  // s04 and s05 share this oracle verbatim: the indexed search is
-  // proven row-identical to the inline IVF (same training, same
-  // probe ranking) — only the storage layout differs.
-  //
-  // Generated CTE-for-CTE restatement of the ENTIRE deterministic IVF
-  // build ([[graft.operators.Similarity]]):
-  //   1. k-center seeding (Similarity.kcenterSeeds): sd0 = lowest-id
-  //      vector; sd{i} = argmin over the corpus of max-cosine to the
-  //      seeds so far (raw-double comparisons — both sides perform the
-  //      same widen-then-strict-left-fold IEEE ops, so the argmin
-  //      agrees bit-for-bit), ties to the lowest vec_id; mc{i} carries
-  //      the running max-cosine forward so each step is one cross join
-  //      against ONE new seed.
-  //   2. `iters` Lloyd rounds: cosine argmax assignment (ties to the
-  //      lowest cell, matching NearestCentroid) -> per-dim means
-  //      rounded to 6 (vector_avg parity; empty cells keep the
-  //      previous round's centroid).
-  //   3. Search: final corpus assignment, nprobe probe ranking against
-  //      FLOAT-cast centroids (knnIvf casts before probe scoring),
-  //      in-cell cosine top-k.
-  private def ivfOracleSql(nCells: Int, iters: Int, nprobe: Int,
-                           k: Int, nQ: Int, dim: Int): String = {
+  /** CTE chain `WITH e AS ... cassign` — NO trailing comma; callers
+    * append their own CTEs and final SELECT. `e` carries (vec_id,
+    * v: DOUBLE[]) for the whole corpus; `cassign` maps every vec_id to
+    * its final cell (cosine argmax against the trained centroids, ties
+    * to the lowest cell, matching NearestCentroid).
+    */
+  def assignCtes(nCells: Int, iters: Int, dim: Int): String = {
     val dr = s"range(1,${dim + 1})"
     def dotOver(a: String, b: String) =
       s"list_sum(list_transform($dr, i -> $a[i] * $b[i]))"
@@ -88,14 +73,57 @@ object SimilarityOps extends QuerySet {
         | LEFT JOIN mn$t m USING (cell) JOIN cents${t - 1} p USING (cell)),
         |""".stripMargin
     }
-    val fin = s"cents$iters"
+    val fin = finalCents(iters)
     sb ++= s"""cnorm AS (SELECT cell, cv,
       | sqrt(list_sum(list_transform(cv, x -> x*x))) AS nrm FROM $fin),
       |cassign AS (SELECT vec_id, cell FROM (
       | SELECT e.vec_id, c.cell,
       |  row_number() OVER (PARTITION BY e.vec_id
       |   ORDER BY (${dotOver("v", "cv")} / nrm) DESC, c.cell ASC) AS rn
-      | FROM e CROSS JOIN cnorm c) WHERE rn = 1),
+      | FROM e CROSS JOIN cnorm c) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+}
+
+/** Similarity-search operators over `embeddings.embedding:
+  * array<float>`: brute-force cosine top-k (exact baseline) and the
+  * IVF-style cell-partitioned variant (scale path). See
+  * [[graft.operators.Similarity]].
+  */
+object SimilarityOps extends QuerySet {
+
+  private val cosSql =
+    """round(list_sum(list_transform(range(1,65), i -> qv[i]*cv[i])) /
+      |  (sqrt(list_sum(list_transform(qv, x -> x*x))) *
+      |   sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)""".stripMargin
+
+  // s04 and s05 share this oracle verbatim: the indexed search is
+  // proven row-identical to the inline IVF (same training, same
+  // probe ranking) — only the storage layout differs.
+  //
+  // Generated CTE-for-CTE restatement of the ENTIRE deterministic IVF
+  // build ([[graft.operators.Similarity]]):
+  //   1. k-center seeding (Similarity.kcenterSeeds): sd0 = lowest-id
+  //      vector; sd{i} = argmin over the corpus of max-cosine to the
+  //      seeds so far (raw-double comparisons — both sides perform the
+  //      same widen-then-strict-left-fold IEEE ops, so the argmin
+  //      agrees bit-for-bit), ties to the lowest vec_id; mc{i} carries
+  //      the running max-cosine forward so each step is one cross join
+  //      against ONE new seed.
+  //   2. `iters` Lloyd rounds: cosine argmax assignment (ties to the
+  //      lowest cell, matching NearestCentroid) -> per-dim means
+  //      rounded to 6 (vector_avg parity; empty cells keep the
+  //      previous round's centroid).
+  //   3. Search: final corpus assignment, nprobe probe ranking against
+  //      FLOAT-cast centroids (knnIvf casts before probe scoring),
+  //      in-cell cosine top-k.
+  private def ivfOracleSql(nCells: Int, iters: Int, nprobe: Int,
+                           k: Int, nQ: Int, dim: Int): String = {
+    val dr = s"range(1,${dim + 1})"
+    def dotOver(a: String, b: String) =
+      s"list_sum(list_transform($dr, i -> $a[i] * $b[i]))"
+    val fin = IvfSql.finalCents(iters)
+    IvfSql.assignCtes(nCells, iters, dim) + s""",
       |ec AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
       |qp AS (SELECT query_id, qv, cell FROM (
       | SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
@@ -114,7 +142,6 @@ object SimilarityOps extends QuerySet {
       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
       | ORDER BY cos DESC, vec_id ASC) AS rk FROM r)
       |SELECT query_id, rk, vec_id, cos FROM rk WHERE rk <= $k""".stripMargin
-    sb.toString
   }
 
   private lazy val ivfOracle: String =

@@ -830,6 +830,44 @@ object TextOps extends QuerySet {
              |  ('0x' || h[1:2])::BIGINT AS shard,
              |  CAST(row_number() OVER (PARTITION BY h[1:2]
              |    ORDER BY h, doc_id) AS BIGINT) AS pos
-             |FROM H""".stripMargin))
+             |FROM H""".stripMargin)),
+
+    // --- Temperature-resampled training mix (mT5/XLM-R sampling rule):
+    // per-lang targets ∝ (n_lang/N)^0.3 renormalized over a 300-doc
+    // budget — alpha<1 upsamples tail languages, downsamples the head —
+    // then each lang contributes its `target` lowest-md5(doc_id) docs
+    // (the t10 deterministic sample). Selection rides
+    // Curation.temperatureMix: tiny counts aggregate broadcast back +
+    // ONE corpus pass through the distributed prefix sum, so no
+    // single-stratum serial sort (the oracle's single window per lang
+    // is the semantic statement, not the scale plan). The normalizer
+    // sums DECIMAL(10,6) weights — exact, order-independent — so both
+    // engines derive identical targets.
+    Q("t23_temperature_mix",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Curation.temperatureMix(
+          Tables.load(s, d, "documents"), $"lang", $"doc_id",
+          alpha = 0.3, budget = 300)
+          .select($"id".as("doc_id"), $"stratum".as("lang"),
+            $"n_stratum", $"target")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
+             |  FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n_stratum,
+             |  CAST(round(pow(CAST(n_stratum AS DOUBLE) /
+             |    CAST(sum(n_stratum) OVER () AS DOUBLE), 0.3), 6)
+             |    AS DECIMAL(10,6)) AS wv
+             |  FROM c),
+             |t AS (SELECT lang, n_stratum,
+             |  greatest(1, CAST(round(CAST(300 AS DOUBLE) * CAST(wv AS DOUBLE)
+             |    / CAST(sum(wv) OVER () AS DOUBLE)) AS BIGINT)) AS target
+             |  FROM w),
+             |r AS (SELECT doc_id, lang,
+             |  row_number() OVER (PARTITION BY lang
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.doc_id, r.lang, t.n_stratum, t.target
+             |FROM r JOIN t USING (lang) WHERE r.rk <= t.target""".stripMargin))
   )
 }

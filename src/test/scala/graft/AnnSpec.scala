@@ -16,6 +16,34 @@ class AnnSpec extends SparkSpec {
      e.select($"vec_id", $"embedding"))
   }
 
+  test("semDedup keeps one min-id representative per intra-cell τ-component") {
+    import spark.implicits._
+    // two tight duplicate groups on orthogonal axes + two singletons
+    // (one anti-parallel to group A: cos = -1, never a dup). Exact
+    // duplicates make cell assignment a pure function of the vector,
+    // so group members can never straddle a kmeans boundary.
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (10L, Array(0f, 1f, 0f, 0f)), (11L, Array(0f, 1f, 0f, 0f)),
+      (20L, Array(0f, 0f, 1f, 0f)),
+      (30L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    def run(cellCap: Int) = graft.operators.Dedup.semDedup(
+        e, $"vec_id", $"embedding", nCells = 2, iters = 2, dim = 4,
+        tau = 0.9, seedMode = "kcenter", cellCap = cellCap)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    val out = run(cellCap = 1024)
+    assert(out.map(t => t._1 -> t._2).toMap ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L, 30L -> 30L), s"got ${out.toSeq}")
+    // kept is exactly "I am my own representative"
+    assert(out.forall(t => t._3 == (t._1 == t._2)))
+    // triangle blocking is a plan choice: a 2-row cap must not change rows
+    assert(run(cellCap = 2).toSeq == out.toSeq)
+  }
+
   test("LSH buckets are deterministic across runs") {
     import graft.expressions.NativeFns.hyperplane_bucket
     import spark.implicits._

@@ -10,6 +10,51 @@ import graft.operators.{Caches, Dedup}
   */
 class CurationSpec extends SparkSpec {
 
+  test("temperatureMix: p^alpha targets, lowest-hash selection, bucket independence") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // 80/16/4 skew: p = .8/.16/.04 -> sqrt = .894427/.4/.2 (round-6),
+    // norm = 1.494427, targets = round(50*w/norm) = 30/13/7 (sum 50)
+    val ids = Map("a" -> (0L until 80L), "b" -> (100L until 116L),
+      "c" -> (200L until 204L))
+    val docs = ids.toSeq.flatMap { case (st, r) => r.map(i => (i, st)) }
+      .toDF("doc_id", "stratum")
+    def run(buckets: Int) = Curation.temperatureMix(docs, $"stratum",
+        $"doc_id", alpha = 0.5, budget = 50, buckets = buckets)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rows = run(buckets = 0)
+    val targets = rows.map(t => t._2 -> t._4).toMap
+    assert(targets == Map("a" -> 30L, "b" -> 13L, "c" -> 7L), s"got $targets")
+    assert(rows.map(t => t._2 -> t._3).toMap ==
+      Map("a" -> 80L, "b" -> 16L, "c" -> 4L))
+    // selection is exactly each stratum's `target` lowest-md5 ids,
+    // recomputed independently of Spark
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = ids.flatMap { case (st, r) =>
+      r.toSeq.sortBy(i => (md5hex(i.toString), i))
+        .take(targets(st).toInt).map(i => (i, st))
+    }.toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == expected)
+    // prefix-sum bucketing is a balance choice, never a result choice
+    assert(run(buckets = 1).toSet == rows.toSet)
+    assert(run(buckets = 7).toSet == rows.toSet)
+  }
+
+  test("temperatureMix: alpha=1 is proportional; a vanishing stratum keeps one doc") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = ((0L until 99L).map(i => (i, "big")) ++ Seq((500L, "tiny")))
+      .toDF("doc_id", "stratum")
+    // p = .99/.01, alpha 1 -> targets round(10*.99)=10 / round(.1)=0,
+    // floored to 1: the mix never silently drops a stratum
+    val t = Curation.temperatureMix(docs, $"stratum", $"doc_id",
+        alpha = 1.0, budget = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(t == Map("big" -> 10L, "tiny" -> 1L), s"got $t")
+  }
+
   test("decontaminate flags exactly the docs with >= minHits distinct shared shingles") {
     import spark.implicits._
     Caches.release()

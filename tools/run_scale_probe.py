@@ -187,6 +187,28 @@ MODES = {
         "scale": 100,
         "probe_shuffle": 256,
     },
+    "r16": {
+        # round-16 continuation ops over the 100x dedup corpus.
+        # d11 (SemDeDup) composes three already-probed kernels — IVF
+        # training (s04 band), cellCap-blocked intra-cell cosine pairs
+        # (d05 band, here at the fixture's adversarial 10,000x pair
+        # multiplicity: ~10M exact-copy edges + 10,000x the organic
+        # tau-pairs), and connected components (d07 band) — so its
+        # expected band is d05+d07 stacked, with output genuinely
+        # quadratic in duplicate multiplicity. t23 (temperature mix)
+        # is one |strata|-row aggregate + the t11 prefix-sum corpus
+        # pass — expected near-flat like t13/t21.
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["d11_semdedup", "t23_temperature_mix"],
+        # in-JVM iters stay 1 for the pair-generating family (iter 2
+        # hits the corpus-pass memo); fresh-JVM reps supply best-of-N
+        "iters": 1,
+        "reps": 3,
+        "out": f"{REPO}/BENCH_r16_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+        "probe_mem": "16g",
+    },
     "r11ev": {
         # e08 last-touch attribution over the 100x event stream: the
         # AsOf cogrouped merge on user_id (e05's plan) + a |channels|-
