@@ -605,6 +605,70 @@ object Dedup {
     * dial (≈ sqrt(N) cells in production) keeps cells bounded, exactly
     * the trade the IVF index already measures in BENCH_ann_recall.
     */
+  /** Incremental SemDeDup — the delta-vs-base shape of [[semDedup]],
+    * mirroring [[incrementalFlags]]: flag each DELTA vector whose
+    * cosine against some BASE vector in the same kmeans cell exceeds
+    * `tau`. Centroids are trained on the BASE ONLY (or passed in via
+    * `trained` — the persisted-index shape: a daily delta is assigned
+    * against yesterday's centroids, never retrained), so pair cost is
+    * delta × same-cell base occupancy — base×base is NEVER re-paired.
+    * Returns (vec_id, match_id, n_matches) for flagged delta rows,
+    * match_id = the minimum matching base id.
+    *
+    * Id contract: ids must be non-negative and < 2^62 — the pair
+    * kernel ([[graft.expressions.ScoredPairs]]) normalizes each pair
+    * to (min,max), so the delta/base sides are carried through a
+    * parity bit (delta = 2·id+1, base = 2·id) and decoded after.
+    */
+  def semFlags(base: DataFrame, delta: DataFrame,
+               idCol: Column, vecCol: Column,
+               nCells: Int, iters: Int, dim: Int, tau: Double,
+               seedMode: String = "kcenter", cellCap: Int = 1024,
+               trained: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(cellCap >= 1)
+    import graft.expressions.NativeFns.{nearest_centroid, vec_norm}
+    val b0 = base.select(idCol.as("vec_id"), vecCol.as("v"))
+    val d0 = delta.select(idCol.as("vec_id"), vecCol.as("v"))
+    val cents = trained.getOrElse(
+      Similarity.trainIvfCentroids(b0, nCells, iters, dim, seedMode))
+    def prep(df: DataFrame, parity: Int) = df
+      .withColumn("cell", nearest_centroid(col("v"), cents))
+      .select(col("cell"),
+        (shiftleft(col("vec_id"), 1) + lit(parity.toLong)).as("id"),
+        col("v"), vec_norm(col("v")).as("_nm"))
+    // same cellCap blocking as [[embeddingPairs]], per side: a hot
+    // cell splits into ceil(n/cellCap) hash groups so no single task
+    // carries more than ~cellCap² dots per group pair
+    def grouped(df: DataFrame, out: String) = df
+      .join(df.groupBy("cell").agg(count(lit(1)).as("_n")), "cell")
+      .withColumn("_g", greatest(lit(1L),
+        ceil(col("_n") / lit(cellCap.toDouble))).cast("int"))
+      .withColumn("_my", pmod(xxhash64(col("id")), col("_g")).cast("int"))
+      .groupBy(col("cell"), col("_my"))
+      .agg(collect_list(struct(col("id"), col("v"), col("_nm"))).as(out))
+      .select(col("cell"), col(out))
+    val par = base.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = grouped(prep(d0, 1), "_ra")
+      .join(grouped(prep(b0, 0), "_rb"), Seq("cell"))
+      // balance by row count like embeddingPairs: each group-pair row
+      // hides ~cellCap² dots that AQE's byte-based view cannot see
+      .repartition(4 * par)
+      .select(graft.expressions.ScoredPairs(col("_ra"), col("_rb"),
+        lit(false), tau).as(Seq("id_a", "id_b", "cos")))
+    // decode the parity bit: the odd id is the delta side
+    pairs
+      .select(
+        shiftrightunsigned(
+          when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")),
+          1).as("vec_id"),
+        shiftrightunsigned(
+          when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")),
+          1).as("base_id"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("base_id")).as("match_id"),
+        count(lit(1)).as("n_matches"))
+  }
+
   def semDedup(emb: DataFrame, idCol: Column, vecCol: Column,
                nCells: Int, iters: Int, dim: Int, tau: Double,
                seedMode: String = "kcenter",

@@ -289,6 +289,37 @@ object DedupOps extends QuerySet {
         |SELECT ev.vec_id, CAST(ev.cell AS BIGINT) AS cell,
         |  COALESCE(comp.rep, ev.vec_id) AS rep,
         |  (COALESCE(comp.rep, ev.vec_id) = ev.vec_id) AS kept
-        |FROM ev LEFT JOIN comp USING (vec_id)""".stripMargin))
+        |FROM ev LEFT JOIN comp USING (vec_id)""".stripMargin)),
+
+    // --- Incremental SemDeDup: the DELTA slice (vec_id % 5 = 4)
+    // flagged against the BASE in embedding space — d09's incremental
+    // contract lifted to vectors. Centroids train on the BASE ONLY
+    // (IvfSql.assignCtes(trainWhere=...): seeding + Lloyd see only
+    // base rows, cassign still assigns everything), so the 100 TB
+    // shape holds: a daily delta is assigned against the persisted
+    // index's centroids and paired only with same-cell base vectors —
+    // base×base is never re-paired.
+    Q("d12_incremental_semdedup",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.load(s, d, "embeddings")
+        Dedup.semFlags(
+          e.filter($"vec_id" % 5 =!= 4), e.filter($"vec_id" % 5 === 4),
+          $"vec_id", $"embedding",
+          nCells = 8, iters = 2, dim = 64, tau = 0.3,
+          seedMode = "kcenter")
+      },
+      Some(IvfSql.assignCtes(nCells = 8, iters = 2, dim = 64,
+          trainWhere = "vec_id % 5 <> 4") + """,
+        |ev AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
+        |P AS (SELECT dd.vec_id AS vec_id, db.vec_id AS base_id,
+        |  round(list_sum(list_transform(range(1,65), i -> dd.v[i]*db.v[i])) /
+        |    (sqrt(list_sum(list_transform(dd.v, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(db.v, x -> x*x)))), 6) AS cos
+        |  FROM (SELECT * FROM ev WHERE vec_id % 5 = 4) dd
+        |  JOIN (SELECT * FROM ev WHERE vec_id % 5 <> 4) db USING (cell))
+        |SELECT vec_id, min(base_id) AS match_id,
+        |  CAST(count(*) AS BIGINT) AS n_matches
+        |FROM P WHERE cos > 0.3 GROUP BY vec_id""".stripMargin))
   )
 }

@@ -21,11 +21,20 @@ private[queries] object IvfSql {
     * v: DOUBLE[]) for the whole corpus; `cassign` maps every vec_id to
     * its final cell (cosine argmax against the trained centroids, ties
     * to the lowest cell, matching NearestCentroid).
+    *
+    * `trainWhere` (optional predicate over `e`'s columns) restricts
+    * the TRAINING population — seeding and the Lloyd assignment/means
+    * — while `cassign` still assigns every corpus row: the
+    * incremental shape where centroids come from the persisted base
+    * index and the delta is only assigned (d12). Empty = train on
+    * everything (s04/s05/d11), generating the exact original text.
     */
-  def assignCtes(nCells: Int, iters: Int, dim: Int): String = {
+  def assignCtes(nCells: Int, iters: Int, dim: Int,
+                 trainWhere: String = ""): String = {
     val dr = s"range(1,${dim + 1})"
     def dotOver(a: String, b: String) =
       s"list_sum(list_transform($dr, i -> $a[i] * $b[i]))"
+    val tw = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val sb = new StringBuilder
     // MATERIALIZED: the seeding chain references e/vn once per seed —
     // without the hint DuckDB inlines the CTE and re-opens the parquet
@@ -34,7 +43,7 @@ private[queries] object IvfSql {
       | list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       |vn AS MATERIALIZED (SELECT vec_id, v, nrm FROM (
       | SELECT vec_id, v,
-      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e)
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e$tw)
       | WHERE nrm > 0),
       |sd0 AS MATERIALIZED (SELECT vec_id, v, nrm FROM vn ORDER BY vec_id LIMIT 1),
       |mc1 AS MATERIALIZED (SELECT a.vec_id, a.v, a.nrm,
@@ -61,7 +70,7 @@ private[queries] object IvfSql {
         | SELECT e.vec_id, c.cell,
         |  row_number() OVER (PARTITION BY e.vec_id
         |   ORDER BY (${dotOver("v", "cv")} / nrm) DESC, c.cell ASC) AS rn
-        | FROM e CROSS JOIN cn${t - 1} c) WHERE rn = 1),
+        | FROM e CROSS JOIN cn${t - 1} c$tw) WHERE rn = 1),
         |ds$t AS (SELECT a.cell, dim,
         | round(sum(v[CAST(dim AS INTEGER)]) / count(*), 6) AS m
         | FROM asg$t a JOIN e USING (vec_id)

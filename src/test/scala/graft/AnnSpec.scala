@@ -44,6 +44,36 @@ class AnnSpec extends SparkSpec {
     assert(run(cellCap = 2).toSeq == out.toSeq)
   }
 
+  test("semFlags flags delta-vs-base τ-matches only, never base×base") {
+    import spark.implicits._
+    // base: duplicate pair on x, singletons on y and z; delta: an x
+    // copy (matches both x bases), a y copy (matches the y base), an
+    // anti-parallel z (cos -1, never a match), and a near-x vector
+    // (cos ~.994 to x). Whatever 2-cell split training picks, equal
+    // vectors co-cell and cross-direction cosines stay < τ, so the
+    // expected flag set is invariant.
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (10L, Array(0f, 1f, 0f, 0f)), (20L, Array(0f, 0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f)),
+      (102L, Array(0f, 0f, -1f, 0f)),
+      (103L, Array(0.9f, 0.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    def run(cellCap: Int) = graft.operators.Dedup.semFlags(
+        base, delta, $"vec_id", $"embedding", nCells = 2, iters = 2,
+        dim = 4, tau = 0.9, seedMode = "kcenter", cellCap = cellCap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val out = run(cellCap = 1024)
+    assert(out == Map(100L -> (0L, 2L), 101L -> (10L, 1L),
+      103L -> (0L, 2L)), s"got $out")
+    // blocking cap is a balance knob, never a result knob
+    assert(run(cellCap = 1) == out)
+  }
+
   test("LSH buckets are deterministic across runs") {
     import graft.expressions.NativeFns.hyperplane_bucket
     import spark.implicits._

@@ -199,7 +199,7 @@ MODES = {
         # is one |strata|-row aggregate + the t11 prefix-sum corpus
         # pass — expected near-flat like t13/t21.
         "sfdir": f"{REPO}/benchdata/sf10",
-        "queries": ["d11_semdedup", "t23_temperature_mix"],
+        "queries": ["d11_semdedup", "d12_incremental_semdedup", "t23_temperature_mix"],
         # in-JVM iters stay 1 for the pair-generating family (iter 2
         # hits the corpus-pass memo); fresh-JVM reps supply best-of-N
         "iters": 1,
