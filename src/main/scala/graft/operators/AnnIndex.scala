@@ -409,6 +409,25 @@ object AnnIndex {
     * path itself stays curve-driven and cheap; this check is the
     * explicit maintenance hook.
     */
+  /** Re-measure the stored recall curve against the CURRENT tables and
+    * rewrite the meta in place — the maintenance action [[needsRetrain]]
+    * points at. This deliberately does NOT go through
+    * `writeSketch(curve = true)`: that would re-execute a corpus plan,
+    * but after appends the index itself IS the corpus; only the meta
+    * (grid + measured recalls, same grid shape as the original build)
+    * changes — vectors/sketches/q8 are untouched.
+    */
+  def refreshCurve(spark: SparkSession, path: String): Unit = {
+    val meta = loadSketchMeta(spark, path)
+    require(meta.curveK > 0,
+      "sketch index has no recall curve — build with writeSketch(curve = true)")
+    val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
+    val (cm, cr) = measureRecallCurve(spark, path, r, meta.curveK, meta.curveQ)
+    writeSketchMeta(spark, path, meta.sketchDim, meta.dim, meta.seed,
+      hasQ8 = meta.hasQ8, curveM = cm, curveRecall = cr,
+      curveK = meta.curveK, curveQ = meta.curveQ)
+  }
+
   def needsRetrain(spark: SparkSession, path: String, k: Int,
                    targetRecall: Double, slack: Double = 0.05): Boolean = {
     val meta = loadSketchMeta(spark, path)

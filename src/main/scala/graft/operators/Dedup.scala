@@ -630,7 +630,7 @@ object Dedup {
     val b0 = base.select(idCol.as("vec_id"), vecCol.as("v"))
     val d0 = delta.select(idCol.as("vec_id"), vecCol.as("v"))
     val cents = trained.getOrElse(
-      Similarity.trainIvfCentroids(b0, nCells, iters, dim, seedMode))
+      Similarity.trainedCached(b0, nCells, iters, dim, seedMode))
     def prep(df: DataFrame, parity: Int) = df
       .withColumn("cell", nearest_centroid(col("v"), cents))
       .select(col("cell"),
@@ -674,8 +674,7 @@ object Dedup {
                seedMode: String = "kcenter",
                cellCap: Int = 1024): DataFrame = {
     val base = emb.select(idCol.as("vec_id"), vecCol.as("v"))
-    val cents = Similarity.trainIvfCentroids(
-      base, nCells, iters, dim, seedMode)
+    val cents = Similarity.trainedCached(base, nCells, iters, dim, seedMode)
     val assigned = base.withColumn("cell",
       graft.expressions.NativeFns.nearest_centroid(col("v"), cents))
     val pairs = embeddingPairs(assigned, col("vec_id"), col("v"),

@@ -261,28 +261,37 @@ object Similarity {
     }
   private[graft] def ivfCacheSize: Int = ivfCache.synchronized(ivfCache.size())
 
+  /** [[trainIvfCentroids]] through the session LRU cache — the
+    * build-once amortization every trained-index consumer shares
+    * (knnIvf, semDedup, semFlags). Train OUTSIDE the cache lock
+    * (training runs Spark jobs); a lost race costs one redundant
+    * training, and training is deterministic so either result is
+    * byte-identical.
+    */
+  def trainedCached(corpus: DataFrame, nCells: Int, iters: Int, dim: Int,
+                    seedMode: String = "lowid",
+                    seedEvery: Int = 1): Array[Array[Double]] = {
+    val cacheKey = s"${corpus.queryExecution.analyzed.semanticHash()}:" +
+      s"$nCells:$iters:$dim:$seedMode:$seedEvery"
+    val hit = ivfCache.synchronized(ivfCache.get(cacheKey))
+    if (hit != null) hit
+    else {
+      val t = trainIvfCentroids(corpus, nCells, iters, dim, seedMode, seedEvery)
+      ivfCache.synchronized {
+        val prev = ivfCache.get(cacheKey)
+        if (prev != null) prev else { ivfCache.put(cacheKey, t); t }
+      }
+    }
+  }
+
   def knnIvf(queries: DataFrame, corpus: DataFrame, k: Int,
              nCells: Int = 16, iters: Int = 2, dim: Int = 64,
              nprobe: Int = 2,
              trained: Option[Array[Array[Double]]] = None,
              seedMode: String = "lowid", seedEvery: Int = 1): DataFrame = {
     import graft.expressions.NativeFns.nearest_centroid
-    val cacheKey = s"${corpus.queryExecution.analyzed.semanticHash()}:" +
-      s"$nCells:$iters:$dim:$seedMode:$seedEvery"
-    // train OUTSIDE the cache lock (training runs Spark jobs); a lost
-    // race costs one redundant training, and training is deterministic
-    // so either result is byte-identical
-    val centroids = trained.getOrElse {
-      val hit = ivfCache.synchronized(ivfCache.get(cacheKey))
-      if (hit != null) hit
-      else {
-        val t = trainIvfCentroids(corpus, nCells, iters, dim, seedMode, seedEvery)
-        ivfCache.synchronized {
-          val prev = ivfCache.get(cacheKey)
-          if (prev != null) prev else { ivfCache.put(cacheKey, t); t }
-        }
-      }
-    }
+    val centroids = trained.getOrElse(
+      trainedCached(corpus, nCells, iters, dim, seedMode, seedEvery))
     val c = corpus.toDF("vec_id", "c_vec")
       .withColumn("cell", nearest_centroid(col("c_vec"), centroids))
     // nprobe probe cells per query: rank all centroids by cosine on the

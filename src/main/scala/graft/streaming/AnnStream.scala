@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.AnnIndex
+
+/** Streaming maintenance of the persisted ANN sketch index: the
+  * `foreachBatch` composition of [[AnnIndex.writeSketch]] /
+  * [[AnnIndex.appendSketchVectors]] plus the recall-drift loop —
+  * the vector-index leg of the streaming surface, alongside
+  * [[FlushStream]] (lake), [[DedupStream]] (dedup index) and
+  * [[CurationStream]] (curation state). Reference scope: lakeflush
+  * has no vector indexing; this extends the §2.11 similarity family.
+  *
+  * Batch 0 bootstraps the index at `indexDir` (with a measured recall
+  * curve when `targetRecall > 0`); every later batch appends. Per-batch
+  * cost tracks the BATCH: the append sketches only the files it wrote
+  * (listing diff), and the idempotence anti-join below reads one id
+  * column of the vectors table.
+  *
+  * Exactly-once story (foreachBatch is at-least-once on replay), built
+  * on the index's own repair machinery rather than a second log:
+  *  - a `commits/<batchId>` marker under the index dir makes a replay
+  *    of a fully-committed batch a no-op;
+  *  - the crash window between the append and the marker is closed by
+  *    anti-joining the batch's ids against the ids ALREADY indexed —
+  *    the replayed append inserts nothing, so searches can never see
+  *    duplicate rows. `vec_id` is therefore the identity: a re-sent id
+  *    is BY CONTRACT a replay (a batch whose ids collide with already
+  *    indexed vectors but carries different embeddings is a source
+  *    keying bug this sink cannot distinguish from a replay);
+  *  - torn appends INSIDE a batch (vectors written, sketches or the q8
+  *    sibling missing) are healed by appendSketchVectors' own
+  *    orphan-repair passes on the next batch, exactly as in batch mode.
+  *
+  * Serve-quality loop: when `targetRecall > 0`, [[AnnIndex.needsRetrain]]
+  * runs after each non-empty append; a drifted curve is re-measured in
+  * place ([[AnnIndex.refreshCurve]] — meta only, tables untouched), so
+  * the index keeps serving its stated recall target as the corpus
+  * streams in. If appends push the target beyond what ANY m can deliver,
+  * chooseM inside needsRetrain refuses with the ceiling named and the
+  * stream fails LOUDLY — an index that cannot keep its promise must not
+  * keep silently serving it.
+  */
+object AnnStream {
+
+  /** Start the sink: index each micro-batch of `vecs` (columns
+    * `vec_id: long`, `embedding: array<float>`, ids unique per batch)
+    * into the sketch index at `indexDir`.
+    */
+  def annSink(vecs: DataFrame, indexDir: String, checkpointDir: String,
+              sketchDim: Int = 16, dim: Int = 64, q8: Boolean = false,
+              targetRecall: Double = 0.0, k: Int = 10,
+              slack: Double = 0.05): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, indexDir, batchId, sketchDim, dim, q8,
+          targetRecall, k, slack)
+      }
+      .start()
+
+  /** The foreachBatch body, public so the replay windows are testable
+    * without forcing a real stream restart.
+    */
+  def processBatch(batch: DataFrame, indexDir: String, batchId: Long,
+                   sketchDim: Int = 16, dim: Int = 64,
+                   q8: Boolean = false, targetRecall: Double = 0.0,
+                   k: Int = 10, slack: Double = 0.05): Unit = {
+    if (committed(batch, indexDir, batchId)) return
+    val spark = batch.sparkSession
+    val rows = batch.select(col("vec_id"), col("embedding"))
+    // duplicate ids WITHIN a batch are a source keying bug, not a
+    // replay — refusing here is one tiny agg over the delta, and it
+    // keeps "anti-join makes replays no-ops" the only dedup semantics
+    val cnt = rows.agg(count(lit(1)), countDistinct(col("vec_id")))
+      .collect()(0)
+    require(cnt.getLong(0) == cnt.getLong(1),
+      s"ann stream batch $batchId carries duplicate vec_ids " +
+      s"(${cnt.getLong(0)} rows, ${cnt.getLong(1)} distinct) — " +
+      "ids are the index identity; re-key the source")
+    val metaPath = new Path(s"$indexDir/sketch_meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) {
+      // bootstrap — writeSketch writes meta LAST, so a crash mid-build
+      // replays into this branch and the overwrite modes reset cleanly
+      AnnIndex.writeSketch(indexDir, rows, sketchDim, dim, q8 = q8,
+        curve = targetRecall > 0, curveK = k)
+    } else {
+      val known = spark.read.parquet(s"$indexDir/vectors").select("vec_id")
+      val fresh = rows.join(known, Seq("vec_id"), "left_anti")
+      if (!fresh.isEmpty) {
+        AnnIndex.appendSketchVectors(indexDir, fresh)
+        if (targetRecall > 0 &&
+            AnnIndex.needsRetrain(spark, indexDir, k, targetRecall, slack)) {
+          AnnIndex.refreshCurve(spark, indexDir)
+          // re-grounded curve must serve the target (needsRetrain on a
+          // just-refreshed curve is false unless chooseM refuses — the
+          // loud unreachable-target failure documented above)
+          assert(!AnnIndex.needsRetrain(spark, indexDir, k, targetRecall,
+            slack))
+        }
+      }
+    }
+    markCommitted(batch, indexDir, batchId)
+  }
+
+  private def marker(indexDir: String, batchId: Long): Path =
+    new Path(s"$indexDir/commits/$batchId")
+
+  private def committed(df: DataFrame, indexDir: String,
+                        batchId: Long): Boolean = {
+    val p = marker(indexDir, batchId)
+    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def markCommitted(df: DataFrame, indexDir: String,
+                            batchId: Long): Unit = {
+    val p = marker(indexDir, batchId)
+    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .create(p, true).close()
+  }
+}

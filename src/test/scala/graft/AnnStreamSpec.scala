@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.AnnIndex
+import graft.streaming.AnnStream
+
+/** Streaming ANN-index maintenance: streamed batches must leave the
+  * index row-identical to a one-shot build over everything seen, both
+  * foreachBatch replay windows must be no-ops (marker present; marker
+  * lost after a completed append), and the drift loop must re-ground a
+  * decayed recall curve so the index keeps serving its stated target.
+  */
+class AnnStreamSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def vecCount(dir: String): Long =
+    spark.read.parquet(s"$dir/vectors").count()
+
+  test("streamed batches == one-shot build; both replay windows are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    def slice(lo: Long, hi: Long): Seq[(Long, Seq[Float])] =
+      e.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val s1 = slice(0, 250)
+    val s2 = slice(250, 10000)
+
+    val dir = Files.createTempDirectory("graft-ann-stream").toString
+    val cp = Files.createTempDirectory("graft-ann-stream-cp").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = AnnStream.annSink(
+      mem.toDF().toDF("vec_id", "embedding"), dir, cp)
+    try {
+      mem.addData(s1: _*)
+      q.processAllAvailable()
+      mem.addData(s2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // search through the streamed index == through a one-shot build
+    val queries = e.filter($"vec_id" < 5)
+    val oneShot = AnnIndex.writeSketchOnce(e)
+    val got = rows(AnnIndex.searchSketch(spark, dir, queries, k = 5, m = 50))
+    assert(got == rows(
+      AnnIndex.searchSketch(spark, oneShot, queries, k = 5, m = 50)))
+    assert(got.nonEmpty)
+
+    // replay window 1: marker present — a replayed batch is a no-op
+    val n0 = vecCount(dir)
+    val b2 = s2.toDF("vec_id", "embedding")
+    AnnStream.processBatch(b2, dir, batchId = 1L)
+    assert(vecCount(dir) == n0)
+
+    // replay window 2: append completed but the marker was lost — the
+    // ids-already-indexed anti-join makes the re-append insert nothing
+    val marker = new Path(s"$dir/commits/1")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(marker, false))
+    AnnStream.processBatch(b2, dir, batchId = 1L)
+    assert(vecCount(dir) == n0)
+    assert(fs.exists(marker), "replay must restore the commit marker")
+    assert(rows(AnnIndex.searchSketch(spark, dir, queries, k = 5, m = 50))
+      == got)
+
+    // duplicate ids inside one batch refuse loudly
+    val dup = (s1.take(1) ++ s1.take(1)).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      AnnStream.processBatch(dup, dir, batchId = 9L)
+    }
+    assert(ex.getMessage.contains("duplicate vec_ids"))
+  }
+
+  test("drift loop: a decaying append re-grounds the curve and keeps the target served") {
+    import spark.implicits._
+    val dim = 64
+    // batch 0: three exact-duplicate clusters on orthogonal axes — the
+    // sketch ranks them perfectly, so the stored curve promises high
+    // recall at tiny m
+    val b0 = (0L until 60L).map { i =>
+      (i, Seq.tabulate(dim)(d => if (d == (i % 3).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    // batch 1: 10x deterministic noise — recall at the stored tiny-m
+    // grid collapses, tripping needsRetrain. Hash-based, NOT
+    // sinusoidal: sin(a·i + b·d) expands to a 2-dim subspace of
+    // (cos bd, sin bd), which a 16-dim sketch ranks perfectly and the
+    // curve never decays.
+    val b1 = (100L until 700L).map { i =>
+      (i, Seq.tabulate(dim) { d =>
+        (scala.util.hashing.MurmurHash3.productHash((i, d)) % 997) / 997f
+      })
+    }.toDF("vec_id", "embedding")
+
+    val dir = Files.createTempDirectory("graft-ann-drift").toString
+    AnnStream.processBatch(b0, dir, 0L, targetRecall = 0.5, k = 10)
+    val meta0 = AnnIndex.loadSketchMeta(spark, dir)
+    assert(meta0.curveM.nonEmpty)
+
+    AnnStream.processBatch(b1, dir, 1L, targetRecall = 0.5, k = 10)
+    val meta1 = AnnIndex.loadSketchMeta(spark, dir)
+    // the refresh actually ran: the grid is a function of N, which grew
+    // 11x — an unrefreshed meta would still carry batch 0's grid
+    assert(meta1.curveM != meta0.curveM,
+      s"expected a re-grounded curve; stored grid still ${meta1.curveM}")
+    // the invariant the stream maintains: after the batch, the index
+    // does not need retraining for its stated target
+    assert(!AnnIndex.needsRetrain(spark, dir, k = 10, targetRecall = 0.5))
+    // and the curve-driven serve path works against the new grid
+    val queries = b0.limit(3)
+    val served = AnnIndex.searchSketchAtRecall(spark, dir, queries,
+      k = 10, targetRecall = 0.5)
+    assert(served.count() > 0)
+  }
+}
