@@ -279,26 +279,32 @@ object EventOps extends QuerySet {
     // active users at each week offset / cohort size. Two aggregations
     // and one join, all keyed on user_id / cohort_week — the same
     // shuffle-key family as sessionize, no self-join, no global
-    // window; the per-cohort matrix is |weeks|² rows of metadata.
+    // window. The cohort SIZE needs no extra corpus pass: a user's
+    // first-event week is by definition one of their active weeks, so
+    // size = n_users at week_offset 0, lifted across the cohort by a
+    // window over the |weeks|²-row matrix (the naive sizes-from-first
+    // formulation planned a THIRD events aggregation — Catalyst does
+    // not share the `first` subtree between two consumers).
     // Both engines truncate weeks to ISO Monday (Spark date_trunc and
     // DuckDB date_trunc agree), so offsets are exact multiples of 7.
     Q("e09_retention_cohorts",
       (s, d) => {
         import s.implicits._
+        import org.apache.spark.sql.expressions.Window
         val ev = Tables.load(s, d, "events").select($"user_id", $"ts")
         val first = ev.groupBy($"user_id")
           .agg(to_date(date_trunc("week", min($"ts"))).as("cohort_week"))
         val weekly = ev
           .select($"user_id", to_date(date_trunc("week", $"ts")).as("week"))
           .distinct()
-        val sizes = first.groupBy($"cohort_week")
-          .agg(count(lit(1)).as("cohort_size"))
+        val byCohort = Window.partitionBy($"cohort_week")
         weekly.join(first, Seq("user_id"))
           .withColumn("week_offset",
             (datediff($"week", $"cohort_week") / 7).cast("long"))
           .groupBy($"cohort_week", $"week_offset")
           .agg(count(lit(1)).as("n_users"))
-          .join(sizes, Seq("cohort_week"))
+          .withColumn("cohort_size",
+            max(when($"week_offset" === 0, $"n_users")).over(byCohort))
           .select($"cohort_week", $"week_offset", $"n_users", $"cohort_size",
             round($"n_users" / $"cohort_size".cast("double"), 6)
               .as("retention"))
@@ -308,15 +314,16 @@ object EventOps extends QuerySet {
              |  FROM events GROUP BY user_id),
              |w AS (SELECT DISTINCT user_id,
              |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
-             |s2 AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
-             |  FROM f GROUP BY 1),
              |a AS (SELECT f.cohort_week,
              |  CAST(date_diff('day', f.cohort_week, w.week) / 7 AS BIGINT)
              |    AS week_offset,
              |  CAST(count(*) AS BIGINT) AS n_users
              |  FROM w JOIN f USING (user_id) GROUP BY 1, 2)
-             |SELECT a.cohort_week, a.week_offset, a.n_users, s2.cohort_size,
-             |  round(a.n_users / CAST(s2.cohort_size AS DOUBLE), 6) AS retention
-             |FROM a JOIN s2 USING (cohort_week)""".stripMargin))
+             |SELECT cohort_week, week_offset, n_users,
+             |  max(CASE WHEN week_offset = 0 THEN n_users END)
+             |    OVER (PARTITION BY cohort_week) AS cohort_size,
+             |  round(n_users / CAST(max(CASE WHEN week_offset = 0 THEN n_users END)
+             |    OVER (PARTITION BY cohort_week) AS DOUBLE), 6) AS retention
+             |FROM a""".stripMargin))
   )
 }
