@@ -133,6 +133,49 @@ object Curation {
       .otherwise("val")
   }
 
+  /** Intra-document dedup: strip repeated `chunkWords`-word chunks
+    * WITHIN each document, keeping the first occurrence — the
+    * within-page cleaning pass (navigation loops, repeated headers,
+    * template spam) that the corpus-level boilerplate strip (t22)
+    * deliberately does not cover: its doc-frequency gate counts each
+    * doc once, so a chunk repeated 50× inside ONE page survives it.
+    * Returns one row per input document:
+    * (doc_id, n_chunks, n_kept, clean_text) — token-less docs keep
+    * their row with 0 chunks and empty text.
+    *
+    * Scale shape: first-occurrence selection is a rank-filter windowed
+    * by (doc_id, chunk-hash) — group size = one doc's copies of one
+    * chunk — and reconstruction is ONE shuffle keyed by doc_id with an
+    * in-group sort bounded by the doc's own chunk count; no global
+    * sort, and a pathological mega-doc costs only itself.
+    */
+  def intraDocDedup(docs: DataFrame, idCol: Column, textCol: Column,
+                    chunkWords: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(idCol.as("doc_id"), textCol.as("text"))
+    val chunkArr =
+      graft.expressions.NativeFns.word_chunks(col("text"), chunkWords)
+    val chunked = base
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val firsts = chunked
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("h")).orderBy(col("idx"))))
+      .filter(col("rn") === 1)
+    val kept = firsts.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          c => c.getField("chunk")), " ").as("clean_text"))
+    chunked.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .join(base.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Temperature-resampled training mix (the mT5/XLM-R multilingual
     * sampling rule): per-stratum document targets proportional to
     * `p^alpha` where `p` is the stratum's corpus share — `alpha < 1`

@@ -868,6 +868,50 @@ object TextOps extends QuerySet {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
              |  FROM documents)
              |SELECT r.doc_id, r.lang, t.n_stratum, t.target
-             |FROM r JOIN t USING (lang) WHERE r.rk <= t.target""".stripMargin))
+             |FROM r JOIN t USING (lang) WHERE r.rk <= t.target""".stripMargin)),
+
+    // --- Intra-document dedup: strip repeated chunks WITHIN each doc,
+    // keeping the first occurrence — the within-page cleaning pass
+    // (navigation loops, repeated headers, template spam) that t22's
+    // corpus-level boilerplate strip deliberately does not cover
+    // (t22's doc-frequency gate counts each doc once, so a chunk
+    // repeated 50× inside ONE page survives it). Same chunk kernel and
+    // reconstruction as t22; first-occurrence selection is a
+    // rank-filter windowed by (doc_id, chunk-hash) — group size = one
+    // doc's copies of one chunk, so no task ever sorts beyond a doc's
+    // own length, and a pathological mega-doc costs only itself. The
+    // final right join keeps output exactly |documents| (token-less
+    // docs: 0 chunks, empty clean_text).
+    Q("t24_intradoc_dedup",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Curation.intraDocDedup(
+          Tables.load(s, d, "documents"), $"doc_id", $"text")
+      },
+      Some("""WITH W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM documents),
+             |C AS (SELECT doc_id, idx,
+             |  array_to_string(words[idx*8+1:idx*8+8], ' ') AS chunk
+             |  FROM (SELECT doc_id, words,
+             |    unnest(range(0, CAST(ceil(len(words) / 8.0) AS INT))) AS idx
+             |    FROM W)),
+             |H AS (SELECT doc_id, idx, chunk, md5(chunk) AS h FROM C),
+             |F AS (SELECT doc_id, idx, chunk FROM (
+             |  SELECT doc_id, idx, chunk,
+             |    row_number() OVER (PARTITION BY doc_id, h ORDER BY idx) AS rn
+             |  FROM H) WHERE rn = 1),
+             |K AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |  array_to_string(list(chunk ORDER BY idx), ' ') AS clean_text
+             |  FROM F GROUP BY doc_id),
+             |N AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+             |  FROM H GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(N.n_chunks, 0) AS n_chunks,
+             |  COALESCE(K.n_kept, 0) AS n_kept,
+             |  COALESCE(K.clean_text, '') AS clean_text
+             |FROM documents d
+             |LEFT JOIN N ON N.doc_id = d.doc_id
+             |LEFT JOIN K ON K.doc_id = d.doc_id""".stripMargin))
   )
 }

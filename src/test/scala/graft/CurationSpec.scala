@@ -55,6 +55,27 @@ class CurationSpec extends SparkSpec {
     assert(t == Map("big" -> 10L, "tiny" -> 1L), s"got $t")
   }
 
+  test("t24 intra-doc dedup strips repeated chunks, keeps first occurrence, preserves order") {
+    import spark.implicits._
+    // doc 0: chunk A repeated 3x around chunk B -> keep first A + B, in order;
+    // doc 1: no repeats -> identity; doc 2: token-less -> 0 chunks, empty text.
+    // 8-word chunks: craft texts whose chunk boundaries align exactly.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight"
+    val docs = Seq(
+      (0L, s"$a $b $a $a"),
+      (1L, s"$b $a"),
+      (2L, "... !!! ---")
+    ).toDF("doc_id", "text")
+    val res = graft.operators.Curation
+      .intraDocDedup(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res(0L) == ((4L, 2L, s"$a $b")), s"got ${res(0L)}")
+    assert(res(1L) == ((2L, 2L, s"$b $a")), s"got ${res(1L)}")
+    assert(res(2L) == ((0L, 0L, "")), s"got ${res(2L)}")
+  }
+
   test("decontaminate flags exactly the docs with >= minHits distinct shared shingles") {
     import spark.implicits._
     Caches.release()

@@ -209,6 +209,20 @@ MODES = {
         "probe_shuffle": 256,
         "probe_mem": "16g",
     },
+    "r16b": {
+        # t24 (intra-doc dedup) at 100x: t22's chunk-explode +
+        # reconstruction shape MINUS the corpus-level distinct/DF gate,
+        # PLUS a (doc_id, chunk-hash) rank-filter whose groups are one
+        # doc's copies of one chunk — expected at or below t22's band
+        # (r11 probe: ~5x).
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["t24_intradoc_dedup"],
+        "iters": 2,
+        "reps": 2,
+        "out": f"{REPO}/BENCH_r16b_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+    },
     "r11ev": {
         # e08 last-touch attribution over the 100x event stream: the
         # AsOf cogrouped merge on user_id (e05's plan) + a |channels|-
