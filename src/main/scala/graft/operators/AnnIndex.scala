@@ -604,7 +604,6 @@ object AnnIndex {
     * from the rebuild contract instead.)
     */
   def appendSketchVectors(path: String, vecs: DataFrame): Unit = {
-    import graft.expressions.NativeFns.sketch_project
     val spark = vecs.sparkSession
     val meta = loadSketchMeta(spark, path)
     val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
@@ -616,27 +615,50 @@ object AnnIndex {
     val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def listing(): Set[String] = fs.listStatus(vp)
       .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
-    // Crash repair FIRST: a prior append that died between the two
-    // table writes left vector rows with no sketch — pass 1 scans only
-    // the sketch table, so those rows would be invisible to every
-    // search forever, silently breaking the row-identical-to-rebuild
-    // contract. Detect via an id-only anti-join (columnar: reads the
-    // two id columns, ~sketchDim/dim of the table bytes); only a real
-    // orphan set pays the full-vector re-read.
-    // the q8 sibling (v2 indexes) appends in lockstep: both the orphan
-    // repair and the delta pass derive its rows from the same float
-    // sketches they just appended, keeping quantize-at-write ==
-    // quantize-at-rebuild
-    def appendSketches(src: DataFrame): Unit = {
-      val sk = src.select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
-      sk.write.mode("append").parquet(s"$path/sketches")
-      if (meta.hasQ8)
-        sk.select(col("vec_id"), Similarity.quantizeSketch(col("sk")).as("sk"))
-          .write.mode("append").parquet(s"$path/sketches_q8")
-    }
-    // q8-specific crash repair first: a prior append that died between
-    // the float-sketch and q8 writes left q8 rows missing — invisible
-    // to every quantized search. Repair derives from the float table
+    // Crash repair FIRST (see [[repairSketchOrphans]]) — a prior torn
+    // append must be healed before this append lists the vectors dir.
+    repairSketchOrphans(spark, path)
+    val before = listing()
+    vecs.toDF("vec_id", "c_vec")
+      .write.mode("append").parquet(s"$path/vectors")
+    val delta = (listing() -- before).toSeq.sorted
+    if (delta.nonEmpty)
+      appendSketches(spark, path, meta, r, spark.read.parquet(delta: _*))
+  }
+
+  // the q8 sibling (v2 indexes) appends in lockstep: both the orphan
+  // repair and the delta pass derive its rows from the same float
+  // sketches they just appended, keeping quantize-at-write ==
+  // quantize-at-rebuild
+  private def appendSketches(spark: SparkSession, path: String,
+                             meta: SketchMeta, r: Array[Array[Float]],
+                             src: DataFrame): Unit = {
+    import graft.expressions.NativeFns.sketch_project
+    val sk = src.select(col("vec_id"), sketch_project(col("c_vec"), r).as("sk"))
+    sk.write.mode("append").parquet(s"$path/sketches")
+    if (meta.hasQ8)
+      sk.select(col("vec_id"), Similarity.quantizeSketch(col("sk")).as("sk"))
+        .write.mode("append").parquet(s"$path/sketches_q8")
+  }
+
+  /** Heal a torn prior append: a crash between the two (or three)
+    * table writes left vector rows with no sketch — pass 1 scans only
+    * the sketch table, so those rows would be invisible to every
+    * search forever, silently breaking the row-identical-to-rebuild
+    * contract. Detect via an id-only anti-join (columnar: reads the
+    * two id columns, ~sketchDim/dim of the table bytes); only a real
+    * orphan set pays the full-vector re-read. Runs automatically at
+    * the head of every [[appendSketchVectors]]; exposed so callers
+    * whose append path is SKIPPED on a replay (a fully-duplicate
+    * streaming batch — [[graft.streaming.AnnStream]]) can still heal
+    * a crash that landed inside the original append.
+    */
+  def repairSketchOrphans(spark: SparkSession, path: String): Unit = {
+    val meta = loadSketchMeta(spark, path)
+    val r = Similarity.sketchMatrix(meta.dim, meta.sketchDim, meta.seed)
+    // q8-specific repair first: a prior append that died between the
+    // float-sketch and q8 writes left q8 rows missing — invisible to
+    // every quantized search. Repair derives from the float table
     // (cheap: sketch-sized, no vector re-read).
     if (meta.hasQ8) {
       val q8Orphans = spark.read.parquet(s"$path/sketches").select("vec_id")
@@ -651,14 +673,8 @@ object AnnIndex {
       .join(spark.read.parquet(s"$path/sketches").select("vec_id"),
         Seq("vec_id"), "left_anti")
     if (!orphanIds.isEmpty)
-      appendSketches(spark.read.parquet(s"$path/vectors")
-        .join(orphanIds, Seq("vec_id")))
-    val before = listing()
-    vecs.toDF("vec_id", "c_vec")
-      .write.mode("append").parquet(s"$path/vectors")
-    val delta = (listing() -- before).toSeq.sorted
-    if (delta.nonEmpty)
-      appendSketches(spark.read.parquet(delta: _*))
+      appendSketches(spark, path, meta, r,
+        spark.read.parquet(s"$path/vectors").join(orphanIds, Seq("vec_id")))
   }
 
   /** Assign `vecs` (id, vec) to their nearest existing centroids and

@@ -155,20 +155,24 @@ object Curation {
     val base = docs.select(idCol.as("doc_id"), textCol.as("text"))
     val chunkArr =
       graft.expressions.NativeFns.word_chunks(col("text"), chunkWords)
-    val chunked = base
+    // ONE corpus pass: the rn-windowed frame feeds a single doc_id
+    // aggregation producing total, kept count, AND the reconstruction
+    // (collect_list skips the nulls `when` leaves on non-first copies)
+    // — a separate n_chunks aggregation would re-scan and re-explode
+    // the corpus, since Catalyst does not share the subtree between
+    // two consumers.
+    val ranked = base
       .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
-      .withColumn("h", md5(col("chunk")))
-    val firsts = chunked
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"), col("h")).orderBy(col("idx"))))
-      .filter(col("rn") === 1)
-    val kept = firsts.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+        Window.partitionBy(col("doc_id"), md5(col("chunk")))
+          .orderBy(col("idx"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(struct(col("idx"), col("chunk")))),
+          array_sort(collect_list(
+            when(col("rn") === 1, struct(col("idx"), col("chunk"))))),
           c => c.getField("chunk")), " ").as("clean_text"))
-    chunked.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-      .join(kept, Seq("doc_id"), "left")
       .join(base.select(col("doc_id")), Seq("doc_id"), "right")
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -205,7 +209,9 @@ object Curation {
                      alpha: Double, budget: Long,
                      buckets: Int = 0): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // alpha = 0 is the documented uniform mix: pow(p, 0) = 1 exactly in
+    // both engines, renormalizing to 1/|strata| per stratum
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val base = docs.select(stratumCol.as("stratum"), idCol.as("id"))

@@ -619,6 +619,10 @@ object Dedup {
     * kernel ([[graft.expressions.ScoredPairs]]) normalizes each pair
     * to (min,max), so the delta/base sides are carried through a
     * parity bit (delta = 2·id+1, base = 2·id) and decoded after.
+    * ENFORCED in-plan: a violating id raises at encode time (a
+    * negative id would otherwise decode onto the wrong side and emit
+    * silently swapped garbage), costing one codegen'd branch per row,
+    * never an extra validation pass.
     */
   def semFlags(base: DataFrame, delta: DataFrame,
                idCol: Column, vecCol: Column,
@@ -634,7 +638,11 @@ object Dedup {
     def prep(df: DataFrame, parity: Int) = df
       .withColumn("cell", nearest_centroid(col("v"), cents))
       .select(col("cell"),
-        (shiftleft(col("vec_id"), 1) + lit(parity.toLong)).as("id"),
+        when(col("vec_id") < 0 || col("vec_id") >= lit(1L << 62),
+          raise_error(concat(lit("semFlags: vec_id out of the [0, 2^62) " +
+            "parity-encoding contract: "), col("vec_id").cast("string"))))
+          .otherwise(shiftleft(col("vec_id"), 1) + lit(parity.toLong))
+          .as("id"),
         col("v"), vec_norm(col("v")).as("_nm"))
     // same cellCap blocking as [[embeddingPairs]], per side: a hot
     // cell splits into ceil(n/cellCap) hash groups so no single task

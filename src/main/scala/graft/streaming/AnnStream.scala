@@ -85,22 +85,35 @@ object AnnStream {
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaPath)) {
       // bootstrap — writeSketch writes meta LAST, so a crash mid-build
-      // replays into this branch and the overwrite modes reset cleanly
-      AnnIndex.writeSketch(indexDir, rows, sketchDim, dim, q8 = q8,
-        curve = targetRecall > 0, curveK = k)
+      // replays into this branch and the overwrite modes reset cleanly.
+      // An EMPTY first batch must not bootstrap: a zero-row build with
+      // curve=true persists a degenerate curve (grid [0], recall NaN)
+      // that poisons every later chooseM — mark it committed and let
+      // the first non-empty batch bootstrap instead.
+      if (!rows.isEmpty)
+        AnnIndex.writeSketch(indexDir, rows, sketchDim, dim, q8 = q8,
+          curve = targetRecall > 0, curveK = k)
     } else {
       val known = spark.read.parquet(s"$indexDir/vectors").select("vec_id")
       val fresh = rows.join(known, Seq("vec_id"), "left_anti")
-      if (!fresh.isEmpty) {
+      if (fresh.isEmpty) {
+        // a fully-duplicate batch can be the replay of an append that
+        // crashed BETWEEN its table writes (vectors landed, sketches
+        // torn) — the repair lives at the head of appendSketchVectors,
+        // which this branch skips, so run it explicitly or the marker
+        // below would commit over a torn index
+        AnnIndex.repairSketchOrphans(spark, indexDir)
+      } else {
         AnnIndex.appendSketchVectors(indexDir, fresh)
         if (targetRecall > 0 &&
             AnnIndex.needsRetrain(spark, indexDir, k, targetRecall, slack)) {
           AnnIndex.refreshCurve(spark, indexDir)
-          // re-grounded curve must serve the target (needsRetrain on a
-          // just-refreshed curve is false unless chooseM refuses — the
-          // loud unreachable-target failure documented above)
-          assert(!AnnIndex.needsRetrain(spark, indexDir, k, targetRecall,
-            slack))
+          // the re-grounded curve must still serve the target: chooseM
+          // reads the refreshed meta (two parquet footers, no corpus
+          // pass) and REFUSES with the ceiling named if no m delivers —
+          // the loud unreachable-target failure documented above
+          AnnIndex.chooseM(AnnIndex.loadSketchMeta(spark, indexDir),
+            k, targetRecall)
         }
       }
     }

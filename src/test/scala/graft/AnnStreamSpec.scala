@@ -78,6 +78,41 @@ class AnnStreamSpec extends SparkSpec {
       AnnStream.processBatch(dup, dir, batchId = 9L)
     }
     assert(ex.getMessage.contains("duplicate vec_ids"))
+
+    // replay window 3: the original append crashed BETWEEN its table
+    // writes (vectors landed, sketches torn). Simulate by appending
+    // vectors directly, then replaying the batch: fresh is empty, so
+    // the repair branch (not the append) must heal the orphans before
+    // the marker commits.
+    val torn = Seq((90001L, Seq.fill(64)(0.25f)), (90002L, Seq.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    torn.toDF("vec_id", "c_vec").write.mode("append").parquet(s"$dir/vectors")
+    val sketchCount0 = spark.read.parquet(s"$dir/sketches").count()
+    AnnStream.processBatch(torn, dir, batchId = 2L)
+    assert(spark.read.parquet(s"$dir/sketches").count() == sketchCount0 + 2,
+      "replay of a torn append must heal the sketch orphans")
+    assert(fs.exists(new Path(s"$dir/commits/2")))
+  }
+
+  test("an empty bootstrap batch must not poison the recall curve") {
+    import spark.implicits._
+    val dim = 64
+    val dir = Files.createTempDirectory("graft-ann-empty").toString
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    AnnStream.processBatch(empty, dir, 0L, targetRecall = 0.5, k = 10)
+    // nothing bootstrapped — no meta, just the commit marker
+    val meta = new Path(s"$dir/sketch_meta")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(meta))
+    assert(fs.exists(new Path(s"$dir/commits/0")))
+    // the first non-empty batch bootstraps with a REAL curve
+    val b1 = (0L until 60L).map { i =>
+      (i, Seq.tabulate(dim)(d => if (d == (i % 3).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    AnnStream.processBatch(b1, dir, 1L, targetRecall = 0.5, k = 10)
+    val m = graft.operators.AnnIndex.loadSketchMeta(spark, dir)
+    assert(m.curveM.nonEmpty && m.curveM.forall(_ > 0))
+    assert(m.curveRecall.forall(r => !r.isNaN))
   }
 
   test("drift loop: a decaying append re-grounds the curve and keeps the target served") {
