@@ -188,6 +188,8 @@ object Curation {
     * stratum then contributes its `target` lowest-`md5(id)` documents
     * (the t10 deterministic-sampling recipe), so the selection is a
     * pure function of the corpus — no RNG, both engines replay it.
+    * Strata must be NON-NULL (an in-plan guard refuses otherwise — see
+    * the population note in the body).
     * Returns the SELECTED rows: (id, stratum, n_stratum, target).
     *
     * Determinism across engines: the renormalizer sums the per-stratum
@@ -214,7 +216,18 @@ object Curation {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val base = docs.select(stratumCol.as("stratum"), idCol.as("id"))
+    // a NULL stratum is a labeling bug, not a tail language: Spark's
+    // null-safe join would quietly give it its own stratum while a SQL
+    // restatement with USING/= drops it — an engine divergence no
+    // fixture without NULLs can catch. Refuse in-plan (one codegen
+    // branch per row, the semFlags guard pattern) so both engines see
+    // the same population or neither runs.
+    val base = docs.select(
+      when(stratumCol.isNull,
+        raise_error(lit("temperatureMix: NULL stratum — strata must be " +
+          "non-null; filter or impute upstream")))
+        .otherwise(stratumCol).as("stratum"),
+      idCol.as("id"))
     // per-stratum counts -> exact-decimal renormalized p^alpha targets;
     // the counts table is |strata|-sized, so the full-frame windows
     // below shuffle a handful of rows, never the corpus

@@ -22,15 +22,21 @@ import graft.operators.AnnIndex
   *
   * Exactly-once story (foreachBatch is at-least-once on replay), built
   * on the index's own repair machinery rather than a second log:
-  *  - a `commits/<batchId>` marker under the index dir makes a replay
-  *    of a fully-committed batch a no-op;
-  *  - the crash window between the append and the marker is closed by
-  *    anti-joining the batch's ids against the ids ALREADY indexed —
-  *    the replayed append inserts nothing, so searches can never see
-  *    duplicate rows. `vec_id` is therefore the identity: a re-sent id
-  *    is BY CONTRACT a replay (a batch whose ids collide with already
-  *    indexed vectors but carries different embeddings is a source
-  *    keying bug this sink cannot distinguish from a replay);
+  *  - idempotence is carried by the id anti-join alone: the batch's ids
+  *    are anti-joined against the ids ALREADY indexed, so a replayed
+  *    append inserts nothing and searches can never see duplicate rows.
+  *    `vec_id` is therefore the identity: a re-sent id is BY CONTRACT a
+  *    replay (a batch whose ids collide with already indexed vectors
+  *    but carries different embeddings is a source keying bug this sink
+  *    cannot distinguish from a replay);
+  *  - a `commits/<batchId>` marker under the index dir only elides the
+  *    orphan-repair + drift re-check on a fully-duplicate replay. It is
+  *    deliberately NOT a processing gate: batchIds restart at 0 under a
+  *    new checkpointLocation, so a marker left by a previous stream
+  *    lineage can collide with a genuinely fresh batch — gating on it
+  *    would silently drop that batch, while falling through to the
+  *    anti-join appends the fresh ids correctly and still makes the
+  *    true replay a cheap no-op;
   *  - torn appends INSIDE a batch (vectors written, sketches or the q8
   *    sibling missing) are healed by appendSketchVectors' own
   *    orphan-repair passes on the next batch, exactly as in batch mode.
@@ -69,7 +75,10 @@ object AnnStream {
                    sketchDim: Int = 16, dim: Int = 64,
                    q8: Boolean = false, targetRecall: Double = 0.0,
                    k: Int = 10, slack: Double = 0.05): Unit = {
-    if (committed(batch, indexDir, batchId)) return
+    // the marker is consulted, never gated on: see the scaladoc — a new
+    // checkpoint lineage restarts batchIds at 0 and can collide with a
+    // leftover marker, so only the anti-join below decides what appends
+    val alreadyCommitted = committed(batch, indexDir, batchId)
     val spark = batch.sparkSession
     val rows = batch.select(col("vec_id"), col("embedding"))
     // duplicate ids WITHIN a batch are a source keying bug, not a
@@ -97,12 +106,25 @@ object AnnStream {
       val known = spark.read.parquet(s"$indexDir/vectors").select("vec_id")
       val fresh = rows.join(known, Seq("vec_id"), "left_anti")
       if (fresh.isEmpty) {
-        // a fully-duplicate batch can be the replay of an append that
-        // crashed BETWEEN its table writes (vectors landed, sketches
-        // torn) — the repair lives at the head of appendSketchVectors,
-        // which this branch skips, so run it explicitly or the marker
-        // below would commit over a torn index
-        AnnIndex.repairSketchOrphans(spark, indexDir)
+        // a fully-duplicate batch with no marker is the replay of an
+        // append that crashed BETWEEN its table writes (vectors landed,
+        // sketches torn) or between the drift re-check and the marker —
+        // so heal orphans (lives at the head of appendSketchVectors,
+        // which this branch skips) AND re-run the drift loop: the
+        // original run may have died before re-grounding a decayed
+        // curve, and committing without the check would defer the
+        // promised loud failure until the next non-empty append while
+        // the index keeps serving below target. A markered replay
+        // skips both: the marker certifies they already ran.
+        if (!alreadyCommitted) {
+          AnnIndex.repairSketchOrphans(spark, indexDir)
+          if (targetRecall > 0 &&
+              AnnIndex.needsRetrain(spark, indexDir, k, targetRecall, slack)) {
+            AnnIndex.refreshCurve(spark, indexDir)
+            AnnIndex.chooseM(AnnIndex.loadSketchMeta(spark, indexDir),
+              k, targetRecall)
+          }
+        }
       } else {
         AnnIndex.appendSketchVectors(indexDir, fresh)
         if (targetRecall > 0 &&

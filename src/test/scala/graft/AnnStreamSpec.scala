@@ -92,6 +92,23 @@ class AnnStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sketches").count() == sketchCount0 + 2,
       "replay of a torn append must heal the sketch orphans")
     assert(fs.exists(new Path(s"$dir/commits/2")))
+
+    // marker collision: a stream restarted with a NEW checkpoint
+    // restarts batchIds at 0, so a leftover commits/<id> marker from
+    // the previous lineage can collide with a genuinely fresh batch —
+    // the marker must not gate processing (the anti-join decides), or
+    // the fresh vectors would be silently dropped
+    fs.create(new Path(s"$dir/commits/7"), true).close()
+    val nBefore = vecCount(dir)
+    val freshUnderStaleMarker =
+      Seq((91001L, Seq.fill(64)(0.75f)), (91002L, Seq.fill(64)(0.9f)))
+        .toDF("vec_id", "embedding")
+    AnnStream.processBatch(freshUnderStaleMarker, dir, batchId = 7L)
+    assert(vecCount(dir) == nBefore + 2,
+      "a stale marker from another checkpoint lineage must not drop a fresh batch")
+    assert(rows(AnnIndex.searchSketch(spark, dir,
+      freshUnderStaleMarker.select($"vec_id", $"embedding"), k = 1, m = 200))
+      .nonEmpty)
   }
 
   test("an empty bootstrap batch must not poison the recall curve") {
@@ -154,5 +171,34 @@ class AnnStreamSpec extends SparkSpec {
     val served = AnnIndex.searchSketchAtRecall(spark, dir, queries,
       k = 10, targetRecall = 0.5)
     assert(served.count() > 0)
+  }
+
+  test("crash-window replay re-checks drift: an append that died before the " +
+       "drift loop must not commit a decayed curve") {
+    import spark.implicits._
+    val dim = 64
+    val b0 = (0L until 60L).map { i =>
+      (i, Seq.tabulate(dim)(d => if (d == (i % 3).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val b1 = (100L until 700L).map { i =>
+      (i, Seq.tabulate(dim) { d =>
+        (scala.util.hashing.MurmurHash3.productHash((i, d)) % 997) / 997f
+      })
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-ann-crash-drift").toString
+    AnnStream.processBatch(b0, dir, 0L, targetRecall = 0.5, k = 10)
+    // simulate the original batch-1 run: the append completed but the
+    // process died BEFORE needsRetrain/the marker — the index now
+    // carries a decayed curve and no commit record
+    AnnIndex.appendSketchVectors(dir, b1)
+    assert(AnnIndex.needsRetrain(spark, dir, k = 10, targetRecall = 0.5),
+      "fixture must actually decay the curve")
+    // the restarted stream replays batch 1: fresh-empty and unmarked —
+    // the drift loop must run HERE, not be deferred to the next append
+    AnnStream.processBatch(b1, dir, 1L, targetRecall = 0.5, k = 10)
+    assert(!AnnIndex.needsRetrain(spark, dir, k = 10, targetRecall = 0.5),
+      "crash-window replay must re-ground the curve before committing")
+    assert(new Path(s"$dir/commits/1").getFileSystem(
+      spark.sessionState.newHadoopConf()).exists(new Path(s"$dir/commits/1")))
   }
 }

@@ -55,6 +55,27 @@ class CurationSpec extends SparkSpec {
     assert(t == Map("big" -> 10L, "tiny" -> 1L), s"got $t")
   }
 
+  test("temperatureMix: a NULL stratum refuses loudly (engine-divergence guard)") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Spark's null-safe join would give NULL its own stratum while a
+    // SQL USING join drops it — the in-plan guard makes both engines
+    // see the same population or neither run
+    val docs = Seq((0L, Some("en")), (1L, Some("en")), (2L, None))
+      .toDF("doc_id", "stratum")
+    val ex = intercept[Exception] {
+      Curation.temperatureMix(docs, $"stratum", $"doc_id",
+        alpha = 0.5, budget = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("NULL stratum")), s"got $ex")
+    // non-null corpora are untouched by the guard
+    val ok = Curation.temperatureMix(docs.filter($"stratum".isNotNull),
+      $"stratum", $"doc_id", alpha = 0.5, budget = 2)
+    assert(ok.count() == 2)
+  }
+
   test("t24 intra-doc dedup strips repeated chunks, keeps first occurrence, preserves order") {
     import spark.implicits._
     // doc 0: chunk A repeated 3x around chunk B -> keep first A + B, in order;
