@@ -3,30 +3,57 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Sketch/approximate aggregates. No DuckDB oracle: HLL++ (Spark) and
-  * DuckDB's approx algorithms differ by design — the driver records the
-  * weaker rows-only check for these (builder contract allows omitting
-  * `oracleSql` for non-SQL-expressible ops). The exact counterparts are
-  * oracle-checked elsewhere (q15 countDistinct, e02 n_users).
+/** Sketch/approximate aggregates. The sketch BINARIES/estimates are not
+  * DuckDB-expressible (HLL++ vs DuckDB's approx algorithms differ by
+  * design), so x01/x03 carry TOLERANCE CONTRACTS instead of raw
+  * estimates: each query computes the exact twin in the SAME run and
+  * emits explicit `*_tol_ok` booleans (estimate within the documented
+  * bound of the exact answer) alongside fully-exact columns — the
+  * DuckDB oracle restates the exact columns and asserts TRUE for the
+  * contract booleans, so the driver's rows/schema/hash gate verifies
+  * the whole row. The bounds are the algorithms' published guarantees
+  * ([[HllRtol]]: 5× the requested rsd 0.01; the median must sit inside
+  * the exact [p49, p51] band — percentile_approx(accuracy=1000)
+  * promises rank ±1/1000, checked 10× wider), shared with the
+  * QueriesSpec pins. The pure sketch-only serving plans (no exact
+  * twin — what a 100 TB job runs) are exercised by SketchMergeSpec and
+  * the rollup probe; the exact twins here are the verification
+  * harness, not the serving shape.
   */
 object SketchOps extends QuerySet {
+
+  /** HLL estimates must land within ±5% of exact (rsd 0.01 requested in
+    * x01 ⇒ 5σ; lgK=12 in x03 ⇒ rsd ~1.6%, 3σ). Referenced by the
+    * QueriesSpec pins so the spec and the shipped contract cannot
+    * drift. */
+  val HllRtol = 0.05
 
   val all: Seq[Q] = Seq(
 
     // approx_count_distinct (HLL++) + quantile sketch per event type —
     // the at-scale forms of distinct-count and percentile (exact
     // versions shuffle every distinct value; sketches shuffle ~KB).
+    // Registered output = the tolerance contract (see object scaladoc):
+    // one groupBy computes sketch + exact twin together.
     Q("x01_sketch_aggregates",
       (s, d) => {
         import s.implicits._
         Tables.load(s, d, "events")
           .groupBy($"event_type")
           .agg(
-            approx_count_distinct($"user_id", 0.01).as("approx_users"),
-            percentile_approx($"value", lit(0.5), lit(1000)).as("median_value"),
+            approx_count_distinct($"user_id", 0.01).as("au"),
+            percentile_approx($"value", lit(0.5), lit(1000)).as("mv"),
+            countDistinct($"user_id").as("nd"),
+            expr("percentile(value, 0.49)").as("plo"),
+            expr("percentile(value, 0.51)").as("phi"),
             count(lit(1)).as("n"))
+          .select($"event_type", $"n",
+            (abs($"au" - $"nd") <= $"nd" * HllRtol).as("users_tol_ok"),
+            ($"mv" >= $"plo" && $"mv" <= $"phi").as("median_tol_ok"))
       },
-      None),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  TRUE AS users_tol_ok, TRUE AS median_tol_ok
+             |FROM events GROUP BY event_type""".stripMargin)),
 
     // Exact twins of the x01 sketches, per event type — fully
     // oracle-checkable (exact distinct count; exact continuous
@@ -59,22 +86,33 @@ object SketchOps extends QuerySet {
     // without rescanning events — the thing an exact countDistinct
     // fundamentally cannot do incrementally. Register-wise max makes
     // the union order-independent, so results are deterministic under
-    // any partitioning. No DuckDB oracle (engine-specific binary);
-    // QueriesSpec pins the estimates against exact counts.
+    // any partitioning. Registered output = the tolerance contract
+    // (object scaladoc): the merged estimate checks against an exact
+    // countDistinct computed in the same run; the day-sketch counts
+    // and event totals are exact and fully oracled.
     Q("x03_sketch_columns",
       (s, d) => {
         import s.implicits._
-        Tables.load(s, d, "events")
+        val ev = Tables.load(s, d, "events")
+        val merged = ev
           .groupBy($"event_type", to_date($"ts").as("day"))
           .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"),
             count(lit(1)).as("n"))
           .groupBy($"event_type")
           .agg(
-            hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"),
+            hll_sketch_estimate(hll_union_agg($"sk")).as("au"),
             sum($"n").as("n_events"),
             count(lit(1)).as("n_day_sketches"))
+        val exact = ev.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("nd"))
+        merged.join(exact, Seq("event_type"))
+          .select($"event_type", $"n_events", $"n_day_sketches",
+            (abs($"au" - $"nd") <= $"nd" * HllRtol).as("users_tol_ok"))
       },
-      None),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
+             |  TRUE AS users_tol_ok
+             |FROM events GROUP BY event_type""".stripMargin)),
 
     // --- Heavy hitters over the token stream: Misra-Gries sketch
     // (bounded ≤m counters per partial, mergeable with additive error —

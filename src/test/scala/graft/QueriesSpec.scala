@@ -214,58 +214,75 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("x01 sketches stay within error bounds of the exact twin x02") {
+  test("x01 tolerance contract: booleans hold, and the raw sketch really " +
+       "sits within the pinned bounds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // x01 is rows-only at the oracle gate (HLL++/quantile sketches are
-    // not SQL-expressible in DuckDB) — THIS is its machine-checkable
-    // contract: per group, the sketch answers sit inside the algorithms'
-    // published error bounds of the exact answers.
-    val approx = SparkEntry.queries("x01_sketch_aggregates")(spark, sf0001)
-    // exact distinct count + the exact percentile BAND for the sketch's
-    // rank guarantee: percentile_approx(accuracy=1000) returns a true
-    // percentile within rank 0.5 +- 1/1000; probe a 10x-wider band
-    val exact = Tables.load(spark, sf0001, "events")
+    // x01's registered output IS the contract (tol booleans + exact n,
+    // fully DuckDB-oracled); this pin (a) asserts the shipped booleans
+    // are true — never null — at sf0001, and (b) recomputes the RAW
+    // estimate-vs-exact comparison independently, so a bug in the
+    // in-query boolean logic (e.g. an accidental lit(true)) cannot
+    // self-certify.
+    val contract = SparkEntry.queries("x01_sketch_aggregates")(spark, sf0001)
+      .collect()
+    assert(contract.nonEmpty)
+    contract.foreach { r =>
+      assert(r.getAs[Boolean]("users_tol_ok"), s"contract violated: $r")
+      assert(r.getAs[Boolean]("median_tol_ok"), s"contract violated: $r")
+    }
+    val raw = Tables.load(spark, sf0001, "events")
       .groupBy($"event_type")
-      .agg(countDistinct($"user_id").as("nd_users"),
+      .agg(approx_count_distinct($"user_id", 0.01).as("approx_users"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("median_value"),
+        countDistinct($"user_id").as("nd_users"),
         expr("percentile(value, 0.49)").as("p_lo"),
         expr("percentile(value, 0.51)").as("p_hi"))
-    val joined = approx.join(exact, "event_type").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
+      .collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
       val approxU = r.getAs[Long]("approx_users").toDouble
       val exactU = r.getAs[Long]("nd_users").toDouble
-      // rsd 0.01 requested -> 5 sigma tolerance
-      assert(math.abs(approxU - exactU) / exactU <= 0.05,
-        s"HLL count off >5%: $r")
+      // rsd 0.01 requested -> 5 sigma tolerance, the shipped constant
+      assert(math.abs(approxU - exactU) / exactU <= queries.SketchOps.HllRtol,
+        s"HLL count off >${queries.SketchOps.HllRtol}: $r")
       val med = r.getAs[Double]("median_value")
       assert(med >= r.getAs[Double]("p_lo") && med <= r.getAs[Double]("p_hi"),
         s"approx median outside exact [p49, p51] band: $r")
     }
   }
 
-  test("x03 mergeable sketch columns estimate within HLL error of exact") {
+  test("x03 tolerance contract holds; union merges multiple day sketches; " +
+       "deterministic across runs") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val merged = SparkEntry.queries("x03_sketch_columns")(spark, sf0001)
-    val exact = Tables.load(spark, sf0001, "events")
-      .groupBy($"event_type")
-      .agg(countDistinct($"user_id").as("nd_users"))
-    val joined = merged.join(exact, "event_type").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val ex = r.getAs[Long]("nd_users").toDouble
-      // lgK=12 -> rsd ~1.6%; 3x tolerance
-      assert(math.abs(approx - ex) / ex <= 0.05,
-        s"merged HLL estimate off >5%: $r")
+    val rows = merged.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("users_tol_ok"), s"contract violated: $r")
       // the union actually merged multiple day sketches
       assert(r.getAs[Long]("n_day_sketches") > 1, s"degenerate: $r")
+    }
+    // independent raw pin: merged-union estimate vs exact, outside the
+    // query's own boolean
+    val ev = Tables.load(spark, sf0001, "events")
+    val est = ev.groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("nd_users"))
+    est.join(exact, "event_type").collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val ex = r.getAs[Long]("nd_users").toDouble
+      assert(math.abs(approx - ex) / ex <= queries.SketchOps.HllRtol,
+        s"merged HLL estimate off >${queries.SketchOps.HllRtol}: $r")
     }
     // determinism across runs (register-max union is order-independent)
     val again = SparkEntry.queries("x03_sketch_columns")(spark, sf0001)
       .collect().map(_.toString).sorted
-    assert(again.sameElements(merged.collect().map(_.toString).sorted))
+    assert(again.sameElements(rows.map(_.toString).sorted))
   }
 
   test("dedup/minhash operators are deterministic across runs") {
