@@ -882,15 +882,42 @@ object TextOps extends QuerySet {
     // own length, and a pathological mega-doc costs only itself. The
     // final right join keeps output exactly |documents| (token-less
     // docs: 0 chunks, empty clean_text).
+    //
+    // The synthetic corpus has no intra-doc repeats, which would leave
+    // the oracle validating only chunking+reconstruction identity — so
+    // BOTH engines derive a repeat-injected corpus from `documents`
+    // first: each doc's words are truncated to a multiple of 8 (the
+    // chunk width, so the injection lands on a chunk boundary) and its
+    // first 8-word chunk is appended twice — template spam, literally.
+    // Every ≥8-word doc then has n_kept < n_chunks and the strip path
+    // itself is what the rows/schema/hash gate verifies; sub-8-word
+    // docs pass through raw (≤1 chunk, nothing to strip).
     Q("t24_intradoc_dedup",
       (s, d) => {
         import s.implicits._
-        graft.operators.Curation.intraDocDedup(
-          Tables.load(s, d, "documents"), $"doc_id", $"text")
+        val words = filter(
+          split(lower($"text"), "[^a-z0-9]+"), w => w =!= lit(""))
+        val derived = Tables.load(s, d, "documents")
+          .withColumn("_ws", words)
+          .withColumn("_k8", size($"_ws") - pmod(size($"_ws"), lit(8)))
+          .select($"doc_id",
+            when(size($"_ws") >= 8,
+              array_join(concat(
+                slice($"_ws", lit(1), $"_k8"),
+                slice($"_ws", 1, 8), slice($"_ws", 1, 8)), " "))
+              .otherwise($"text").as("text"))
+        graft.operators.Curation.intraDocDedup(derived, $"doc_id", $"text")
       },
-      Some("""WITH W AS (SELECT doc_id,
-             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+      Some("""WITH W0 AS (SELECT doc_id, text,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
              |  FROM documents),
+             |D AS (SELECT doc_id,
+             |  CASE WHEN len(ws) >= 8 THEN array_to_string(
+             |    ws[1:(len(ws)//8)*8] || ws[1:8] || ws[1:8], ' ')
+             |  ELSE text END AS text FROM W0),
+             |W AS (SELECT doc_id,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+             |  FROM D),
              |C AS (SELECT doc_id, idx,
              |  array_to_string(words[idx*8+1:idx*8+8], ' ') AS chunk
              |  FROM (SELECT doc_id, words,
