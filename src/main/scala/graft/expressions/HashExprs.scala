@@ -1058,6 +1058,51 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `max_cos(vec, nm)`: maximum cosine similarity of the `array<float>`
+  * input against an embedded seed set — the per-row kernel of the
+  * distributed k-center traversal
+  * ([[graft.operators.Similarity.kcenterSeedsDistributed]]). `nm` is
+  * the row's precomputed [[VecNorm]]; seed norms ride with the seeds.
+  * The fold is operation-for-operation the driver traversal's loop —
+  * seeds in ascending order, dot in ascending index over the common
+  * prefix widening floats to double, `cos = dot / (nm * seedNorm)`,
+  * running max via strict `>` from -Infinity — so recomputing the max
+  * over seeds 0..s each round is bit-identical to the driver's
+  * incrementally-updated state (max is order-insensitive only up to
+  * ties, and equal doubles are the same bits). Seeds are
+  * plan-serialized (k x dim floats — a few KB per round).
+  */
+case class MaxCosine(left: Expression, right: Expression,
+                     seeds: Array[Array[Float]], seedNorms: Array[Double])
+    extends BinaryExpression with GraftBinaryDelegateCodegen {
+  require(seeds.nonEmpty && seeds.length == seedNorms.length)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val nm = r.asInstanceOf[Double]
+    var mc = Double.NegativeInfinity
+    var s = 0
+    while (s < seeds.length) {
+      val sv = seeds(s)
+      val n = math.min(arr.numElements(), sv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += arr.getFloat(j).toDouble * sv(j).toDouble
+        j += 1
+      }
+      val cos = dot / (nm * seedNorms(s))
+      if (cos > mc) mc = cos
+      s += 1
+    }
+    mc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxCosine =
+    copy(left = l, right = r)
+  override def prettyName: String = "max_cos"
+}
+
 /** `range_bucket(v)`: number of sorted boundaries <= v — the bucket
   * index of a range partitioning — by binary search. The chained-when
   * fold this replaces generates O(boundaries) comparisons per row:
@@ -1220,6 +1265,10 @@ object NativeFns {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
   def nearest_centroid(vec: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(vec), centroids))
+  def max_cos(vec: Column, nm: Column, seeds: Array[Array[Float]],
+              seedNorms: Array[Double]): Column =
+    ColumnBridge.column(MaxCosine(ColumnBridge.expression(vec),
+      ColumnBridge.expression(nm), seeds, seedNorms))
   def sketch_project(vec: Column, matrix: Array[Array[Float]]): Column =
     ColumnBridge.column(SketchProject(ColumnBridge.expression(vec), matrix))
   def range_bucket(v: Column, bounds: Array[Double]): Column =

@@ -120,7 +120,9 @@ object Similarity {
         s"[graft] kcenterSeeds: corpus rows $n0 exceed SeedSampleCap " +
         s"$SeedSampleCap; seedEvery auto-raised ${seedEvery} -> $every. " +
         "Generated DuckDB seeding oracles replay the full corpus and " +
-        "will DIVERGE at this scale — do not oracle-gate this run.")
+        "will DIVERGE at this scale — do not oracle-gate this run. " +
+        "seedMode=kcenterdist keeps full-corpus (oracle-parity) seeding " +
+        "at any N with flat driver cost.")
     val sampled =
       if (every <= 1) c
       else c.filter(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
@@ -180,6 +182,87 @@ object Similarity {
     chosen.map(i => rows(i).map(_.toDouble))
   }
 
+  /** [[kcenterSeeds]] with the farthest-point state kept DISTRIBUTED —
+    * the any-N escape from the driver cap: the driver never holds more
+    * than the k chosen seeds (one tiny collect per round), so seeding
+    * quality no longer silently degrades to a [[SeedSampleCap]] sample
+    * and driver wall/memory stay flat as the corpus grows.
+    *
+    * Seed-for-seed EQUAL to the driver traversal on the same sample
+    * (spec-pinned): each round evaluates the row's max cosine against
+    * the seeds chosen so far with the [[graft.expressions.MaxCosine]]
+    * kernel — operation-for-operation the driver loop (ascending seed
+    * order, ascending-index double dot, `dot / (nm * seedNorm)`,
+    * strict-> running max), so the values are bit-identical — and the
+    * `min_by(…, struct(_mc, vec_id))` argmin resolves ties to the
+    * lowest id exactly like the driver's strict-< scan. The max is
+    * recomputed from scratch per round (no carried state column, no
+    * lineage growth, ONE job per round over the once-checkpointed
+    * sample): total work is k²/2 dots per row instead of k, bought
+    * deliberately — per-round driver latency and plan depth stay
+    * constant, which at local stage-job latencies dominates the extra
+    * arithmetic by an order of magnitude.
+    *
+    * Cost shape: k rounds × one scan+agg job — wall is
+    * O(k²·N·dim / cores) executor work with O(k·dim) driver bytes;
+    * the driver path is O(k·min(N,cap)·dim) driver-serial CPU holding
+    * a cap-sized sample. Use this above the cap (exact full-corpus
+    * seeding, oracle-parity at any N) or when driver CPU minutes
+    * matter; the capped driver path stays the low-latency choice for
+    * small corpora.
+    */
+  def kcenterSeedsDistributed(corpus: DataFrame, k: Int,
+                              seedEvery: Int = 1,
+                              trimFrac: Double = 0.0): Array[Array[Double]] = {
+    import graft.expressions.NativeFns.{max_cos, vec_norm}
+    val c = corpus.toDF("vec_id", "vec")
+    val sampled =
+      if (seedEvery <= 1) c
+      else c.filter(pmod(xxhash64(col("vec_id")), lit(seedEvery.toLong)) === 0)
+    // same zero-norm seeding exclusion as the driver path (see above);
+    // the sample is pinned ONCE (eager localCheckpoint roots the k
+    // per-round scans at an in-memory table, not the source plan)
+    val base = sampled
+      .withColumn("_nm", vec_norm(col("vec"))).filter(col("_nm") > 0)
+      .select(col("vec_id"), col("vec"), col("_nm"))
+      .localCheckpoint()
+    val n = base.count()
+    require(n > 0,
+      "kcenterSeedsDistributed: empty corpus sample (after zero-norm exclusion)")
+    val k2 = math.min(k.toLong, n).toInt
+    val seeds = new Array[Array[Float]](k2)
+    val seedNorms = new Array[Double](k2)
+    def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
+      r.getSeq[Float](0).toArray
+    var cur = base.orderBy(col("vec_id")).select(col("vec"), col("_nm")).first()
+    var s = 0
+    seeds(s) = vecOf(cur); seedNorms(s) = cur.getDouble(1)
+    while (s + 1 < k2) {
+      val mc = max_cos(col("vec"), col("_nm"),
+        seeds.slice(0, s + 1), seedNorms.slice(0, s + 1))
+      cur =
+        if (trimFrac <= 0.0)
+          base.select(min_by(struct(col("vec"), col("_nm")),
+            struct(mc, col("vec_id"))).as("m"))
+            .select(col("m.vec"), col("m._nm")).first()
+        else {
+          // rank-trimmed farthest point: the row at rank
+          // floor(trimFrac*(n-1)) of the (_mc, vec_id) ascending order
+          // = the LAST of its narrow top-(rank+1) — ids only ship to
+          // the driver, the vector is fetched by id afterwards
+          val rank = math.floor(trimFrac * (n - 1)).toInt
+          val id = base.select(mc.as("_mc"), col("vec_id"))
+            .orderBy(col("_mc"), col("vec_id")).limit(rank + 1)
+            .orderBy(col("_mc").desc, col("vec_id").desc).first().getLong(1)
+          base.filter(col("vec_id") === id)
+            .select(col("vec"), col("_nm")).first()
+        }
+      s += 1
+      seeds(s) = vecOf(cur); seedNorms(s) = cur.getDouble(1)
+    }
+    seeds.map(_.map(_.toDouble))
+  }
+
   /** Deterministic IVF training (k-means-lite): seeds are either the k
     * lowest-id vectors (`seedMode = "lowid"`, the cheap legacy mode) or
     * the greedy k-center traversal of [[kcenterSeeds]] (`seedMode =
@@ -215,10 +298,15 @@ object Similarity {
       case "kcenter" => kcenterSeeds(c, k, seedEvery)
       case m if m.startsWith("kcenter@") =>
         kcenterSeeds(c, k, seedEvery, m.stripPrefix("kcenter@").toDouble)
+      case "kcenterdist" => kcenterSeedsDistributed(c, k, seedEvery)
+      case m if m.startsWith("kcenterdist@") =>
+        kcenterSeedsDistributed(c, k, seedEvery,
+          m.stripPrefix("kcenterdist@").toDouble)
       case "lowid" => c.orderBy(col("vec_id")).limit(k)
         .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
       case other => throw new IllegalArgumentException(
-        s"trainIvfCentroids: unknown seedMode '$other' (lowid|kcenter[@trim])")
+        s"trainIvfCentroids: unknown seedMode '$other' " +
+        "(lowid|kcenter[@trim]|kcenterdist[@trim])")
     }
     // corpora smaller than k seed fewer centroids; size everything by
     // the actual seed count or the empty-cell loop walks off the array

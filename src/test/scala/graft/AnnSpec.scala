@@ -123,6 +123,30 @@ class AnnSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("distributed k-center seeding is seed-for-seed equal to the driver traversal") {
+    import spark.implicits._
+    val (_, c) = queriesAndCorpus
+    // sub-cap corpus: both paths see the identical sample, so the
+    // distributed farthest-point rounds must reproduce the driver
+    // loop's seeds EXACTLY (bit-equal doubles, not approximately) —
+    // the contract that lets the distributed path replace the capped
+    // driver path above SeedSampleCap without changing semantics.
+    // Cover: plain, sampled (seedEvery), rank-trimmed, and a zero-norm
+    // row that seeding must exclude.
+    val withZero = c.unionByName(
+      Seq((999999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding"))
+    for ((every, trim) <- Seq((1, 0.0), (3, 0.0), (1, 0.1))) {
+      val drv = Similarity.kcenterSeeds(withZero, 7, every, trim)
+      val dist = Similarity.kcenterSeedsDistributed(withZero, 7, every, trim)
+      assert(dist.map(_.toSeq).toSeq == drv.map(_.toSeq).toSeq,
+        s"seed sets diverge at seedEvery=$every trimFrac=$trim")
+    }
+    // and through trainIvfCentroids: kcenterdist == kcenter end-to-end
+    val a = Similarity.trainIvfCentroids(c, 8, 2, 64, seedMode = "kcenter")
+    val b = Similarity.trainIvfCentroids(c, 8, 2, 64, seedMode = "kcenterdist")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("IVF training with fewer corpus vectors than k clamps to seed count") {
     import spark.implicits._
     val (_, c) = queriesAndCorpus
