@@ -604,6 +604,9 @@ object Dedup {
     * A 100x corpus grows the pair stage with Σ|cell|² — the nCells
     * dial (≈ sqrt(N) cells in production) keeps cells bounded, exactly
     * the trade the IVF index already measures in BENCH_ann_recall.
+    * `nCells = 0` auto-dials to ceil(sqrt(N)) (measured flattening in
+    * BENCH_semdedup_probe.json); `trained` accepts persisted centroids
+    * (reuse an existing IVF index) and skips training entirely.
     */
   /** Incremental SemDeDup — the delta-vs-base shape of [[semDedup]],
     * mirroring [[incrementalFlags]]: flag each DELTA vector whose
@@ -633,8 +636,13 @@ object Dedup {
     import graft.expressions.NativeFns.{nearest_centroid, vec_norm}
     val b0 = base.select(idCol.as("vec_id"), vecCol.as("v"))
     val d0 = delta.select(idCol.as("vec_id"), vecCol.as("v"))
-    val cents = trained.getOrElse(
-      Similarity.trainedCached(b0, nCells, iters, dim, seedMode))
+    // nCells = 0 auto-dials to ceil(sqrt(|base|)), as in [[semDedup]]
+    val cents = trained.getOrElse {
+      val k =
+        if (nCells > 0) nCells
+        else math.max(1, math.ceil(math.sqrt(b0.count().toDouble)).toInt)
+      Similarity.trainedCached(b0, k, iters, dim, seedMode)
+    }
     def prep(df: DataFrame, parity: Int) = df
       .withColumn("cell", nearest_centroid(col("v"), cents))
       .select(col("cell"),
@@ -680,9 +688,21 @@ object Dedup {
   def semDedup(emb: DataFrame, idCol: Column, vecCol: Column,
                nCells: Int, iters: Int, dim: Int, tau: Double,
                seedMode: String = "kcenter",
-               cellCap: Int = 1024): DataFrame = {
+               cellCap: Int = 1024,
+               trained: Option[Array[Array[Double]]] = None): DataFrame = {
     val base = emb.select(idCol.as("vec_id"), vecCol.as("v"))
-    val cents = Similarity.trainedCached(base, nCells, iters, dim, seedMode)
+    // nCells = 0: auto-dial to ceil(sqrt(N)) — the production setting
+    // from the scale note above (cells ~sqrt(N) rows each, so the pair
+    // stage's Σ|cell|² is ~N^1.5, never N²). One count job buys the
+    // dial; `trained` skips training entirely (the persisted-index
+    // shape — e.g. reuse the s05 IVF index's centroids), making a gate
+    // run's cell assignment a pure map.
+    val cents = trained.getOrElse {
+      val k =
+        if (nCells > 0) nCells
+        else math.max(1, math.ceil(math.sqrt(base.count().toDouble)).toInt)
+      Similarity.trainedCached(base, k, iters, dim, seedMode)
+    }
     val assigned = base.withColumn("cell",
       graft.expressions.NativeFns.nearest_centroid(col("v"), cents))
     val pairs = embeddingPairs(assigned, col("vec_id"), col("v"),

@@ -44,6 +44,32 @@ class AnnSpec extends SparkSpec {
     assert(run(cellCap = 2).toSeq == out.toSeq)
   }
 
+  test("semDedup auto-dial and trained-centroid reuse change the plan, not the semantics") {
+    import spark.implicits._
+    val (_, c) = queriesAndCorpus
+    val e = c.limit(200).toDF("vec_id", "embedding")
+    val n = e.count()
+    val kAuto = math.ceil(math.sqrt(n.toDouble)).toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // nCells = 0 IS ceil(sqrt(N)): identical output to the explicit dial
+    val auto = rows(graft.operators.Dedup.semDedup(e, $"vec_id", $"embedding",
+      nCells = 0, iters = 2, dim = 64, tau = 0.3, seedMode = "kcenter"))
+    val explicit = rows(graft.operators.Dedup.semDedup(e, $"vec_id", $"embedding",
+      nCells = kAuto, iters = 2, dim = 64, tau = 0.3, seedMode = "kcenter"))
+    assert(auto == explicit)
+    // passing persisted centroids == training the same params in-call
+    // (the s05-index-reuse shape): training becomes a pure map
+    val cents = Similarity.trainIvfCentroids(e, 8, 2, 64, seedMode = "kcenter")
+    val reused = rows(graft.operators.Dedup.semDedup(e, $"vec_id", $"embedding",
+      nCells = 8, iters = 2, dim = 64, tau = 0.3, seedMode = "kcenter",
+      trained = Some(cents)))
+    val trainedInCall = rows(graft.operators.Dedup.semDedup(e, $"vec_id",
+      $"embedding", nCells = 8, iters = 2, dim = 64, tau = 0.3,
+      seedMode = "kcenter"))
+    assert(reused == trainedInCall)
+  }
+
   test("semFlags flags delta-vs-base τ-matches only, never base×base") {
     import spark.implicits._
     // base: duplicate pair on x, singletons on y and z; delta: an x
