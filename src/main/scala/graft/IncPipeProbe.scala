@@ -87,11 +87,13 @@ object IncPipeProbe {
       IncrementalPipeline.bootstrap(dir, base, bench,
         IncrementalPipeline.Params(budget))
       Caches.release()
+      System.err.println("[day1-start]")
       val (t1, _) = timed {
         IncrementalPipeline.runIncremental(dir, day1, bench)
           .queryExecution.toRdd.count()
       }
       Caches.release()
+      System.err.println("[day2-start]")
       val (t2, _) = timed {
         IncrementalPipeline.runIncremental(dir, day2, bench)
           .queryExecution.toRdd.count()

@@ -29,8 +29,15 @@ import graft.operators.IncrementalPipeline
   *  - curated output lands at `outDir/batch_id=<id>` with OVERWRITE —
   *    a replayed batch rewrites its own partition, so readers (take
   *    the max batch_id) see each corpus version once;
-  *  - a `commits/<batchId>` marker under the state dir makes a replay
-  *    of a fully-committed batch a no-op;
+  *  - a `commits/<batchId>` marker under the state dir short-circuits
+  *    the re-emit on a replay of a fully-committed batch. It is NOT a
+  *    processing gate (same reasoning as [[AnnStream]]): batchIds
+  *    restart at 0 under a new checkpointLocation, so a marker left by
+  *    a previous stream lineage can collide with a genuinely fresh
+  *    batch — the marker only elides work when the batch is ALSO
+  *    entirely at or below the committed horizon, i.e. provably a
+  *    replay; a marker-colliding batch with fresh ids curates
+  *    normally;
   *  - a crash BETWEEN the pipeline's state commit and the output/marker
   *    writes replays the batch with its ids now at or below the
   *    horizon: the batch is pre-filtered to ids ABOVE the committed
@@ -67,7 +74,10 @@ object CurationStream {
                    benchPred: org.apache.spark.sql.Column,
                    params: IncrementalPipeline.Params,
                    batchId: Long): Unit = {
-    if (committed(batch, stateDir, batchId)) return
+    // consulted, never gated on — see the scaladoc: a new checkpoint
+    // lineage restarts batchIds at 0, so the marker alone cannot prove
+    // a batch is a replay; only "marker AND all ids <= horizon" can
+    val alreadyCommitted = committed(batch, stateDir, batchId)
     val spark = batch.sparkSession
     val out = IncrementalPipeline.committedHorizon(spark, stateDir) match {
       case None =>
@@ -90,6 +100,12 @@ object CurationStream {
           s"committed horizon $hz (${mm.getLong(0)}..${mm.getLong(1)}) " +
           "with new ids — not a replay, but an append-only id " +
           "discipline violation; re-key the source")
+        // provably a fully-committed replay: output + marker already
+        // landed (marker is written last), so even the re-emit is
+        // skippable. Without the horizon condition this return would
+        // silently drop a fresh batch under a stale marker.
+        if (alreadyCommitted && (mm.isNullAt(0) || mm.getLong(1) <= hz))
+          return
         IncrementalPipeline.runIncremental(stateDir,
           batch.filter(col("doc_id") > hz), benchPred)
     }

@@ -103,6 +103,20 @@ class CurationStreamSpec extends SparkSpec {
         CurationStream.processBatch(mixed, stateDir, outDir, bench,
           params, 2L))
       assert(e.getMessage.contains("discipline"))
+      // marker collision: a stream restarted with a NEW checkpoint
+      // restarts batchIds at 0, so a leftover commits/<id> marker can
+      // collide with a genuinely fresh batch — the marker must not
+      // gate processing (only "marker AND ids <= horizon" is provably
+      // a replay), or the fresh rows would be silently dropped
+      new java.io.File(s"$stateDir/commits/7").createNewFile()
+      val fresh = slice(cut, mx).map { case (id, t) => (id + mx + 1, t) }
+        .toDF("doc_id", "text")
+      Caches.release()
+      CurationStream.processBatch(fresh, stateDir, outDir, bench, params, 7L)
+      assert(IncrementalPipeline.committedHorizon(spark, stateDir)
+        .contains(2 * mx + 1),
+        "a stale marker from another checkpoint lineage must not drop a fresh batch")
+      assert(new java.io.File(s"$outDir/batch_id=7").exists())
     } finally q.stop()
   }
 }
