@@ -263,4 +263,77 @@ object Curation {
       .filter(col("_rk") <= col("target"))
       .select(col("id"), col("stratum"), col("n_stratum"), col("target"))
   }
+
+  /** DSIR — Data Selection with Importance Resampling (Xie et al.
+    * 2023): select the raw documents whose hashed-bigram distribution
+    * most resembles a TARGET domain. Per bucket `b` (bigrams hashed
+    * into `buckets` bins), the importance log-ratio is
+    * `ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B))` (Laplace-smoothed target
+    * vs raw occurrence rates); a document's weight is the sum of its
+    * bigram occurrences' log-ratios, and the `budget` highest-weight
+    * documents are selected (rounded weight DESC, id ASC — the
+    * rounding keeps the cross-engine ordering ulp-stable, the id
+    * breaks residual ties). Deterministic — hashing replaces DSIR's
+    * Gumbel noise, which is the right trade for a reproducible
+    * curation gate.
+    *
+    * Documents with fewer than two tokens have no features and are
+    * never selected; `targetPred` rows participate as candidates too
+    * (raw includes target, as in the paper's source distribution).
+    *
+    * Scale shape: the bigram explode + md5 bucketing — the dominant
+    * per-occurrence cost — runs ONCE, immediately reduced to a
+    * (doc, bucket, n) occurrence table (partial-aggregated map-side;
+    * ~min(doc_len, buckets) rows per doc) that both consumers read
+    * from the session cache: the `buckets`-row count aggregate
+    * (broadcast back as log-ratios) and the per-doc weighted sum
+    * (`Σ n·lw` — one doc-keyed shuffle) → global top-`budget` via
+    * TakeOrdered (no range partitioning). The bucket table is
+    * O(buckets) regardless of corpus size — at 100 TB the only
+    * corpus-sized exchange is the reduced occurrence table's doc-keyed
+    * shuffle, and the memo becomes a persisted feature table exactly
+    * like the dedup family's shingle memo.
+    */
+  def dsirSelect(docs: DataFrame, idCol: Column, textCol: Column,
+                 targetPred: Column, budget: Int,
+                 buckets: Int = 4096): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val words = graft.functions.TextFns.tokens(textCol)
+    // sequence(2, n) DESCENDS when n < 2 — guard short docs to an
+    // empty feature array (explode then drops the row)
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(2), size(words)),
+        i => concat(element_at(words, i - 1), lit(" "), element_at(words, i))))
+      .otherwise(array())
+    // one explode+hash pass, reduced to (id, _t, _b) -> n and cached:
+    // both the bucket counts and the per-doc weights read this table,
+    // so the corpus-sized md5 work is never paid twice (_t is a
+    // per-doc constant — riding it in the keys adds no groups)
+    val e = Caches.track(docs
+      .select(idCol.as("id"), targetPred.as("_t"), explode(bigrams).as("_bg"))
+      .withColumn("_b",
+        pmod(conv(substring(md5(col("_bg")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .groupBy(col("id"), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_n")))
+    val counts = e.groupBy(col("_b"))
+      .agg(sum(when(col("_t"), col("_n")).otherwise(lit(0L))).as("_ct"),
+        sum(col("_n")).as("_cr"))
+    val totals = counts.agg(sum(col("_ct")).as("_nt"), sum(col("_cr")).as("_nr"))
+    val lw = counts.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (log((col("_ct") + 1).cast("double") /
+             (col("_nt") + lit(buckets)).cast("double")) -
+         log((col("_cr") + 1).cast("double") /
+             (col("_nr") + lit(buckets)).cast("double"))).as("_lw"))
+    // Σ n·lw: exact integer multiples of each bucket's log-ratio, so
+    // the floating result is independent of per-occurrence add order
+    e.join(broadcast(lw), Seq("_b"))
+      .groupBy(col("id"))
+      .agg(sum(col("_n")).as("n_feat"),
+        round(sum(col("_n").cast("double") * col("_lw")), 6).as("weight"))
+      .orderBy(col("weight").desc, col("id").asc)
+      .limit(budget)
+  }
 }

@@ -939,6 +939,43 @@ object TextOps extends QuerySet {
              |  COALESCE(K.clean_text, '') AS clean_text
              |FROM documents d
              |LEFT JOIN N ON N.doc_id = d.doc_id
-             |LEFT JOIN K ON K.doc_id = d.doc_id""".stripMargin))
+             |LEFT JOIN K ON K.doc_id = d.doc_id""".stripMargin)),
+
+    // --- DSIR data selection (Xie et al. 2023): pick the raw docs
+    // whose hashed-bigram distribution most resembles the target
+    // domain (here: source = 'src1') via Laplace-smoothed importance
+    // log-ratios over 4096 hash buckets — the standard
+    // pretraining-data selection method, made deterministic (hash
+    // buckets + rounded-weight ordering instead of Gumbel noise).
+    // See Curation.dsirSelect for the scale shape.
+    Q("t25_dsir_select",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Curation.dsirSelect(
+          Tables.load(s, d, "documents"), $"doc_id", $"text",
+          $"source" === "src1", budget = 200)
+          .select($"id".as("doc_id"), $"n_feat", $"weight")
+      },
+      Some("""WITH W AS (SELECT doc_id, source,
+             |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+             |  FROM documents),
+             |E AS (SELECT doc_id, source = 'src1' AS t,
+             |  ('0x' || substr(md5(bg), 1, 8))::BIGINT % 4096 AS b
+             |  FROM (SELECT doc_id, source,
+             |    unnest(list_transform(range(2, len(ws) + 1),
+             |      i -> ws[i - 1] || ' ' || ws[i])) AS bg FROM W)),
+             |C AS (SELECT b, count(*) FILTER (WHERE t) AS ct,
+             |  count(*) AS cr FROM E GROUP BY 1),
+             |T AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM C),
+             |L AS (SELECT b,
+             |  ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) -
+             |  ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)) AS lw
+             |  FROM C CROSS JOIN T),
+             |R AS (SELECT doc_id, b, count(*) AS n FROM E GROUP BY 1, 2),
+             |D AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feat,
+             |  round(sum(n * lw), 6) AS weight
+             |  FROM R JOIN L USING (b) GROUP BY 1)
+             |SELECT doc_id, n_feat, weight FROM D
+             |ORDER BY weight DESC, doc_id LIMIT 200""".stripMargin))
   )
 }

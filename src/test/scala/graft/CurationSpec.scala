@@ -76,6 +76,39 @@ class CurationSpec extends SparkSpec {
     assert(ok.count() == 2)
   }
 
+  test("dsirSelect ranks target-resembling docs above novel-bigram docs") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // target docs 0/1 define the bigram distribution; doc 10 shares it,
+    // doc 11 is bigram-novel, doc 12 has <2 tokens (no features).
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", true),
+      (1L, "beta gamma alpha beta gamma", true),
+      (10L, "alpha beta gamma alpha beta gamma", false),
+      (11L, "zeta eta theta iota kappa lambda", false),
+      (12L, "one", false)
+    ).toDF("doc_id", "text", "is_t")
+    def run(buckets: Int) = Curation.dsirSelect(docs, $"doc_id", $"text",
+        $"is_t", budget = 10, buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w = run(4096)
+    assert(w.contains(10L) && w.contains(11L))
+    assert(w(10L) > w(11L),
+      s"target-resembling doc must outweigh the novel one: $w")
+    assert(!w.contains(12L), "a doc with no bigrams has no weight")
+    // the ranking survives a different bucket count (collisions move
+    // weights, not the clear separation)
+    val w2 = run(512)
+    assert(w2(10L) > w2(11L))
+    // budget cut: top-1 by (weight desc, id) — one of the target-heavy
+    // docs or doc 10, never the novel doc 11
+    val top1 = Curation.dsirSelect(docs, $"doc_id", $"text", $"is_t",
+      budget = 1).collect().map(_.getLong(0)).toSeq
+    assert(top1.length == 1 && top1.head != 11L && top1.head != 12L)
+    // deterministic across runs
+    assert(run(4096) == w)
+  }
+
   test("t24 intra-doc dedup strips repeated chunks, keeps first occurrence, preserves order") {
     import spark.implicits._
     // doc 0: chunk A repeated 3x around chunk B -> keep first A + B, in order;

@@ -223,6 +223,27 @@ MODES = {
         "scale": 100,
         "probe_shuffle": 256,
     },
+    "r17": {
+        # t25 (DSIR selection) over the 100x dedup corpus. The cost is
+        # genuinely compute-linear in bigram volume (100x: ~50M
+        # occurrences each needing an md5 bucket hash), so the expected
+        # wall is the volume-dominated band, NOT the tiny-agg ~1-4x
+        # band: the sf0.1 baseline (~2s) is about half fixed overhead,
+        # putting the honest ceiling near ~50x. The first cut measured
+        # 106s (49x) because the explode+md5 pass ran TWICE (counts +
+        # weights); the operator now reduces one pass to a cached
+        # (doc, bucket, n) table both consumers read — the probe prices
+        # that single-pass shape.
+        "sfdir": f"{REPO}/benchdata/sf10",
+        "queries": ["t25_dsir_select"],
+        # iters=1: iteration 2 rides the (doc,bucket,n) cache memo and
+        # would report the warm path (measured 3.9s warm vs cold truth)
+        "iters": 1,
+        "reps": 2,
+        "out": f"{REPO}/BENCH_r17_probe.json",
+        "scale": 100,
+        "probe_shuffle": 256,
+    },
     "r11ev": {
         # e08 last-touch attribution over the 100x event stream: the
         # AsOf cogrouped merge on user_id (e05's plan) + a |channels|-
