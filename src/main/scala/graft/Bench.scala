@@ -198,7 +198,11 @@ object Bench {
     // WHICH axis was loaded.
     val ioSentPath = sys.env.getOrElse("SPARK_GRAFT_IOSENT_PATH",
       "/root/testdata/sf0.1/lineitem.parquet")
-    val ioSentRef = sys.env.getOrElse("SPARK_GRAFT_IOSENT_REF", "0.85").toDouble
+    // quiet-machine reference for the trimmed statistic: 6 solo
+    // readings at 1-min loadavg < 1 spanned 1.12-1.27 s (one 1.73 s
+    // outlier as load crept back — exactly the straggler the trim
+    // exists for); 1.20 is the midpoint
+    val ioSentRef = sys.env.getOrElse("SPARK_GRAFT_IOSENT_REF", "1.20").toDouble
     val ioSentOk = new java.io.File(ioSentPath).exists()
     def ioSentinel(): Double = {
       if (!ioSentOk) return -1.0 // foreign host: CPU-only normalization
@@ -214,9 +218,25 @@ object Bench {
     val loadBefore = sysLoad()
     val itersReq = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val settledFlags = scala.collection.mutable.ArrayBuffer[Boolean]()
-    val sentPre = sentinel()
-    val ioPre = ioSentinel()
-    var runs = (1 to itersReq).map { _ => settledFlags += settle(); oneIteration() }
+    // ---- per-iteration sentinel brackets (r17) -----------------------
+    // r16 bracketed each REGIME (pre/mid/post): when a load window
+    // decays or ramps MID-regime, the regime-average brackets
+    // under-discount the contaminated iteration and under-credit the
+    // clean one (observed: a capture with iter walls 114/92 s and
+    // sentinels 0.79 → 1.92 → 1.00 normalized to 1.7x its quiet value).
+    // Sentinels now run after EVERY iteration; each iteration wall is
+    // normalized by ITS OWN bracket average, and the headline is the
+    // min over normalized iterations — a window that clears for any one
+    // iteration yields a comparable number, and a window that never
+    // clears discounts by the contention the suite actually saw.
+    val sentsWarm = scala.collection.mutable.ArrayBuffer[(Double, Double)](
+      (sentinel(), ioSentinel()))
+    var runs = (1 to itersReq).map { _ =>
+      settledFlags += settle()
+      val r = oneIteration()
+      sentsWarm += ((sentinel(), ioSentinel()))
+      r
+    }
     // In-band headline discipline: r13's official artifact was captured
     // at load 12.87 against the 4.0 band, making its 26 s total
     // incomparable with r12's 10 s at load 4.4. If any timed iteration
@@ -232,6 +252,7 @@ object Bench {
       while (!gotInBand && extraUsed < extraBudget) {
         val s = settle()
         runs = runs :+ oneIteration()
+        sentsWarm += ((sentinel(), ioSentinel()))
         settledFlags += s
         gotInBand = s
         extraUsed += 1
@@ -250,18 +271,21 @@ object Bench {
     // totals stay attributable: reset − warm ≈ the flagship pipeline
     // cost. Scale probes (SPARK_GRAFT_ONLY set) default to 0 reset
     // iterations; SPARK_GRAFT_RESET_ITERS overrides either way.
-    val sentMid = sentinel()
-    val ioMid = ioSentinel()
+    val (sentMid, ioMid) = sentsWarm.last
     val resetItersReq = sys.env.getOrElse("SPARK_GRAFT_RESET_ITERS",
       if (only.isDefined) "0" else itersReq.toString).toInt.max(0)
     val resetSettled = scala.collection.mutable.ArrayBuffer[Boolean]()
+    // the warm regime's last bracket doubles as the reset regime's pre
+    val sentsReset = scala.collection.mutable.ArrayBuffer[(Double, Double)](
+      (sentMid, ioMid))
     val resetRuns = (1 to resetItersReq).map { _ =>
       graft.queries.PipelineOps.resetSharedRun()
       resetSettled += settle()
-      oneIteration()
+      val r = oneIteration()
+      sentsReset += ((sentinel(), ioSentinel()))
+      r
     }
-    val sentPost = if (resetRuns.isEmpty) sentMid else sentinel()
-    val ioPost = if (resetRuns.isEmpty) ioMid else ioSentinel()
+    val (sentPost, ioPost) = sentsReset.last
 
     val iters = runs.size
     // `settled` stamps the HEADLINE, so it must describe the iteration
@@ -343,23 +367,46 @@ object Bench {
       val io = if (ioObs <= 0) Double.MaxValue else ioSentRef / ioObs
       math.min(1.25, math.min(cpu, io))
     }
-    val normWarm = axisNorm((sentPre + sentMid) / 2, (ioPre + ioMid) / 2)
-    val normReset = axisNorm((sentMid + sentPost) / 2, (ioMid + ioPost) / 2)
-    val valueNorm = total * normWarm
-    val valueResetNorm = if (totalReset < 0) -1.0 else totalReset * normReset
-    val sentinelJson =
-      s"""{"ref":$sentinelRef,"pre":${f"$sentPre%.3f"},"mid":${f"$sentMid%.3f"},""" +
+    // per-iteration normalization (see the bracket note above): each
+    // wall is discounted by its own bracket average, headline = min
+    // over normalized iterations; the reported norm_* factor is the
+    // one belonging to the CHOSEN iteration (transparency, not input)
+    def iterNorm(sents: Seq[(Double, Double)], i: Int): Double =
+      axisNorm((sents(i)._1 + sents(i + 1)._1) / 2,
+        (sents(i)._2 + sents(i + 1)._2) / 2)
+    def bestNormed(walls: Seq[Double], sents: Seq[(Double, Double)])
+        : (Double, Double) =
+      walls.zipWithIndex
+        .map { case (w, i) => (w * iterNorm(sents, i), iterNorm(sents, i)) }
+        .minBy(_._1)
+    val (valueNorm, normWarm) = bestNormed(runs.map(_._1), sentsWarm.toSeq)
+    val (valueResetNorm, normReset) =
+      if (totalReset < 0) (-1.0, -1.0)
+      else bestNormed(resetRuns.map(_._1), sentsReset.toSeq)
+    def trace(sents: Seq[(Double, Double)]): String =
+      sents.map(p => f"[${p._1}%.3f,${p._2}%.3f]").mkString("[", ",", "]")
+    // compact form rides BOTH output lines; the full per-iteration
+    // trace rides only the full JSON (the summary line must stay under
+    // the 1500-char stdout window)
+    val sentinelCompact =
+      s"""{"ref":$sentinelRef,"pre":${f"${sentsWarm.head._1}%.3f"},""" +
+      s""""mid":${f"$sentMid%.3f"},""" +
       s""""post":${f"$sentPost%.3f"},"io_ref":$ioSentRef,""" +
-      s""""io_pre":${f"$ioPre%.3f"},"io_mid":${f"$ioMid%.3f"},""" +
+      s""""io_pre":${f"${sentsWarm.head._2}%.3f"},"io_mid":${f"$ioMid%.3f"},""" +
       s""""io_post":${f"$ioPost%.3f"},"norm_warm":${f"$normWarm%.3f"},""" +
-      s""""norm_reset":${f"$normReset%.3f"}}"""
-    val resetJson =
+      s""""norm_reset":${f"$normReset%.3f"}"""
+    val sentinelFull = sentinelCompact +
+      s""","trace_warm":${trace(sentsWarm.toSeq)},""" +
+      s""""trace_reset":${trace(sentsReset.toSeq)}}"""
+    def resetJsonWith(sentJson: String): String =
       s""""value_reset":${f"$totalReset%.3f"},"reset_iters":${resetRuns.size},""" +
       s""""value_norm":${f"$valueNorm%.3f"},"value_reset_norm":${f"$valueResetNorm%.3f"},""" +
-      s""""primary":"value_reset_norm","sentinel":$sentinelJson,""" +
+      s""""primary":"value_reset_norm","sentinel":$sentJson,""" +
       s""""reset_walls":$resetWalls,"reset_settled":${resetSettled.mkString("[", ",", "]")}"""
+    val resetJsonFull = resetJsonWith(sentinelFull)
+    val resetJson = resetJsonWith(sentinelCompact + "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"materialize":"full_rows",$resetJson,"iter_walls":$iterWalls,"load":$loadJson,"errors":$errs,"queries":$qs,"query_iters":$qIters,"query_iters_reset":$qItersReset}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","iters":$iters,"materialize":"full_rows",$resetJsonFull,"iter_walls":$iterWalls,"load":$loadJson,"errors":$errs,"queries":$qs,"query_iters":$qIters,"query_iters_reset":$qItersReset}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => } // read-only cwd must not kill the stdout line
