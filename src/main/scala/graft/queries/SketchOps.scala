@@ -44,12 +44,14 @@ object SketchOps extends QuerySet {
             approx_count_distinct($"user_id", 0.01).as("au"),
             percentile_approx($"value", lit(0.5), lit(1000)).as("mv"),
             countDistinct($"user_id").as("nd"),
-            expr("percentile(value, 0.49)").as("plo"),
-            expr("percentile(value, 0.51)").as("phi"),
+            // ONE percentile buffer for both band edges — two scalar
+            // percentile aggs each sort their own copy of the group
+            expr("percentile(value, array(0.49, 0.51))").as("pband"),
             count(lit(1)).as("n"))
           .select($"event_type", $"n",
             (abs($"au" - $"nd") <= $"nd" * HllRtol).as("users_tol_ok"),
-            ($"mv" >= $"plo" && $"mv" <= $"phi").as("median_tol_ok"))
+            ($"mv" >= element_at($"pband", 1) &&
+             $"mv" <= element_at($"pband", 2)).as("median_tol_ok"))
       },
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  TRUE AS users_tol_ok, TRUE AS median_tol_ok
@@ -67,9 +69,13 @@ object SketchOps extends QuerySet {
           .groupBy($"event_type")
           .agg(
             countDistinct($"user_id").as("nd_users"),
-            round(expr("percentile(value, 0.5)"), 4).as("p50"),
-            round(expr("percentile(value, 0.95)"), 4).as("p95"),
+            // one shared percentile buffer (see x01's band note)
+            expr("percentile(value, array(0.5, 0.95))").as("_p"),
             count(lit(1)).as("n"))
+          .select($"event_type", $"nd_users",
+            round(element_at($"_p", 1), 4).as("p50"),
+            round(element_at($"_p", 2), 4).as("p95"),
+            $"n")
       },
       Some("""SELECT event_type,
              |  count(DISTINCT user_id) AS nd_users,
