@@ -38,16 +38,24 @@ object SketchOps extends QuerySet {
     Q("x01_sketch_aggregates",
       (s, d) => {
         import s.implicits._
-        Tables.load(s, d, "events")
-          .groupBy($"event_type")
+        val ev = Tables.load(s, d, "events")
+        // TWO group passes joined on the |event_type| rows, not one:
+        // countDistinct plans an Expand that doubles every row through
+        // the other aggregate buffers, and fusing the sketches with it
+        // measured 7.6 s solo where the two separate passes cost
+        // ~0.3 + 0.8 s. The approx pass is also exactly the production
+        // serving plan (sketches only, no exact twin in its lineage).
+        val approxPass = ev.groupBy($"event_type")
           .agg(
             approx_count_distinct($"user_id", 0.01).as("au"),
             percentile_approx($"value", lit(0.5), lit(1000)).as("mv"),
-            countDistinct($"user_id").as("nd"),
+            count(lit(1)).as("n"))
+        val exactPass = ev.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("nd"),
             // ONE percentile buffer for both band edges — two scalar
             // percentile aggs each sort their own copy of the group
-            expr("percentile(value, array(0.49, 0.51))").as("pband"),
-            count(lit(1)).as("n"))
+            expr("percentile(value, array(0.49, 0.51))").as("pband"))
+        approxPass.join(exactPass, Seq("event_type"))
           .select($"event_type", $"n",
             (abs($"au" - $"nd") <= $"nd" * HllRtol).as("users_tol_ok"),
             ($"mv" >= element_at($"pband", 1) &&
