@@ -195,16 +195,22 @@ object Similarity {
     * order, ascending-index double dot, `dot / (nm * seedNorm)`,
     * strict-> running max), so the values are bit-identical — and the
     * `min_by(…, struct(_mc, vec_id))` argmin resolves ties to the
-    * lowest id exactly like the driver's strict-< scan. The max is
-    * recomputed from scratch per round (no carried state column, no
-    * lineage growth, ONE job per round over the once-checkpointed
-    * sample): total work is k²/2 dots per row instead of k, bought
-    * deliberately — per-round driver latency and plan depth stay
-    * constant, which at local stage-job latencies dominates the extra
-    * arithmetic by an order of magnitude.
+    * lowest id exactly like the driver's strict-< scan. Up to
+    * [[KcenterStateThreshold]] seeds the max is recomputed from
+    * scratch per round (no carried state column, no lineage growth,
+    * ONE job per round over the once-checkpointed sample): total work
+    * is k²/2 dots per row instead of k, bought deliberately — at small
+    * k, per-round driver latency and plan depth dominate the extra
+    * arithmetic by an order of magnitude. Above the threshold (the
+    * √N auto-dial regime, where k² bites) the running max rides as a
+    * carried `_mc` column folding in only the new seed each round,
+    * with the lineage re-truncated by an eager localCheckpoint every
+    * [[KcenterCkptEvery]] rounds — identical seeds either way
+    * (spec-pinned), `carryState` overrides the auto choice.
     *
     * Cost shape: k rounds × one scan+agg job — wall is
-    * O(k²·N·dim / cores) executor work with O(k·dim) driver bytes;
+    * O(k²·N·dim / cores) executor work (recompute form; O(k·N·dim)
+    * carried) with O(k·dim) driver bytes;
     * the driver path is O(k·min(N,cap)·dim) driver-serial CPU holding
     * a cap-sized sample. Use this above the cap (exact full-corpus
     * seeding, oracle-parity at any N) or when driver CPU minutes
@@ -213,7 +219,9 @@ object Similarity {
     */
   def kcenterSeedsDistributed(corpus: DataFrame, k: Int,
                               seedEvery: Int = 1,
-                              trimFrac: Double = 0.0): Array[Array[Double]] = {
+                              trimFrac: Double = 0.0,
+                              carryState: Option[Boolean] = None)
+      : Array[Array[Double]] = {
     import graft.expressions.NativeFns.{max_cos, vec_norm}
     val c = corpus.toDF("vec_id", "vec")
     val sampled =
@@ -226,42 +234,99 @@ object Similarity {
       .withColumn("_nm", vec_norm(col("vec"))).filter(col("_nm") > 0)
       .select(col("vec_id"), col("vec"), col("_nm"))
       .localCheckpoint()
-    val n = base.count()
-    require(n > 0,
-      "kcenterSeedsDistributed: empty corpus sample (after zero-norm exclusion)")
-    val k2 = math.min(k.toLong, n).toInt
-    val seeds = new Array[Array[Float]](k2)
-    val seedNorms = new Array[Double](k2)
-    def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
-      r.getSeq[Float](0).toArray
-    var cur = base.orderBy(col("vec_id")).select(col("vec"), col("_nm")).first()
-    var s = 0
-    seeds(s) = vecOf(cur); seedNorms(s) = cur.getDouble(1)
-    while (s + 1 < k2) {
-      val mc = max_cos(col("vec"), col("_nm"),
-        seeds.slice(0, s + 1), seedNorms.slice(0, s + 1))
-      cur =
-        if (trimFrac <= 0.0)
-          base.select(min_by(struct(col("vec"), col("_nm")),
-            struct(mc, col("vec_id"))).as("m"))
-            .select(col("m.vec"), col("m._nm")).first()
-        else {
-          // rank-trimmed farthest point: the row at rank
-          // floor(trimFrac*(n-1)) of the (_mc, vec_id) ascending order
-          // = the LAST of its narrow top-(rank+1) — ids only ship to
-          // the driver, the vector is fetched by id afterwards
-          val rank = math.floor(trimFrac * (n - 1)).toInt
-          val id = base.select(mc.as("_mc"), col("vec_id"))
-            .orderBy(col("_mc"), col("vec_id")).limit(rank + 1)
-            .orderBy(col("_mc").desc, col("vec_id").desc).first().getLong(1)
-          base.filter(col("vec_id") === id)
-            .select(col("vec"), col("_nm")).first()
-        }
-      s += 1
+    // checkpointed executor-storage blocks are released as soon as a
+    // successor checkpoint materializes, and the last one in the
+    // finally below — a long-lived serving JVM calling seeding
+    // repeatedly would otherwise accumulate one pinned sample per call
+    // until RDD GC gets around to it
+    def releaseOf(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => // plan shape changed upstream: nothing pinned to free
+      }
+    var pinned = base
+    try {
+      val n = base.count()
+      require(n > 0,
+        "kcenterSeedsDistributed: empty corpus sample (after zero-norm exclusion)")
+      val k2 = math.min(k.toLong, n).toInt
+      val seeds = new Array[Array[Float]](k2)
+      val seedNorms = new Array[Double](k2)
+      def vecOf(r: org.apache.spark.sql.Row): Array[Float] =
+        r.getSeq[Float](0).toArray
+      var cur = base.orderBy(col("vec_id")).select(col("vec"), col("_nm")).first()
+      var s = 0
       seeds(s) = vecOf(cur); seedNorms(s) = cur.getDouble(1)
-    }
-    seeds.map(_.map(_.toDouble))
+      // Two equivalent forms of the per-round max-cosine (identical
+      // values: max over the same per-seed cosines, and fp max is
+      // order-independent — spec-pinned seed-for-seed):
+      //  - recompute (small k): `_mc` is re-derived from the full seed
+      //    array every round with ONE max_cos kernel — constant plan
+      //    depth, zero extra materialization, but Σ work is k²/2 dots
+      //    per row, which crosses over near k≈[[KcenterStateThreshold]]
+      //    (BENCH_seed_probe.json measures the crossing);
+      //  - carried state (large k — the √N auto-dial regime): `_mc`
+      //    rides as a column, each round folds in ONLY the new seed
+      //    (greatest of the carried max and one single-seed max_cos =
+      //    k dots per row total), and the lineage is re-truncated by an
+      //    eager localCheckpoint every [[KcenterCkptEvery]] rounds so
+      //    plan depth stays bounded without paying a per-round
+      //    materialization (the 34.6s-vs-6.0s trade at small k).
+      val carried = carryState.getOrElse(k2 > KcenterStateThreshold)
+      var state =
+        if (carried) base.withColumn("_mc",
+          max_cos(col("vec"), col("_nm"), seeds.take(1), seedNorms.take(1)))
+        else base
+      var sinceCkpt = 0
+      while (s + 1 < k2) {
+        if (carried && sinceCkpt >= KcenterCkptEvery) {
+          val ck = state.localCheckpoint() // eager: materializes now
+          releaseOf(pinned)
+          pinned = ck; state = ck; sinceCkpt = 0
+        }
+        val mc =
+          if (carried) col("_mc")
+          else max_cos(col("vec"), col("_nm"),
+            seeds.slice(0, s + 1), seedNorms.slice(0, s + 1))
+        cur =
+          if (trimFrac <= 0.0)
+            state.select(min_by(struct(col("vec"), col("_nm")),
+              struct(mc, col("vec_id"))).as("m"))
+              .select(col("m.vec"), col("m._nm")).first()
+          else {
+            // rank-trimmed farthest point: the row at rank
+            // floor(trimFrac*(n-1)) of the (_mc, vec_id) ascending order
+            // = the LAST of its narrow top-(rank+1) — ids only ship to
+            // the driver, the vector is fetched by id afterwards
+            val rank = math.floor(trimFrac * (n - 1)).toInt
+            val id = state.select(mc.as("_rmc"), col("vec_id"))
+              .orderBy(col("_rmc"), col("vec_id")).limit(rank + 1)
+              .orderBy(col("_rmc").desc, col("vec_id").desc).first().getLong(1)
+            state.filter(col("vec_id") === id)
+              .select(col("vec"), col("_nm")).first()
+          }
+        s += 1
+        seeds(s) = vecOf(cur); seedNorms(s) = cur.getDouble(1)
+        if (carried) {
+          state = state.withColumn("_mc", greatest(col("_mc"),
+            max_cos(col("vec"), col("_nm"),
+              seeds.slice(s, s + 1), seedNorms.slice(s, s + 1))))
+          sinceCkpt += 1
+        }
+      }
+      seeds.map(_.map(_.toDouble))
+    } finally releaseOf(pinned)
   }
+
+  /** Seed count above which [[kcenterSeedsDistributed]] switches from
+    * per-round max-cos recompute (k²/2 dots per row total, constant
+    * plan depth) to the carried-state column (k dots per row +
+    * periodic lineage checkpoints) — set from the measured crossing in
+    * BENCH_seed_probe.json.
+    */
+  val KcenterStateThreshold = 128
+  private val KcenterCkptEvery = 16
 
   /** Deterministic IVF training (k-means-lite): seeds are either the k
     * lowest-id vectors (`seedMode = "lowid"`, the cheap legacy mode) or

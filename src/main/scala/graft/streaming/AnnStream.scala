@@ -30,13 +30,17 @@ import graft.operators.AnnIndex
   *    but carries different embeddings is a source keying bug this sink
   *    cannot distinguish from a replay);
   *  - a `commits/<batchId>` marker under the index dir only elides the
-  *    orphan-repair + drift re-check on a fully-duplicate replay. It is
+  *    orphan-repair pass on a fully-duplicate replay. It is
   *    deliberately NOT a processing gate: batchIds restart at 0 under a
   *    new checkpointLocation, so a marker left by a previous stream
   *    lineage can collide with a genuinely fresh batch — gating on it
   *    would silently drop that batch, while falling through to the
   *    anti-join appends the fresh ids correctly and still makes the
-  *    true replay a cheap no-op;
+  *    true replay a cheap no-op. The recall-drift check is NEVER
+  *    marker-elided: a cross-lineage marker certifies some other
+  *    lineage's run, and needsRetrain is meta-only (two parquet
+  *    footers) — cheap enough to run unconditionally on duplicate
+  *    batches rather than trust a marker of unknown provenance;
   *  - torn appends INSIDE a batch (vectors written, sketches or the q8
   *    sibling missing) are healed by appendSketchVectors' own
   *    orphan-repair passes on the next batch, exactly as in batch mode.
@@ -110,20 +114,21 @@ object AnnStream {
         // append that crashed BETWEEN its table writes (vectors landed,
         // sketches torn) or between the drift re-check and the marker —
         // so heal orphans (lives at the head of appendSketchVectors,
-        // which this branch skips) AND re-run the drift loop: the
-        // original run may have died before re-grounding a decayed
-        // curve, and committing without the check would defer the
-        // promised loud failure until the next non-empty append while
-        // the index keeps serving below target. A markered replay
-        // skips both: the marker certifies they already ran.
-        if (!alreadyCommitted) {
-          AnnIndex.repairSketchOrphans(spark, indexDir)
-          if (targetRecall > 0 &&
-              AnnIndex.needsRetrain(spark, indexDir, k, targetRecall, slack)) {
-            AnnIndex.refreshCurve(spark, indexDir)
-            AnnIndex.chooseM(AnnIndex.loadSketchMeta(spark, indexDir),
-              k, targetRecall)
-          }
+        // which this branch skips). The marker elides ONLY that repair:
+        // it certifies the orphan state within its own checkpoint
+        // lineage, but a marker left by a PREVIOUS lineage (batchIds
+        // restart at 0 under a new checkpointLocation) certifies a
+        // DIFFERENT batch's run — deferring the drift re-check on its
+        // word could keep a decayed curve serving below target until
+        // the next non-empty append. needsRetrain is two parquet
+        // footers (meta only, no corpus pass), so it runs on EVERY
+        // fully-duplicate batch, markered or not.
+        if (!alreadyCommitted) AnnIndex.repairSketchOrphans(spark, indexDir)
+        if (targetRecall > 0 &&
+            AnnIndex.needsRetrain(spark, indexDir, k, targetRecall, slack)) {
+          AnnIndex.refreshCurve(spark, indexDir)
+          AnnIndex.chooseM(AnnIndex.loadSketchMeta(spark, indexDir),
+            k, targetRecall)
         }
       } else {
         AnnIndex.appendSketchVectors(indexDir, fresh)

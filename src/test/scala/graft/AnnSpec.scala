@@ -171,6 +171,18 @@ class AnnSpec extends SparkSpec {
     val a = Similarity.trainIvfCentroids(c, 8, 2, 64, seedMode = "kcenter")
     val b = Similarity.trainIvfCentroids(c, 8, 2, 64, seedMode = "kcenterdist")
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // carried-state form (the large-k path, normally auto-selected
+    // above KcenterStateThreshold): identical seeds to the driver
+    // traversal, at a k that crosses the 16-round checkpoint
+    // re-truncation boundary so the lineage-reset path is exercised,
+    // on both the plain and the rank-trimmed argmin
+    for (trim <- Seq(0.0, 0.1)) {
+      val drvK = Similarity.kcenterSeeds(withZero, 20, 1, trim)
+      val carK = Similarity.kcenterSeedsDistributed(withZero, 20, 1, trim,
+        carryState = Some(true))
+      assert(carK.map(_.toSeq).toSeq == drvK.map(_.toSeq).toSeq,
+        s"carried-state seeds diverge at trimFrac=$trim")
+    }
   }
 
   test("IVF training with fewer corpus vectors than k clamps to seed count") {

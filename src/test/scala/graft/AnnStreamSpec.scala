@@ -201,4 +201,36 @@ class AnnStreamSpec extends SparkSpec {
     assert(new Path(s"$dir/commits/1").getFileSystem(
       spark.sessionState.newHadoopConf()).exists(new Path(s"$dir/commits/1")))
   }
+
+  test("a cross-lineage marker must not defer the drift re-check on a " +
+       "fully-duplicate batch") {
+    import spark.implicits._
+    val dim = 64
+    val b0 = (0L until 60L).map { i =>
+      (i, Seq.tabulate(dim)(d => if (d == (i % 3).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val b1 = (100L until 700L).map { i =>
+      (i, Seq.tabulate(dim) { d =>
+        (scala.util.hashing.MurmurHash3.productHash((i, d)) % 997) / 997f
+      })
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-ann-xlineage").toString
+    AnnStream.processBatch(b0, dir, 0L, targetRecall = 0.5, k = 10)
+    // the decayed-curve append lands WITHOUT its drift loop running
+    // (crash window), and — the cross-lineage twist — a marker for
+    // batchId 1 already exists, left by a PREVIOUS checkpoint lineage
+    // whose own batch 1 was entirely different content
+    AnnIndex.appendSketchVectors(dir, b1)
+    assert(AnnIndex.needsRetrain(spark, dir, k = 10, targetRecall = 0.5),
+      "fixture must actually decay the curve")
+    val m = new Path(s"$dir/commits/1")
+    val fs = m.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(m, true).close()
+    // the restarted stream replays batch 1: fresh-empty AND markered —
+    // the stale marker certifies another lineage's run, so the (meta-
+    // only) drift check must still run here, not ride on its word
+    AnnStream.processBatch(b1, dir, 1L, targetRecall = 0.5, k = 10)
+    assert(!AnnIndex.needsRetrain(spark, dir, k = 10, targetRecall = 0.5),
+      "a marker of unknown provenance must not elide the drift re-check")
+  }
 }
