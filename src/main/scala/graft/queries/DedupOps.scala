@@ -38,6 +38,32 @@ object DedupOps extends QuerySet {
     |  FROM B a JOIN B c ON a.band_idx = c.band_idx AND a.band_hash = c.band_hash
     |  AND a.doc_id < c.doc_id GROUP BY 1, 2)""".stripMargin
 
+  /** d11/d13 share this oracle tail verbatim (same-cell cosine pairs
+    * above τ, recursive-CC representatives, kept flag) — only the
+    * assignment CTE prefix differs: d11's explicit dial over the whole
+    * corpus vs d13's auto-dial slice.
+    */
+  private lazy val semDedupTail = """,
+    |ev AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
+    |P AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    |  round(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) /
+    |    (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+    |     sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
+    |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    |PF AS (SELECT id_a, id_b FROM P WHERE cos > 0.3),
+    |EDG AS (SELECT id_a AS src, id_b AS dst FROM PF
+    |  UNION SELECT id_b, id_a FROM PF),
+    |reach(src, dst) AS (
+    |  SELECT src, dst FROM EDG
+    |  UNION
+    |  SELECT r.src, g.dst FROM reach r JOIN EDG g ON r.dst = g.src),
+    |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS rep
+    |  FROM reach GROUP BY src)
+    |SELECT ev.vec_id, CAST(ev.cell AS BIGINT) AS cell,
+    |  COALESCE(comp.rep, ev.vec_id) AS rep,
+    |  (COALESCE(comp.rep, ev.vec_id) = ev.vec_id) AS kept
+    |FROM ev LEFT JOIN comp USING (vec_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // --- Exact dedup: keep the first record per key in (ts, id) order.
@@ -270,26 +296,29 @@ object DedupOps extends QuerySet {
           seedMode = "kcenter")
       },
       Some(IvfSql.assignCtes(nCells = 8, iters = 2, dim = 64)
-        .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-        |ev AS (SELECT e.vec_id, v, cell FROM e JOIN cassign USING (vec_id)),
-        |P AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_sum(list_transform(range(1,65), i -> a.v[i]*b.v[i])) /
-        |    (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
-        |     sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS cos
-        |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-        |PF AS (SELECT id_a, id_b FROM P WHERE cos > 0.3),
-        |EDG AS (SELECT id_a AS src, id_b AS dst FROM PF
-        |  UNION SELECT id_b, id_a FROM PF),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM EDG
-        |  UNION
-        |  SELECT r.src, g.dst FROM reach r JOIN EDG g ON r.dst = g.src),
-        |comp AS (SELECT src AS vec_id, least(src, min(dst)) AS rep
-        |  FROM reach GROUP BY src)
-        |SELECT ev.vec_id, CAST(ev.cell AS BIGINT) AS cell,
-        |  COALESCE(comp.rep, ev.vec_id) AS rep,
-        |  (COALESCE(comp.rep, ev.vec_id) = ev.vec_id) AS kept
-        |FROM ev LEFT JOIN comp USING (vec_id)""".stripMargin)),
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + semDedupTail)),
+
+    // --- SemDeDup through the PRODUCTION dial: `nCells = 0` auto-dials
+    // to ceil(sqrt(N)) in-plan (one count job — the 100 TB setting that
+    // keeps the pair stage's Σ|cell|² ~N^1.5). The generated oracle
+    // needs a compile-time k, so the query runs over a FIXED-SIZE slice
+    // (vec_id < 500 — the full table at sf0.01/sf0.001, 500 rows at any
+    // SF) and the oracle is generated at k = ceil(sqrt(500)) = 23 with
+    // the same slice in `corpusWhere`: what the gate verifies is the
+    // auto-dial path end-to-end — count, √N, k-center seeding at the
+    // derived k, Lloyd, same-cell pairs, CC — not a pre-dialed twin.
+    Q("d13_semdedup_auto",
+      (s, d) => {
+        import s.implicits._
+        Dedup.semDedup(
+          Tables.load(s, d, "embeddings").filter($"vec_id" < 500),
+          $"vec_id", $"embedding",
+          nCells = 0, iters = 2, dim = 64, tau = 0.3,
+          seedMode = "kcenter")
+      },
+      Some(IvfSql.assignCtes(nCells = 23, iters = 2, dim = 64,
+          corpusWhere = "vec_id < 500")
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + semDedupTail)),
 
     // --- Incremental SemDeDup: the DELTA slice (vec_id % 5 = 4)
     // flagged against the BASE in embedding space — d09's incremental

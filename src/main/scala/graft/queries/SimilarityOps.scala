@@ -28,19 +28,27 @@ private[queries] object IvfSql {
     * incremental shape where centroids come from the persisted base
     * index and the delta is only assigned (d12). Empty = train on
     * everything (s04/s05/d11), generating the exact original text.
+    *
+    * `corpusWhere` (optional predicate over the raw embeddings
+    * columns) restricts the CORPUS itself — `e` carries only matching
+    * rows, so training AND assignment see the slice. Used by d13,
+    * whose Spark side runs the √N auto-dial over a fixed-size slice
+    * (`vec_id < 500` — 500 rows at every SF) so the generated oracle's
+    * compile-time k = ceil(sqrt(500)) is scale-independent.
     */
   def assignCtes(nCells: Int, iters: Int, dim: Int,
-                 trainWhere: String = ""): String = {
+                 trainWhere: String = "", corpusWhere: String = ""): String = {
     val dr = s"range(1,${dim + 1})"
     def dotOver(a: String, b: String) =
       s"list_sum(list_transform($dr, i -> $a[i] * $b[i]))"
     val tw = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
+    val cw = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
     val sb = new StringBuilder
     // MATERIALIZED: the seeding chain references e/vn once per seed —
     // without the hint DuckDB inlines the CTE and re-opens the parquet
     // for every reference (fd exhaustion at k=16 x ~3 refs each)
     sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id,
-      | list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      | list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings$cw),
       |vn AS MATERIALIZED (SELECT vec_id, v, nrm FROM (
       | SELECT vec_id, v,
       |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e$tw)
