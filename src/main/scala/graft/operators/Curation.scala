@@ -287,17 +287,73 @@ object Curation {
     * ~min(doc_len, buckets) rows per doc) that both consumers read
     * from the session cache: the `buckets`-row count aggregate
     * (broadcast back as log-ratios) and the per-doc weighted sum
-    * (`Σ n·lw` — one doc-keyed shuffle) → global top-`budget` via
-    * TakeOrdered (no range partitioning). The bucket table is
+    * (`Σ n·lw` — one doc-keyed shuffle) → global top-`budget`. The cut
+    * is a TakeOrdered below [[DsirRankCutBudget]] (the driver holds
+    * `budget` rows) and the [[PrefixSum]] distributed-rank recipe at
+    * or above it (a production selection takes millions of documents —
+    * rank ≤ budget filters in place, the driver holds only bucket
+    * offsets); `viaRank` overrides the auto choice, and both forms are
+    * spec-pinned row-identical. The bucket table is
     * O(buckets) regardless of corpus size — at 100 TB the only
     * corpus-sized exchange is the reduced occurrence table's doc-keyed
-    * shuffle, and the memo becomes a persisted feature table exactly
-    * like the dedup family's shingle memo.
+    * shuffle, and the memo becomes a persisted feature table
+    * ([[DsirIndex]]) exactly like the dedup family's shingle memo.
     */
   def dsirSelect(docs: DataFrame, idCol: Column, textCol: Column,
                  targetPred: Column, budget: Int,
-                 buckets: Int = 4096): DataFrame = {
+                 buckets: Int = 4096,
+                 viaRank: Option[Boolean] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // one explode+hash pass, reduced to (id, _t, _b) -> n and cached:
+    // both the bucket counts and the per-doc weights read this table,
+    // so the corpus-sized md5 work is never paid twice (_t is a
+    // per-doc constant — riding it in the keys adds no groups)
+    val e = Caches.track(
+      dsirOccurrences(docs, idCol, textCol, Some(targetPred), buckets))
+    dsirCut(dsirWeights(e, buckets), budget,
+      viaRank.getOrElse(budget >= DsirRankCutBudget))
+  }
+
+  /** The [[dsirSelect]] contract over a PERSISTED feature table
+    * ([[DsirIndex]] — features once, any number of target domains):
+    * the corpus explode+md5 pass is replaced by a scan of the reduced
+    * (id, bucket, n) table, so a day-N selection costs the delta's
+    * featurization (at append time) plus feature-table-sized
+    * aggregation, never a corpus re-explode. `targetIds` is a
+    * one-column frame of target-domain document ids (the domain
+    * definition the index deliberately does NOT bake in).
+    * Row-identical to the inline form (spec-pinned).
+    */
+  def dsirSelectIndexed(spark: org.apache.spark.sql.SparkSession,
+                        path: String, targetIds: DataFrame, budget: Int,
+                        viaRank: Option[Boolean] = None): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val (feats, meta) = DsirIndex.load(spark, path)
+    val t = targetIds.toDF("id").distinct().withColumn("_t", lit(true))
+    val e = feats.join(t, Seq("id"), "left")
+      .withColumn("_t", coalesce(col("_t"), lit(false)))
+    dsirCut(dsirWeights(e, meta.buckets), budget,
+      viaRank.getOrElse(budget >= DsirRankCutBudget))
+  }
+
+  /** Budget at or above which [[dsirSelect]]'s final cut switches from
+    * TakeOrdered (driver holds `budget` rows) to the distributed
+    * [[PrefixSum]] rank filter (driver holds only bucket offsets).
+    */
+  val DsirRankCutBudget = 65536
+
+  /** The (id[, _t], _b, _n) occurrence table behind [[dsirSelect]] —
+    * ONE bigram explode + md5 bucket pass, partial-aggregated
+    * map-side to ~min(doc_len, buckets) rows per doc. `targetPred`
+    * rides as the `_t` flag when given (the inline form);
+    * [[DsirIndex]] persists the flagless shape and joins the target
+    * at select time.
+    */
+  private[operators] def dsirOccurrences(docs: DataFrame, idCol: Column,
+                                         textCol: Column,
+                                         targetPred: Option[Column],
+                                         buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val words = graft.functions.TextFns.tokens(textCol)
     // sequence(2, n) DESCENDS when n < 2 — guard short docs to an
@@ -306,17 +362,21 @@ object Curation {
       transform(sequence(lit(2), size(words)),
         i => concat(element_at(words, i - 1), lit(" "), element_at(words, i))))
       .otherwise(array())
-    // one explode+hash pass, reduced to (id, _t, _b) -> n and cached:
-    // both the bucket counts and the per-doc weights read this table,
-    // so the corpus-sized md5 work is never paid twice (_t is a
-    // per-doc constant — riding it in the keys adds no groups)
-    val e = Caches.track(docs
-      .select(idCol.as("id"), targetPred.as("_t"), explode(bigrams).as("_bg"))
+    val flag = targetPred.map(p => Seq(p.as("_t"))).getOrElse(Seq.empty)
+    docs
+      .select(Seq(idCol.as("id")) ++ flag :+ explode(bigrams).as("_bg"): _*)
       .withColumn("_b",
         pmod(conv(substring(md5(col("_bg")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
-      .groupBy(col("id"), col("_t"), col("_b"))
-      .agg(count(lit(1)).as("_n")))
+      .groupBy(col("id") +: flag.map(_ => col("_t")) :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** (id, n_feat, weight) from an occurrence table with the `_t` flag:
+    * bucket counts → Laplace-smoothed log-ratios (broadcast back) →
+    * per-doc Σ n·lw.
+    */
+  private def dsirWeights(e: DataFrame, buckets: Int): DataFrame = {
     val counts = e.groupBy(col("_b"))
       .agg(sum(when(col("_t"), col("_n")).otherwise(lit(0L))).as("_ct"),
         sum(col("_n")).as("_cr"))
@@ -333,7 +393,23 @@ object Curation {
       .groupBy(col("id"))
       .agg(sum(col("_n")).as("n_feat"),
         round(sum(col("_n").cast("double") * col("_lw")), 6).as("weight"))
-      .orderBy(col("weight").desc, col("id").asc)
-      .limit(budget)
   }
+
+  /** Global top-`budget` by (weight DESC, id ASC): TakeOrdered when
+    * the budget is driver-friendly, otherwise the [[PrefixSum]]
+    * distributed rank (value 1, inclusive = exact 1-based rank in the
+    * strict total order) filtered in place — same rows either way.
+    */
+  private def dsirCut(w: DataFrame, budget: Int, viaRank: Boolean): DataFrame =
+    if (!viaRank) w.orderBy(col("weight").desc, col("id").asc).limit(budget)
+    else PrefixSum.runningTotal(w,
+      groupCol = lit(0),
+      ordKey = negate(col("weight").cast("double")),
+      orderCols = Seq(col("weight").desc, col("id").asc),
+      valueCol = lit(1L),
+      buckets = 0,
+      inclusive = true,
+      nullsLast = true,
+      outCol = "_rk")
+      .filter(col("_rk") <= budget).drop("_rk")
 }

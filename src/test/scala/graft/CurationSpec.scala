@@ -109,6 +109,41 @@ class CurationSpec extends SparkSpec {
     assert(run(4096) == w)
   }
 
+  test("dsir: rank cut, persisted feature table, and day-append all " +
+       "match the inline TakeOrdered form") {
+    import spark.implicits._
+    import graft.operators.{Curation, DsirIndex}
+    val docs = Tables.load(spark, sf0001, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pred = $"source" === "src1"
+    val inline = rows(Curation.dsirSelect(docs, $"doc_id", $"text", pred,
+      budget = 50))
+    // the PrefixSum rank filter is the TakeOrdered cut, distributed:
+    // same (weight desc, id asc) total order, same top-50
+    assert(rows(Curation.dsirSelect(docs, $"doc_id", $"text", pred,
+      budget = 50, viaRank = Some(true))) == inline,
+      "distributed rank cut must equal TakeOrdered")
+    // persisted feature table: base index, then the day-N append —
+    // selection through the index must equal the inline form over the
+    // same corpus at each point
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-spec").toString
+    val base = docs.filter($"doc_id" % 5 =!= 4)
+    val delta = docs.filter($"doc_id" % 5 === 4)
+    DsirIndex.write(dir, base, $"doc_id", $"text")
+    val targets = docs.filter(pred).select($"doc_id")
+    assert(rows(Curation.dsirSelectIndexed(spark, dir, targets, budget = 50))
+      == rows(Curation.dsirSelect(base, $"doc_id", $"text", pred, budget = 50)),
+      "indexed selection must equal inline over the base corpus")
+    DsirIndex.append(dir, delta, $"doc_id", $"text")
+    assert(rows(Curation.dsirSelectIndexed(spark, dir, targets, budget = 50))
+      == inline,
+      "after the delta append, indexed selection must equal inline over everything")
+    // and the rank path composes with the index
+    assert(rows(Curation.dsirSelectIndexed(spark, dir, targets, budget = 50,
+      viaRank = Some(true))) == inline)
+  }
+
   test("t24 intra-doc dedup strips repeated chunks, keeps first occurrence, preserves order") {
     import spark.implicits._
     // doc 0: chunk A repeated 3x around chunk B -> keep first A + B, in order;
