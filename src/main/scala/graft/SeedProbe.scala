@@ -78,8 +78,46 @@ object SeedProbe {
     val (_, tBigDist) = best2(Similarity.kcenterSeedsDistributed(big, k))
     big.unpersist()
 
+    // ---- large-k regime (r18): the recompute form's k²/2 term vs the
+    // carried-state column (running max folded per round + lineage
+    // checkpoint every 16 rounds). The √N auto-dial puts production k
+    // in the hundreds-to-thousands, where k² bites — probe both forms
+    // so Similarity.KcenterStateThreshold sits between measured points.
+    // Equality of the two forms is pinned at k=130 on the 50k corpus
+    // (crosses the checkpoint-retruncation boundary 8 times; the
+    // k=20 spec pin covers one crossing), then walls at 500k — single
+    // settle-gated runs (each is minutes; the small-k rows above carry
+    // the best-of-2 discipline).
+    val small2 = vecs(nSmall).cache(); small2.count()
+    val eqRec = Similarity.kcenterSeedsDistributed(small2, 130,
+      carryState = Some(false))
+    val eqCar = Similarity.kcenterSeedsDistributed(small2, 130,
+      carryState = Some(true))
+    val equalLargeK = eqRec.map(_.toSeq).toSeq == eqCar.map(_.toSeq).toSeq
+    small2.unpersist()
+    val big2 = vecs(nBig).cache(); big2.count()
+    def wall(body: => Unit): Double = {
+      settle(); val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    val recW = Seq(128, 256).map(kk => kk -> wall {
+      Similarity.kcenterSeedsDistributed(big2, kk, carryState = Some(false))
+    })
+    val carW = Seq(128, 256, 512, 1024).map(kk => kk -> wall {
+      Similarity.kcenterSeedsDistributed(big2, kk, carryState = Some(true))
+    })
+    big2.unpersist()
+    def kmap(xs: Seq[(Int, Double)]) =
+      xs.map { case (kk, w) => s"\"$kk\":${f2(w)}" }.mkString("{", ",", "}")
+    val largeK =
+      s""""large_k":{"n":$nBig,"equal_at_130":$equalLargeK,""" +
+      s""""recompute_sec":${kmap(recW)},"carried_sec":${kmap(carW)},""" +
+      s""""threshold":${Similarity.KcenterStateThreshold},""" +
+      s""""note":"single settle-gated walls; carried = running-max """ +
+      s"""column, ckpt every 16 rounds"},"""
+
     val json =
-      s"""{"metric":"seed_probe","k":$k,"dim":$dim,""" +
+      s"""{"metric":"seed_probe","k":$k,"dim":$dim,$largeK""" +
       s""""driver_cap":${Similarity.SeedSampleCap},""" +
       s""""sub_cap":{"n":$nSmall,"driver_sec":${f2(tSmallDrv)},""" +
       s""""dist_sec":${f2(tSmallDist)},"seeds_equal":$equalSmall},""" +

@@ -331,8 +331,21 @@ object Curation {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val (feats, meta) = DsirIndex.load(spark, path)
     val t = targetIds.toDF("id").distinct().withColumn("_t", lit(true))
-    val e = feats.join(t, Seq("id"), "left")
-      .withColumn("_t", coalesce(col("_t"), lit(false)))
+    // DSIR's target is a DOMAIN SAMPLE — ids only, usually small next
+    // to the corpus — and Catalyst's size estimate for a derived id
+    // frame can be arbitrarily wrong (measured: a 200k-id target
+    // planned a sort-merge join that shuffled the 38M-row feature
+    // table and doubled the select wall). One cheap count decides:
+    // broadcast the id set below ~1M ids (~40 MB hashed), fall back to
+    // the doc-keyed shuffle join above it (the same exchange class the
+    // weights aggregation already pays).
+    val tj = if (t.count() <= 1000000L) broadcast(t) else t
+    // cache the flagged feature scan exactly as the inline form caches
+    // its explode output: the bucket counts and the per-doc weights are
+    // two consumers, and without the pin each pays its own
+    // parquet-scan + target-join pass
+    val e = Caches.track(feats.join(tj, Seq("id"), "left")
+      .withColumn("_t", coalesce(col("_t"), lit(false))))
     dsirCut(dsirWeights(e, meta.buckets), budget,
       viaRank.getOrElse(budget >= DsirRankCutBudget))
   }
