@@ -413,20 +413,28 @@ object Bench {
     // artifact says when the floor engaged. One over-discounted
     // bracket (an IO sentinel straggler, a manufactured window) can
     // therefore no longer set the headline below observed truth.
+    // When the floor engages, the REPORTED tuple describes the floor-
+    // source iteration, not the discarded minBy one: factor 1.0 (the
+    // value IS that iteration's raw wall, undiscounted) and that
+    // iteration's axis_disagree — so value == wall(norm_iter) * norm
+    // holds in every artifact (ADVICE r18), with norm_iter naming the
+    // iteration the headline came from.
     def bestNormed(walls: Seq[Double], sents: Seq[(Double, Double)],
-                   settledF: Seq[Boolean]): (Double, Double, Boolean, Boolean) = {
+                   settledF: Seq[Boolean]): (Double, Double, Boolean, Boolean, Int) = {
       val (v, f, i) = walls.zipWithIndex
         .map { case (w, j) => (w * iterNorm(sents, j), iterNorm(sents, j), j) }
         .minBy(_._1)
-      val floor = walls.zip(settledF).collect { case (w, true) => w }
-      if (floor.nonEmpty && v < floor.min)
-        (floor.min, f, true, axisDisagree(sents, i))
-      else (v, f, false, axisDisagree(sents, i))
+      val floor = walls.zipWithIndex.zip(settledF)
+        .collect { case ((w, j), true) => (w, j) }
+      if (floor.nonEmpty && v < floor.map(_._1).min) {
+        val (fw, fj) = floor.minBy(_._1)
+        (fw, 1.0, true, axisDisagree(sents, fj), fj)
+      } else (v, f, false, axisDisagree(sents, i), i)
     }
-    val (valueNorm, normWarm, flooredWarm, disagreeWarm) =
+    val (valueNorm, normWarm, flooredWarm, disagreeWarm, normIterWarm) =
       bestNormed(runs.map(_._1), sentsWarm.toSeq, settledFlags.toSeq)
-    val (valueResetNorm, normReset, flooredReset, disagreeReset) =
-      if (totalReset < 0) (-1.0, -1.0, false, false)
+    val (valueResetNorm, normReset, flooredReset, disagreeReset, normIterReset) =
+      if (totalReset < 0) (-1.0, -1.0, false, false, -1)
       else bestNormed(resetRuns.map(_._1), sentsReset.toSeq, resetSettled.toSeq)
     def trace(sents: Seq[(Double, Double)]): String =
       sents.map(p => f"[${p._1}%.3f,${p._2}%.3f]").mkString("[", ",", "]")
@@ -441,6 +449,7 @@ object Bench {
       s""""io_post":${f"$ioPost%.3f"},"norm_warm":${f"$normWarm%.3f"},""" +
       s""""norm_reset":${f"$normReset%.3f"},"io_bytes":$ioSentBytes,""" +
       s""""floored":[$flooredWarm,$flooredReset],""" +
+      s""""norm_iter":[$normIterWarm,$normIterReset],""" +
       s""""axis_disagree":[$disagreeWarm,$disagreeReset]"""
     val sentinelFull = sentinelCompact +
       s""","trace_warm":${trace(sentsWarm.toSeq)},""" +

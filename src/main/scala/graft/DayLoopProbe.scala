@@ -109,6 +109,19 @@ object DayLoopProbe {
     val (_, baseIxSec) = timed {
       DedupIndex.write(ixPath, base.unionByName(nov0), col("doc_id"), col("text"))
     }
+    // DSIR leg (r19): the day loop also maintains the data-selection
+    // feature table — build over the same base corpus, fold each day's
+    // NOVEL slice (the post-dedup survivors, exactly what the dedup
+    // index absorbs), and run one indexed selection per day. Append
+    // cost must track the delta; the select is feature-table-sized by
+    // design (one pass per target domain, amortized across domains).
+    val dsirPath = s"$work/dsir_index"
+    val (_, dsirBuildSec) = timed {
+      graft.operators.DsirIndex.write(dsirPath, base.unionByName(nov0),
+        col("doc_id"), col("text"))
+    }
+    // target domain: the day-0 novelty slice
+    val dsirTargets = nov0.select(col("doc_id"))
 
     // day d's novel ids live at novOff(d); day 0's inside the base
     def novOff(day: Int): Long =
@@ -151,6 +164,19 @@ object DayLoopProbe {
       val (_, foldSec) = timed {
         DedupIndex.appendNovel(ixPath, delta, col("doc_id"), col("text"), flags)
       }
+      // DSIR leg: fold the novel survivors' features, then one indexed
+      // selection against the day-0 target domain
+      val novelSlice = delta.join(flags.select("doc_id"), Seq("doc_id"), "left_anti")
+      val (_, dsirAppendSec) = timed {
+        graft.operators.DsirIndex.append(dsirPath, novelSlice,
+          col("doc_id"), col("text"))
+      }
+      val (dsirSelN, dsirSelectSec) = timed {
+        graft.operators.Curation.dsirSelectIndexed(spark, dsirPath,
+          dsirTargets, budget = 1000).count()
+      }
+      require(dsirSelN == 1000,
+        s"day $day: dsir select returned $dsirSelN of budget 1000")
       val deltaN = delta.count()
       val novelN = deltaN - flags.select("doc_id").distinct().count()
       // composition correctness, not just walls: every dup flagged
@@ -172,22 +198,27 @@ object DayLoopProbe {
       require(novelN == baseN / 2 + (plantedN - nNear),
         s"day $day: expected ${baseN / 2} novel + ${plantedN - nNear} " +
           s"banding misses, got $novelN")
-      val total = compactSec + flagSec + foldSec
+      val total = compactSec + flagSec + foldSec + dsirAppendSec
       println(f"[dayloop] day $day: compact $compactSec%.2f flag $flagSec%.2f " +
-        f"fold $foldSec%.2f total $total%.2f (delta $deltaN rows, " +
-        f"$novelN novel, near $nNear/$plantedN)")
+        f"fold $foldSec%.2f dsir_append $dsirAppendSec%.2f " +
+        f"dsir_select $dsirSelectSec%.2f total $total%.2f " +
+        f"(delta $deltaN rows, $novelN novel, near $nNear/$plantedN)")
       s"""{"day":$day,"delta_rows":$deltaN,"exact_flags":$nExact,""" +
       s""""near_planted":$plantedN,"near_flags":$nNear,""" +
       s""""novel":$novelN,"compact_sec":${f2(compactSec)},""" +
       s""""flag_sec":${f2(flagSec)},"fold_sec":${f2(foldSec)},""" +
+      s""""dsir_append_sec":${f2(dsirAppendSec)},""" +
+      s""""dsir_select_sec":${f2(dsirSelectSec)},""" +
       s""""total_sec":${f2(total)}}"""
     }
 
     val ixRows = spark.read.parquet(s"$ixPath/hashes").count()
+    val dsirRows = spark.read.parquet(s"$dsirPath/features").count()
     val json =
       s"""{"metric":"dayloop_probe","base_rows":$baseN,"days":$nDays,""" +
       s""""base_index_build_sec":${f2(baseIxSec)},""" +
-      s""""index_rows_final":$ixRows,""" +
+      s""""dsir_build_sec":${f2(dsirBuildSec)},""" +
+      s""""index_rows_final":$ixRows,"dsir_rows_final":$dsirRows,""" +
       s""""per_day":${dayRows.mkString("[", ",", "]")}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_dayloop_probe.json"),

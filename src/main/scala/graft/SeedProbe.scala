@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
 object SeedProbe {
 
   private def f2(d: Double) = math.round(d * 100.0) / 100.0
+  private def f2d(d: Double) = math.round(d * 1e6) / 1e6
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -116,8 +117,56 @@ object SeedProbe {
       s""""note":"single settle-gated walls; carried = running-max """ +
       s"""column, ckpt every 16 rounds"},"""
 
+    // ---- oversampled (k-means||) regime (r19): the bounded-round form
+    // kcenterSeedsDistributed delegates to above KcenterRoundCeiling.
+    // k=4096 at N=1M is the sqrt-N auto-dial's own operating point
+    // (k ~= sqrt(1e6 * 16)) — the carried sequential form extrapolates
+    // to ~0.22 s/round x 4096 rounds x 2 (N doubling 500k -> 1M) there;
+    // the oversampled form runs 2*rounds+1 jobs total. Quality is
+    // scored as cosine-distance coverage (d = 1 - max cos to the seed
+    // set) over a deterministic 20k-row sample, against the capped
+    // driver path (exact traversal over a SeedSampleCap sample — the
+    // silent-quality-degradation baseline) and lowid (no spread at all).
+    val nOver = 1000000L
+    val kOver = 4096
+    val over = vecs(nOver).cache(); over.count()
+    var overSeeds: Array[Array[Double]] = null
+    val tOver = wall { overSeeds = Similarity.kcenterSeedsDistributed(over, kOver) }
+    var drvSeeds: Array[Array[Double]] = null
+    val tOverDrv = wall { drvSeeds = Similarity.kcenterSeeds(over, kOver) }
+    val lowSeeds = over.orderBy(col("vec_id")).limit(kOver)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    def coverage(seeds: Array[Array[Double]]): (Double, Double) = {
+      import graft.expressions.NativeFns.{max_cos, vec_norm}
+      val fs = seeds.map(_.map(_.toFloat))
+      val ns = seeds.map(v => math.sqrt(v.map(x => x * x).sum))
+      val r = over
+        .filter(pmod(xxhash64(col("vec_id")), lit(50L)) === 0)
+        .withColumn("_nm", vec_norm(col("embedding")))
+        .filter(col("_nm") > 0)
+        .select((lit(1.0) - max_cos(col("embedding"), col("_nm"), fs, ns)).as("d"))
+        .agg(avg(col("d")), max(col("d"))).first()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (ovMean, ovMax) = coverage(overSeeds)
+    val (drMean, drMax) = coverage(drvSeeds)
+    val (loMean, loMax) = coverage(lowSeeds)
+    over.unpersist()
+    val carriedPerRound = carW.toMap.apply(1024) / 1024.0
+    val carriedExtrap = carriedPerRound * kOver * (nOver.toDouble / nBig)
+    val oversampled =
+      s""""oversampled":{"n":$nOver,"k":$kOver,"rounds":5,"oversample":2.0,""" +
+      s""""wall_sec":${f2(tOver)},"seeds":${overSeeds.length},""" +
+      s""""driver_capped_wall_sec":${f2(tOverDrv)},""" +
+      s""""carried_extrapolation_sec":${f2(carriedExtrap)},""" +
+      s""""coverage_d_mean":{"oversampled":${f2d(ovMean)},"driver_capped":${f2d(drMean)},"lowid":${f2d(loMean)}},""" +
+      s""""coverage_d_max":{"oversampled":${f2d(ovMax)},"driver_capped":${f2d(drMax)},"lowid":${f2d(loMax)}},""" +
+      s""""note":"coverage d = 1 - maxcos over a 1-in-50 hash sample; """ +
+      s"""driver_capped = exact traversal over a ${Similarity.SeedSampleCap}-row sample; """ +
+      s"""carried extrapolation = measured sec/round at k=1024 x $kOver rounds x N ratio"},"""
+
     val json =
-      s"""{"metric":"seed_probe","k":$k,"dim":$dim,$largeK""" +
+      s"""{"metric":"seed_probe","k":$k,"dim":$dim,$largeK$oversampled""" +
       s""""driver_cap":${Similarity.SeedSampleCap},""" +
       s""""sub_cap":{"n":$nSmall,"driver_sec":${f2(tSmallDrv)},""" +
       s""""dist_sec":${f2(tSmallDist)},"seeds_equal":$equalSmall},""" +

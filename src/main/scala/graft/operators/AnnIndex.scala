@@ -71,26 +71,17 @@ object AnnIndex {
     invalidate(spark, path)
   }
 
-  // build-once amortization, same trade as the dedup family's memoized
-  // corpus pass: an ANN index is built once and searched many times, so
-  // repeated calls for the same (corpus plan, params) reuse one on-disk
-  // build. computeIfAbsent guarantees a single build per key; training
-  // is deterministic, so any winner's bytes are the right bytes.
-  private val builtDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** [[write]] to a managed temp dir, once per (corpus plan, params)
-    * per session; returns the index path.
+  /** [[write]] to a managed temp dir, once per (corpus plan + backing
+    * files, params) per session; returns the index path. Keying,
+    * staleness and cleanup semantics live in [[BuildOnce]].
     */
   def writeOnce(corpus: DataFrame, nCells: Int = 16, iters: Int = 2,
                 dim: Int = 64, seedMode: String = "lowid",
                 seedEvery: Int = 1): String = {
-    val key = s"${corpus.queryExecution.analyzed.semanticHash()}:" +
-      s"$nCells:$iters:$dim:$seedMode:$seedEvery"
-    builtDirs.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ann-ix").toString
-      write(dir, corpus, nCells, iters, dim, seedMode, seedEvery)
-      dir
-    })
+    val key = BuildOnce.keyOf(corpus,
+      s"ann:$nCells:$iters:$dim:$seedMode:$seedEvery")
+    BuildOnce.dirFor(key, "graft-ann-ix")(
+      write(_, corpus, nCells, iters, dim, seedMode, seedEvery))
   }
 
   // serve-side twin of the build-once map: an index is loaded once and
@@ -448,13 +439,31 @@ object AnnIndex {
   def writeSketchOnce(corpus: DataFrame, sketchDim: Int = 16,
                       dim: Int = 64, seed: Long = 20260814L,
                       q8: Boolean = false, curve: Boolean = false): String = {
-    val key = s"sk:${corpus.queryExecution.analyzed.semanticHash()}:" +
-      s"$sketchDim:$dim:$seed:$q8:$curve"
-    builtDirs.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-sk-ix").toString
-      writeSketch(dir, corpus, sketchDim, dim, seed, q8 = q8, curve = curve)
-      dir
-    })
+    val key = BuildOnce.keyOf(corpus, s"sk:$sketchDim:$dim:$seed:$q8:$curve")
+    BuildOnce.dirFor(key, "graft-sk-ix")(
+      writeSketch(_, corpus, sketchDim, dim, seed, q8 = q8, curve = curve))
+  }
+
+  /** Small-file maintenance for the sketch index's appended tables
+    * (vectors / sketches / the q8 sibling when present): every
+    * [[appendSketchVectors]] lands one file-set per table, so a year
+    * of streaming batches degrades each search with per-file
+    * open/footer costs ([[Compactor.compactTableIf]] — the
+    * rewrite-past-threshold form; listing-only no-op below
+    * `maxFiles`). Row-preserving; serves re-key automatically
+    * ([[loadOnce]] fingerprints on-disk content, and the search paths
+    * re-read by path per call).
+    *
+    * @return true when any table was rewritten
+    */
+  def maintainSketch(spark: SparkSession, path: String, maxFiles: Int = 256,
+                     targetBytes: Long = 128L * 1024 * 1024): Boolean = {
+    implicit val s: SparkSession = spark
+    val tables = Seq(s"$path/vectors", s"$path/sketches") ++
+      (if (loadSketchMeta(spark, path).hasQ8) Seq(s"$path/sketches_q8")
+       else Nil)
+    tables.map(Compactor.compactTableIf(_, maxFiles, targetBytes))
+      .exists(identity)
   }
 
   def loadSketchMeta(spark: SparkSession, path: String): SketchMeta = {

@@ -695,6 +695,38 @@ object Compactor {
     retired.toString
   }
 
+  /** Rewrite-past-threshold maintenance for ONE parquet table dir —
+    * the persisted-index form of lake maintenance (VERDICT r18 #5):
+    * [[graft.operators.DsirIndex.append]] and the ANN-index appends
+    * accrete one parquet file-set per day, so after a year of day-N
+    * runs the feature table is itself a small-file lake (the exact
+    * pathology the reference exists to fix — lakeflush
+    * `collectors/local_lake.py` compacts row files for the same
+    * reason). When the dir holds more than `maxFiles` data files,
+    * rewrite it with the engine's own OPTIMIZE ([[optimizeParquet]]
+    * size-binned bundles at `targetBytes`) and commit via the
+    * [[commitOptimized]] rename swap, deleting the retired copy.
+    * Below the threshold this is a listing-only no-op, so callers can
+    * run it after every append.
+    *
+    * @return true when a rewrite happened
+    */
+  def compactTableIf(dir: String, maxFiles: Int = 256,
+                     targetBytes: Long = 128L * 1024 * 1024)
+                    (implicit spark: org.apache.spark.sql.SparkSession): Boolean = {
+    require(maxFiles >= 1, s"compactTableIf: maxFiles must be >= 1, got $maxFiles")
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    if (nFiles <= maxFiles) false
+    else {
+      val opt = s"$dir.optimize-${System.currentTimeMillis()}"
+      optimizeParquet(dir, opt, targetBytes)
+      val retired = commitOptimized(dir, opt)
+      val p = new org.apache.hadoop.fs.Path(retired)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      true
+    }
+  }
+
   /** OPTIMIZE with Z-ORDER clustering: rewrite a parquet lake sorted by
     * the Morton interleave of `zorderCols` — the lakehouse layout move
     * that makes selective scans on ANY of those columns skip most row

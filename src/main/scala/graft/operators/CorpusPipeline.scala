@@ -104,7 +104,7 @@ object CorpusPipeline {
 
   private[operators] val GopherStop = Seq("the", "a", "and", "of", "to", "is")
 
-  private[operators] def gopherGate(text: Column): Column =
+  private[graft] def gopherGate(text: Column): Column =
     graft.expressions.NativeFns.gopher_keep(text, GopherStop,
       minTok = 10L, minMeanLen = 2.0, maxMeanLen = 8.0,
       maxRepFrac = 0.3, minStopHits = 1L)

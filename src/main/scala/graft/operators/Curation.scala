@@ -328,8 +328,19 @@ object Curation {
   def dsirSelectIndexed(spark: org.apache.spark.sql.SparkSession,
                         path: String, targetIds: DataFrame, budget: Int,
                         viaRank: Option[Boolean] = None): DataFrame = {
-    require(budget >= 1, s"budget must be >= 1, got $budget")
     val (feats, meta) = DsirIndex.load(spark, path)
+    dsirSelectFeatures(feats, meta.buckets, targetIds, budget, viaRank)
+  }
+
+  /** [[dsirSelectIndexed]] over an already-loaded (id, _b, _n) feature
+    * frame — the entry point for callers that must pre-filter the
+    * table (e.g. [[IncrementalPipeline]] pruning to the committed
+    * version horizon).
+    */
+  def dsirSelectFeatures(feats: DataFrame, buckets: Int,
+                         targetIds: DataFrame, budget: Int,
+                         viaRank: Option[Boolean] = None): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
     val t = targetIds.toDF("id").distinct().withColumn("_t", lit(true))
     // DSIR's target is a DOMAIN SAMPLE — ids only, usually small next
     // to the corpus — and Catalyst's size estimate for a derived id
@@ -346,7 +357,7 @@ object Curation {
     // parquet-scan + target-join pass
     val e = Caches.track(feats.join(tj, Seq("id"), "left")
       .withColumn("_t", coalesce(col("_t"), lit(false))))
-    dsirCut(dsirWeights(e, meta.buckets), budget,
+    dsirCut(dsirWeights(e, buckets), budget,
       viaRank.getOrElse(budget >= DsirRankCutBudget))
   }
 

@@ -54,11 +54,72 @@ object DsirIndex {
       .write.mode("append").parquet(s"$path/features")
   }
 
+  // ---- day-versioned layout (the IncrementalPipeline sidecar) ------- //
+  // features land under features/v=<ver> (one partition dir per
+  // committed pipeline version) instead of flat appends. Two properties
+  // the flat layout lacks, both needed to ride the pipeline's
+  // crash-retry machinery:
+  //  - IDEMPOTENT day replay: a retried day OVERWRITES its own v=<ver>
+  //    partition rather than double-appending its (id, bucket, n) rows
+  //    (doubled n doubles the doc's weight — silent corruption);
+  //  - TORN-APPEND invisibility: selects filter v <= the committed
+  //    pipeline version, so a day that crashed after the feature write
+  //    but before the state commit contributes nothing until its
+  //    retry commits (the same horizon discipline as index/*).
+
+  /** Bootstrap the versioned layout: the base corpus's features under
+    * `features/v=<ver>` plus the meta pin.
+    */
+  def writeVersioned(path: String, docs: DataFrame, idCol: Column,
+                     textCol: Column, buckets: Int = 4096,
+                     ver: Int = 1): Unit = {
+    features(docs, idCol, textCol, buckets)
+      .write.mode("overwrite").parquet(s"$path/features/v=$ver")
+    import docs.sparkSession.implicits._
+    Seq((FormatVersion, buckets)).toDF("version", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Day-versioned [[append]]: the delta's features REPLACE
+    * `features/v=<ver>` (idempotent crash-retry — see the layout note
+    * above).
+    */
+  def appendVersioned(path: String, delta: DataFrame, idCol: Column,
+                      textCol: Column, ver: Int): Unit = {
+    val meta = readMeta(delta.sparkSession, path)
+    features(delta, idCol, textCol, meta.buckets)
+      .write.mode("overwrite").parquet(s"$path/features/v=$ver")
+  }
+
+  /** [[load]] over the versioned layout, pruned to partitions at or
+    * below the committed version — uncommitted (torn) day partitions
+    * never reach a select.
+    */
+  def loadUpTo(spark: SparkSession, path: String,
+               maxVer: Int): (DataFrame, Meta) =
+    (spark.read.parquet(s"$path/features")
+       .filter(col("v") <= maxVer)
+       .select(col("id"), col("bucket").as("_b"), col("n").as("_n")),
+     readMeta(spark, path))
+
   /** The persisted (id, bucket, n) shape of one corpus slice. */
   def features(docs: DataFrame, idCol: Column, textCol: Column,
                buckets: Int): DataFrame =
     Curation.dsirOccurrences(docs, idCol, textCol, None, buckets)
       .select(col("id"), col("_b").as("bucket"), col("_n").as("n"))
+
+  /** Small-file maintenance for the feature table
+    * ([[Compactor.compactTableIf]]): each [[append]] lands one
+    * file-set, so a year of day-N appends degrades every indexed
+    * select with per-file open/footer costs. Row-preserving (OPTIMIZE
+    * rewrites bytes, never rows — the select is hash-identical before
+    * and after); run it after appends, it no-ops below `maxFiles`.
+    *
+    * @return true when the table was rewritten
+    */
+  def maintain(spark: SparkSession, path: String, maxFiles: Int = 256,
+               targetBytes: Long = 128L * 1024 * 1024): Boolean =
+    Compactor.compactTableIf(s"$path/features", maxFiles, targetBytes)(spark)
 
   /** Load the feature table (internal `_b`/`_n` names restored) and
     * its construction parameters.
@@ -78,25 +139,14 @@ object DsirIndex {
     Meta(m(0).getAs[Int]("buckets"))
   }
 
-  // build-once amortization, same trade as AnnIndex.writeOnce: a
-  // feature table is built once and selected against many times, so
-  // repeated calls for the same (corpus plan, buckets) reuse one
-  // on-disk build. Featurization is deterministic, so any winner's
-  // bytes are the right bytes.
-  private val builtDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** [[write]] to a managed temp dir, once per (corpus plan, buckets)
-    * per session; returns the index path.
+  /** [[write]] to a managed temp dir, once per (corpus plan + backing
+    * files, buckets) per session; returns the index path. Keying,
+    * staleness and cleanup semantics live in [[BuildOnce]].
     */
   def writeOnce(docs: DataFrame, idCol: Column, textCol: Column,
                 buckets: Int = 4096): String = {
-    val key =
-      s"${docs.select(idCol, textCol).queryExecution.analyzed.semanticHash()}:$buckets"
-    builtDirs.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-dsir-ix").toString
-      write(dir, docs, idCol, textCol, buckets)
-      dir
-    })
+    val key = BuildOnce.keyOf(docs.select(idCol, textCol), s"dsir:$buckets")
+    BuildOnce.dirFor(key, "graft-dsir-ix")(
+      write(_, docs, idCol, textCol, buckets))
   }
 }

@@ -87,7 +87,23 @@ object IncrementalPipeline {
     * configuration — spec-pinned).
     */
   def bootstrap(dir: String, docs: DataFrame, benchPred: Column,
-                params: Params): DataFrame = {
+                params: Params): DataFrame =
+    bootstrap(dir, docs, benchPred, params, dsirBuckets = None)
+
+  /** [[bootstrap]] with the optional DSIR feature sidecar (VERDICT r18
+    * #7): when `dsirBuckets` is set, the post-exact corpus is also
+    * featurized into a day-versioned [[DsirIndex]] at `dir/dsir` —
+    * one more table in the bootstrap fan-out — and every later
+    * [[runIncremental]] folds its delta in ([[DsirIndex
+    * .appendVersioned]] riding the index-append batch), so the
+    * production day cost carries curation AND data-selection
+    * maintenance in one artifact. Select with [[dsirSelect]]; features
+    * follow the same commit discipline as the index tables (versioned
+    * partitions, pruned to the committed version — a torn day is
+    * invisible, a retried day overwrites itself).
+    */
+  def bootstrap(dir: String, docs: DataFrame, benchPred: Column,
+                params: Params, dsirBuckets: Option[Int]): DataFrame = {
     val spark = docs.sparkSession
     val p = params
     // Fresh-lineage guard: commitMeta's retirement only prunes BELOW
@@ -100,7 +116,7 @@ object IncrementalPipeline {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root)) fs.listStatus(root).foreach { s =>
         val n = s.getPath.getName
-        if (n == "index" ||
+        if (n == "index" || n == "dsir" ||
             (n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit)))
           fs.delete(s.getPath, true)
       }
@@ -150,7 +166,9 @@ object IncrementalPipeline {
       () => ixB.hashes.write.mode("overwrite").parquet(s"$dir/index/hashes"),
       () => ixB.bands.write.mode("overwrite").parquet(s"$dir/index/bands"),
       () => ixB.shingles.write.mode("overwrite").parquet(s"$dir/index/shingles"),
-      () => writeKeys(dir, keyed, "overwrite")))
+      () => writeKeys(dir, keyed, "overwrite")) ++
+      dsirBuckets.map(b => () => DsirIndex.writeVersioned(s"$dir/dsir",
+        s2, col("doc_id"), col("text"), b, ver = 1)).toSeq)
     DedupIndex.writeMeta(spark, s"$dir/index", ixB.meta)
     writeTables(dir, 1, reps, repsSplit, counts, blocklist, surv, packed)
     commitMeta(spark, dir, 1, maxId, p)
@@ -507,6 +525,15 @@ object IncrementalPipeline {
       val kp = new org.apache.hadoop.fs.Path(s"$dir/index/keys")
       kp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(kp)
     }
+    // DSIR sidecar fold (bootstrap-time opt-in — see the bootstrap
+    // overload): the delta's features ride the same append fan-out,
+    // day-versioned so a crash-retry overwrites v<N> instead of
+    // double-appending, and invisible to [[dsirSelect]] until the
+    // meta commit below advances the version horizon
+    val haveDsir = locally {
+      val dp = new org.apache.hadoop.fs.Path(s"$dir/dsir/meta")
+      dp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(dp)
+    }
     val early = java.util.concurrent.CompletableFuture.runAsync(() =>
       runAll(Seq(
         () => sect("  app_bands")(ixNew.bands.write.mode("append").parquet(s"$dir/index/bands")),
@@ -514,6 +541,10 @@ object IncrementalPipeline {
         () => sect("  app_hashes")(ixNew.hashes.write.mode("append").parquet(s"$dir/index/hashes"))) ++
         (if (haveKeys) Seq(
           () => sect("  app_keys")(writeKeys(dir, keyedD, "append")))
+         else Nil) ++
+        (if (haveDsir) Seq(
+          () => sect("  app_dsir")(DsirIndex.appendVersioned(s"$dir/dsir",
+            d2, col("doc_id"), col("text"), vNew)))
          else Nil)))
     // If materialize/state_write throws, the `early` append jobs must
     // NOT be left running while the caller unwinds: a retry of
@@ -731,18 +762,37 @@ object IncrementalPipeline {
     * replay into runIncremental's no-op re-emit path instead of a
     * horizon violation).
     */
-  def committedHorizon(spark: SparkSession, dir: String): Option[Long] = {
+  def committedHorizon(spark: SparkSession, dir: String): Option[Long] =
+    committedVerOf(spark, dir).map { n =>
+      spark.read.parquet(s"$dir/v$n/meta").collect()(0).getAs[Long]("max_id")
+    }
+
+  /** Highest COMMITTED state version at `dir` (meta written = commit
+    * point), or None before any bootstrap commits.
+    */
+  private def committedVerOf(spark: SparkSession, dir: String): Option[Int] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return None
-    val vers = fs.listStatus(root).map(_.getPath.getName)
+    fs.listStatus(root).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toInt).sorted.reverse
-    vers.find { n =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$n/meta/_SUCCESS"))
-    }.map { n =>
-      spark.read.parquet(s"$dir/v$n/meta").collect()(0).getAs[Long]("max_id")
-    }
+      .find(n => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$n/meta/_SUCCESS")))
+  }
+
+  /** DSIR selection against the pipeline's feature sidecar, pruned to
+    * the COMMITTED version horizon — a torn day's features (written by
+    * the append fan-out of a day that crashed before its meta commit)
+    * contribute nothing until the retry commits. Same contract as
+    * [[Curation.dsirSelectIndexed]] (features once, target domain per
+    * call), over the pipeline's post-exact survivor corpus.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, targetIds: DataFrame,
+                 budget: Int, viaRank: Option[Boolean] = None): DataFrame = {
+    val ver = committedVerOf(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no committed curation state at $dir — run bootstrap first"))
+    val (feats, meta) = DsirIndex.loadUpTo(spark, s"$dir/dsir", ver)
+    Curation.dsirSelectFeatures(feats, meta.buckets, targetIds, budget, viaRank)
   }
 
   private def loadState(spark: SparkSession, dir: String): State = {

@@ -217,10 +217,38 @@ object Similarity {
     * matter; the capped driver path stays the low-latency choice for
     * small corpora.
     */
+  /** Release a localCheckpoint's pinned executor-storage blocks —
+    * checkpointed blocks are released as soon as a successor
+    * checkpoint materializes, and the last one in each caller's
+    * `finally`; a long-lived serving JVM calling seeding repeatedly
+    * would otherwise accumulate one pinned sample per call until RDD
+    * GC gets around to it.
+    */
+  private def releaseOf(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => // plan shape changed upstream: nothing pinned to free
+    }
+
   def kcenterSeedsDistributed(corpus: DataFrame, k: Int,
                               seedEvery: Int = 1,
                               trimFrac: Double = 0.0,
                               carryState: Option[Boolean] = None)
+      : Array[Array[Double]] =
+    // above the round ceiling the sequential forms are a wall-clock
+    // scale ceiling regardless of cluster size (one Spark job per seed:
+    // measured 225 s at k=1024 over 500k vectors — BENCH_seed_probe) —
+    // delegate to the bounded-round oversampled form. An explicit
+    // carryState pins the sequential form (probes compare all three).
+    if (carryState.isEmpty && k > KcenterRoundCeiling)
+      kcenterSeedsOversampled(corpus, k, seedEvery, trimFrac = trimFrac)
+    else kcenterSeedsSequential(corpus, k, seedEvery, trimFrac, carryState)
+
+  private def kcenterSeedsSequential(corpus: DataFrame, k: Int,
+                                     seedEvery: Int,
+                                     trimFrac: Double,
+                                     carryState: Option[Boolean])
       : Array[Array[Double]] = {
     import graft.expressions.NativeFns.{max_cos, vec_norm}
     val c = corpus.toDF("vec_id", "vec")
@@ -234,17 +262,6 @@ object Similarity {
       .withColumn("_nm", vec_norm(col("vec"))).filter(col("_nm") > 0)
       .select(col("vec_id"), col("vec"), col("_nm"))
       .localCheckpoint()
-    // checkpointed executor-storage blocks are released as soon as a
-    // successor checkpoint materializes, and the last one in the
-    // finally below — a long-lived serving JVM calling seeding
-    // repeatedly would otherwise accumulate one pinned sample per call
-    // until RDD GC gets around to it
-    def releaseOf(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(false)
-        case _ => // plan shape changed upstream: nothing pinned to free
-      }
     var pinned = base
     try {
       val n = base.count()
@@ -328,6 +345,178 @@ object Similarity {
   val KcenterStateThreshold = 128
   private val KcenterCkptEvery = 16
 
+  /** Seed count above which [[kcenterSeedsDistributed]] stops running
+    * one Spark job per seed and delegates to the bounded-round
+    * [[kcenterSeedsOversampled]] form. Even the carried-state column
+    * cannot fix the ROUND count — measured 225 s at k=1024 over 500k
+    * vectors (BENCH_seed_probe.json), i.e. ~0.22 s of fixed per-round
+    * latency that no cluster size amortizes; at the √N auto-dial on
+    * production corpora (k≈10⁴–3·10⁴) that is hours of driver-serial
+    * scheduling. The ceiling sits at the last k where the sequential
+    * wall is still tolerable AND the exactness of full-corpus
+    * farthest-first plausibly matters; gate oracles train at k ≤ 23,
+    * far below it.
+    */
+  val KcenterRoundCeiling = 1024
+
+  /** Oversampled seeding — k-means‖ (Bahmani et al., "Scalable
+    * k-means++", VLDB 2012, public) adapted to the cosine k-center
+    * traversal: the bounded-round escape from one-Spark-job-per-seed.
+    *
+    * `rounds` passes over the (zero-norm-excluded, optionally
+    * seedEvery-sampled) corpus; each pass draws every row
+    * INDEPENDENTLY with probability `min(1, ℓ·d_i/Σd)` where
+    * `d_i = max(0, 1 − maxcos_i)` is the row's cosine distance to the
+    * candidates chosen so far and `ℓ = oversample·k` — so each pass
+    * adds ≤ ℓ candidates in expectation, biased toward uncovered
+    * space exactly like the farthest-first argmin. After the passes,
+    * the EXACT farthest-first traversal (arithmetic-identical to
+    * [[kcenterSeeds]]'s loop; per-row update parallelized, which is
+    * bit-identical — rows are independent) runs driver-side over the
+    * O(k·oversample·rounds)-row candidate set only.
+    *
+    * Deterministic end-to-end, no RNG state: the draw is
+    * `pmod(xxhash64(vec_id, round), 2²⁴)/2²⁴ < p_i`, a pure function
+    * of (vec_id, round, candidates-so-far), and candidates collect
+    * sorted by vec_id — two runs see identical seeds.
+    *
+    * Cost shape: 2·`rounds` jobs (one Σd aggregate + one filtered
+    * collect per pass; drawn candidates fold into a carried `_mc`
+    * column, lineage re-truncated by an eager localCheckpoint each
+    * pass) — round count O(rounds), never O(k). Executor arithmetic
+    * totals |candidates|·dim dots per row ≈ oversample·rounds× the
+    * carried sequential form's k·dim — bought deliberately for the
+    * k/rounds-fold round-count cut (5 rounds vs 10⁴). Driver holds
+    * O(k·oversample·rounds·dim) floats and spends
+    * O(k·|cand|·dim) parallel flops on the final traversal — at
+    * k=4096, |cand|≈40k, dim=64 that is ~10¹⁰ mul-adds across cores,
+    * seconds, independent of N.
+    *
+    * Approximation contract: seeds are farthest-first over a biased
+    * SAMPLE, not the full corpus — not bit-equal to [[kcenterSeeds]].
+    * AnnSpec pins IVF recall parity within tolerance; gate oracles
+    * (d11–d13) never reach this form (k ≤ 23 « [[KcenterRoundCeiling]]).
+    */
+  def kcenterSeedsOversampled(corpus: DataFrame, k: Int,
+                              seedEvery: Int = 1,
+                              rounds: Int = 5,
+                              oversample: Double = 2.0,
+                              trimFrac: Double = 0.0): Array[Array[Double]] = {
+    import graft.expressions.NativeFns.{max_cos, vec_norm}
+    require(rounds >= 1, s"kcenterSeedsOversampled: rounds=$rounds must be >= 1")
+    require(oversample > 0, s"kcenterSeedsOversampled: oversample=$oversample must be > 0")
+    val c = corpus.toDF("vec_id", "vec")
+    val sampled =
+      if (seedEvery <= 1) c
+      else c.filter(pmod(xxhash64(col("vec_id")), lit(seedEvery.toLong)) === 0)
+    val base = sampled
+      .withColumn("_nm", vec_norm(col("vec"))).filter(col("_nm") > 0)
+      .select(col("vec_id"), col("vec"), col("_nm"))
+      .localCheckpoint()
+    var pinned = base
+    try {
+      val firstRows = base.orderBy(col("vec_id")).limit(1).collect()
+      require(firstRows.nonEmpty,
+        "kcenterSeedsOversampled: empty corpus sample (after zero-norm exclusion)")
+      val first = firstRows(0)
+      val candIds = scala.collection.mutable.ArrayBuffer[Long](first.getLong(0))
+      val candVecs = scala.collection.mutable.ArrayBuffer[Array[Float]](
+        first.getSeq[Float](1).toArray)
+      val candNorms = scala.collection.mutable.ArrayBuffer[Double](
+        first.getDouble(2))
+      // a candidate's residual d is ~1 ulp, not exactly 0 (nm·nm vs
+      // Σv² sqrt rounding), so when ℓ·d/Σd stays >= 1 — e.g. k near or
+      // above |corpus| — already-drawn rows re-draw; dedupe by id
+      val seen = scala.collection.mutable.HashSet[Long](candIds(0))
+      val ell = oversample * k
+      var state = base.withColumn("_mc",
+        max_cos(col("vec"), col("_nm"),
+          Array(candVecs(0)), Array(candNorms(0))))
+      var r = 0
+      var covered = false
+      while (r < rounds && !covered) {
+        // truncate the fold lineage and release the prior pin BEFORE
+        // the pass's two jobs read the state twice
+        val ck = state.localCheckpoint()
+        releaseOf(pinned); pinned = ck; state = ck
+        val d = greatest(lit(0.0), lit(1.0) - col("_mc"))
+        val phi = state.agg(sum(d).as("s")).first().getDouble(0)
+        if (phi <= 0.0) covered = true // every row coincides with a candidate
+        else {
+          val u = pmod(xxhash64(col("vec_id"), lit(r)), lit(1L << 24))
+            .cast("double") / lit((1L << 24).toDouble)
+          val drawn = state
+            .filter(u < least(lit(1.0), lit(ell) * d / lit(phi)))
+            .select(col("vec_id"), col("vec"), col("_nm"))
+            .collect()
+            .sortBy(_.getLong(0))
+            .filter(row => seen.add(row.getLong(0)))
+          if (drawn.nonEmpty) {
+            val vs = drawn.map(_.getSeq[Float](1).toArray)
+            val ns = drawn.map(_.getDouble(2))
+            var i = 0
+            while (i < drawn.length) {
+              candIds += drawn(i).getLong(0); candVecs += vs(i); candNorms += ns(i)
+              i += 1
+            }
+            state = state.withColumn("_mc", greatest(col("_mc"),
+              max_cos(col("vec"), col("_nm"), vs, ns)))
+          }
+          r += 1
+        }
+      }
+      // exact farthest-first over the candidate set, vec_id-sorted so
+      // the index tie-break IS the id tie-break (ids unique via `seen`)
+      val order = candIds.indices.sortBy(candIds).toArray
+      val rows = order.map(candVecs)
+      val norms = order.map(candNorms)
+      val chosen = traverseFarthestFirst(rows, norms, k, trimFrac)
+      chosen.map(i => rows(i).map(_.toDouble))
+    } finally releaseOf(pinned)
+  }
+
+  /** The driver farthest-first loop of [[kcenterSeeds]], over
+    * in-memory vec_id-sorted rows, with the per-row max-cos update
+    * parallelized (each row's update reads only shared-immutable seed
+    * state and writes only its own slot — bit-identical to the
+    * sequential loop) and the argmin kept sequential (lowest-index
+    * tie-break). Returns chosen indices.
+    */
+  private def traverseFarthestFirst(rows: Array[Array[Float]],
+                                    norms: Array[Double], k: Int,
+                                    trimFrac: Double): Array[Int] = {
+    val n = rows.length
+    require(n > 0, "traverseFarthestFirst: empty candidate set")
+    val k2 = math.min(k, n)
+    val chosen = new Array[Int](k2)
+    chosen(0) = 0
+    val mc = Array.fill(n)(Double.NegativeInfinity)
+    var s = 0
+    while (s + 1 < k2) {
+      val sv = rows(chosen(s)); val sn = norms(chosen(s))
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        val vi = rows(i)
+        val m = math.min(vi.length, sv.length)
+        var d = 0.0; var j = 0
+        while (j < m) { d += vi(j).toDouble * sv(j).toDouble; j += 1 }
+        val cos = d / (norms(i) * sn)
+        if (cos > mc(i)) mc(i) = cos
+      }
+      if (trimFrac <= 0.0) {
+        var best = 0; var bestV = Double.PositiveInfinity
+        var i = 0
+        while (i < n) { if (mc(i) < bestV) { bestV = mc(i); best = i }; i += 1 }
+        chosen(s + 1) = best
+      } else {
+        val rank = math.floor(trimFrac * (n - 1)).toInt
+        val order = Array.range(0, n).sortBy(i => (mc(i), i))
+        chosen(s + 1) = order(rank)
+      }
+      s += 1
+    }
+    chosen
+  }
+
   /** Deterministic IVF training (k-means-lite): seeds are either the k
     * lowest-id vectors (`seedMode = "lowid"`, the cheap legacy mode) or
     * the greedy k-center traversal of [[kcenterSeeds]] (`seedMode =
@@ -367,11 +556,15 @@ object Similarity {
       case m if m.startsWith("kcenterdist@") =>
         kcenterSeedsDistributed(c, k, seedEvery,
           m.stripPrefix("kcenterdist@").toDouble)
+      case "kcenterover" => kcenterSeedsOversampled(c, k, seedEvery)
+      case m if m.startsWith("kcenterover@") =>
+        kcenterSeedsOversampled(c, k, seedEvery,
+          trimFrac = m.stripPrefix("kcenterover@").toDouble)
       case "lowid" => c.orderBy(col("vec_id")).limit(k)
         .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
       case other => throw new IllegalArgumentException(
         s"trainIvfCentroids: unknown seedMode '$other' " +
-        "(lowid|kcenter[@trim]|kcenterdist[@trim])")
+        "(lowid|kcenter[@trim]|kcenterdist[@trim]|kcenterover[@trim])")
     }
     // corpora smaller than k seed fewer centroids; size everything by
     // the actual seed count or the empty-cell loop walks off the array

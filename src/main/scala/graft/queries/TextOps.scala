@@ -978,6 +978,26 @@ object TextOps extends QuerySet {
           budget = 200)
           .select($"id".as("doc_id"), $"n_feat", $"weight")
       },
+      Some(dsirOracle)),
+
+    // --- The DISTRIBUTED rank cut, oracle-gated (VERDICT r18 #3):
+    // above [[graft.operators.Curation.DsirRankCutBudget]] the
+    // budget cut switches from TakeOrderedAndProject (budget-sized
+    // driver heap) to the PrefixSum running-total rank filter (driver
+    // holds only per-partition bucket offsets) — the form a 1M-doc
+    // budget needs. t25/t26 gate at budget=200 → TakeOrdered, so this
+    // entry forces viaRank: the rows are identical by construction
+    // (same (weight desc, id asc) total order, same top-200) and the
+    // shared oracle now actually EXECUTES PrefixSum.runningTotal in a
+    // CORRECTNESS row rather than only in CurationSpec.
+    Q("t27_dsir_rankcut",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Curation.dsirSelect(
+          Tables.load(s, d, "documents"), $"doc_id", $"text",
+          $"source" === "src1", budget = 200, viaRank = Some(true))
+          .select($"id".as("doc_id"), $"n_feat", $"weight")
+      },
       Some(dsirOracle))
   )
 

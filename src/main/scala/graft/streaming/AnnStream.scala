@@ -29,18 +29,24 @@ import graft.operators.AnnIndex
   *    replay (a batch whose ids collide with already indexed vectors
   *    but carries different embeddings is a source keying bug this sink
   *    cannot distinguish from a replay);
-  *  - a `commits/<batchId>` marker under the index dir only elides the
-  *    orphan-repair pass on a fully-duplicate replay. It is
-  *    deliberately NOT a processing gate: batchIds restart at 0 under a
-  *    new checkpointLocation, so a marker left by a previous stream
-  *    lineage can collide with a genuinely fresh batch — gating on it
-  *    would silently drop that batch, while falling through to the
+  *  - a `commits/<lineage>-<batchId>` marker under the index dir only
+  *    elides the orphan-repair pass on a fully-duplicate replay, and
+  *    only when it was written by THIS checkpoint lineage: batchIds
+  *    restart at 0 under a new checkpointLocation, so `lineage` (a
+  *    digest of the checkpointLocation, stable across restarts of the
+  *    same stream) scopes the marker — a marker of foreign or unknown
+  *    provenance (different lineage, or the legacy unscoped
+  *    `commits/<batchId>` written by a direct processBatch call with no
+  *    lineage) can never elide the repair, because it certifies a
+  *    DIFFERENT batch's run and the torn state it would vouch for is
+  *    not the one on disk. The marker is deliberately NOT a processing
+  *    gate either way — gating on a collided marker would silently
+  *    drop a genuinely fresh batch, while falling through to the
   *    anti-join appends the fresh ids correctly and still makes the
   *    true replay a cheap no-op. The recall-drift check is NEVER
-  *    marker-elided: a cross-lineage marker certifies some other
-  *    lineage's run, and needsRetrain is meta-only (two parquet
-  *    footers) — cheap enough to run unconditionally on duplicate
-  *    batches rather than trust a marker of unknown provenance;
+  *    marker-elided, even same-lineage: needsRetrain is meta-only (two
+  *    parquet footers) — cheap enough to run unconditionally on
+  *    duplicate batches;
   *  - torn appends INSIDE a batch (vectors written, sketches or the q8
   *    sibling missing) are healed by appendSketchVectors' own
   *    orphan-repair passes on the next batch, exactly as in batch mode.
@@ -63,14 +69,28 @@ object AnnStream {
   def annSink(vecs: DataFrame, indexDir: String, checkpointDir: String,
               sketchDim: Int = 16, dim: Int = 64, q8: Boolean = false,
               targetRecall: Double = 0.0, k: Int = 10,
-              slack: Double = 0.05): StreamingQuery =
+              slack: Double = 0.05): StreamingQuery = {
+    val lineage = lineageOf(checkpointDir)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, indexDir, batchId, sketchDim, dim, q8,
-          targetRecall, k, slack)
+          targetRecall, k, slack, lineage)
       }
       .start()
+  }
+
+  /** Lineage token scoping the commit markers: a digest of the
+    * checkpointLocation — stable across restarts of the same stream
+    * (same checkpoint ⟹ same batchId sequence ⟹ markers are valid
+    * replay evidence), distinct for a fresh checkpoint (whose batchIds
+    * restart at 0 and must not collide with the old markers).
+    */
+  def lineageOf(checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    d.take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
 
   /** The foreachBatch body, public so the replay windows are testable
     * without forcing a real stream restart.
@@ -78,11 +98,15 @@ object AnnStream {
   def processBatch(batch: DataFrame, indexDir: String, batchId: Long,
                    sketchDim: Int = 16, dim: Int = 64,
                    q8: Boolean = false, targetRecall: Double = 0.0,
-                   k: Int = 10, slack: Double = 0.05): Unit = {
+                   k: Int = 10, slack: Double = 0.05,
+                   lineage: String = ""): Unit = {
     // the marker is consulted, never gated on: see the scaladoc — a new
     // checkpoint lineage restarts batchIds at 0 and can collide with a
-    // leftover marker, so only the anti-join below decides what appends
-    val alreadyCommitted = committed(batch, indexDir, batchId)
+    // leftover marker, so only the anti-join below decides what appends.
+    // Only a SAME-LINEAGE marker counts as replay evidence: a direct
+    // processBatch call with no lineage never trusts markers at all.
+    val alreadyCommitted =
+      lineage.nonEmpty && committed(batch, indexDir, batchId, lineage)
     val spark = batch.sparkSession
     val rows = batch.select(col("vec_id"), col("embedding"))
     // duplicate ids WITHIN a batch are a source keying bug, not a
@@ -110,19 +134,18 @@ object AnnStream {
       val known = spark.read.parquet(s"$indexDir/vectors").select("vec_id")
       val fresh = rows.join(known, Seq("vec_id"), "left_anti")
       if (fresh.isEmpty) {
-        // a fully-duplicate batch with no marker is the replay of an
-        // append that crashed BETWEEN its table writes (vectors landed,
-        // sketches torn) or between the drift re-check and the marker —
-        // so heal orphans (lives at the head of appendSketchVectors,
-        // which this branch skips). The marker elides ONLY that repair:
-        // it certifies the orphan state within its own checkpoint
-        // lineage, but a marker left by a PREVIOUS lineage (batchIds
-        // restart at 0 under a new checkpointLocation) certifies a
-        // DIFFERENT batch's run — deferring the drift re-check on its
-        // word could keep a decayed curve serving below target until
-        // the next non-empty append. needsRetrain is two parquet
-        // footers (meta only, no corpus pass), so it runs on EVERY
-        // fully-duplicate batch, markered or not.
+        // a fully-duplicate batch with no same-lineage marker is the
+        // replay of an append that crashed BETWEEN its table writes
+        // (vectors landed, sketches torn) or between the drift re-check
+        // and the marker — so heal orphans (lives at the head of
+        // appendSketchVectors, which this branch skips). Only a marker
+        // THIS lineage wrote elides the repair (alreadyCommitted is
+        // lineage-scoped above): a foreign or unscoped marker certifies
+        // a DIFFERENT batch's run, and riding on its word would leave a
+        // torn append unhealed — sketch searches silently missing those
+        // vectors — until the next non-empty batch. The drift re-check
+        // is cheaper still (two parquet footers, meta only) and runs on
+        // EVERY fully-duplicate batch, markered or not.
         if (!alreadyCommitted) AnnIndex.repairSketchOrphans(spark, indexDir)
         if (targetRecall > 0 &&
             AnnIndex.needsRetrain(spark, indexDir, k, targetRecall, slack)) {
@@ -144,21 +167,23 @@ object AnnStream {
         }
       }
     }
-    markCommitted(batch, indexDir, batchId)
+    markCommitted(batch, indexDir, batchId, lineage)
   }
 
-  private def marker(indexDir: String, batchId: Long): Path =
-    new Path(s"$indexDir/commits/$batchId")
+  private def marker(indexDir: String, batchId: Long,
+                     lineage: String): Path =
+    if (lineage.isEmpty) new Path(s"$indexDir/commits/$batchId")
+    else new Path(s"$indexDir/commits/$lineage-$batchId")
 
   private def committed(df: DataFrame, indexDir: String,
-                        batchId: Long): Boolean = {
-    val p = marker(indexDir, batchId)
+                        batchId: Long, lineage: String): Boolean = {
+    val p = marker(indexDir, batchId, lineage)
     p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(p)
   }
 
   private def markCommitted(df: DataFrame, indexDir: String,
-                            batchId: Long): Unit = {
-    val p = marker(indexDir, batchId)
+                            batchId: Long, lineage: String): Unit = {
+    val p = marker(indexDir, batchId, lineage)
     p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
       .create(p, true).close()
   }

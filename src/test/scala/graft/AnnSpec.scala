@@ -185,6 +185,47 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("oversampled (k-means||) seeding: deterministic, recall-comparable, and the large-k delegate") {
+    import spark.implicits._
+    val (q, c) = queriesAndCorpus
+    // deterministic: two runs (fresh plans) must be bit-identical —
+    // the draw is a pure hash function of (vec_id, round, candidates)
+    val a = Similarity.kcenterSeedsOversampled(c, 16)
+    val b = Similarity.kcenterSeedsOversampled(c, 16)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // zero-norm rows are excluded from seeding like every other form
+    val withZero = c.unionByName(
+      Seq((999999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val z = Similarity.kcenterSeedsOversampled(withZero, 16)
+    assert(z.forall(v => math.sqrt(v.map(x => x * x).sum) > 0.0))
+    // the first seed matches the exact forms' anchor (lowest-id vector)
+    val exact = Similarity.kcenterSeeds(c, 16)
+    assert(a.head.toSeq == exact.head.toSeq)
+    // recall parity: IVF trained from oversampled seeds serves within
+    // tolerance of the exact-k-center-seeded index on the same corpus
+    def recallOf(mode: String): Double = {
+      val truth = Similarity.knnBruteForce(q, c, 10).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val got = Similarity.knnIvf(q, c, 10, nCells = 16, iters = 2,
+        dim = 64, nprobe = 4, seedMode = mode).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val rExact = recallOf("kcenter")
+    val rOver = recallOf("kcenterover")
+    info(s"IVF recall@10: kcenter=$rExact kcenterover=$rOver")
+    assert(rOver >= rExact - 0.1,
+      s"oversampled-seeded recall $rOver more than 0.1 below exact $rExact")
+    // above KcenterRoundCeiling the distributed entry point delegates
+    // to the oversampled form (carryState pins the sequential form)
+    val kBig = Similarity.KcenterRoundCeiling + 1
+    val viaDist = Similarity.kcenterSeedsDistributed(c, kBig)
+    val direct = Similarity.kcenterSeedsOversampled(c, kBig)
+    assert(viaDist.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    // a corpus smaller than k clamps to at most |corpus| seeds
+    assert(viaDist.length <= c.count())
+  }
+
   test("IVF training with fewer corpus vectors than k clamps to seed count") {
     import spark.implicits._
     val (_, c) = queriesAndCorpus

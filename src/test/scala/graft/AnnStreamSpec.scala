@@ -202,6 +202,50 @@ class AnnStreamSpec extends SparkSpec {
       spark.sessionState.newHadoopConf()).exists(new Path(s"$dir/commits/1")))
   }
 
+  test("orphan repair trusts only same-lineage markers: foreign and unscoped " +
+       "markers never elide it") {
+    import spark.implicits._
+    val dim = 64
+    val b0 = (0L until 60L).map { i =>
+      (i, Seq.tabulate(dim)(d => if (d == (i % 3).toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-ann-lineage").toString
+    AnnStream.processBatch(b0, dir, 0L, lineage = "A")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(s"$dir/commits/A-0")))
+    def tear(ids: Seq[Long]): Unit =
+      ids.map(i => (i, Seq.fill(dim)(0.25f))).toDF("vec_id", "c_vec")
+        .write.mode("append").parquet(s"$dir/vectors")
+    def sketchCount = spark.read.parquet(s"$dir/sketches").count()
+    val dup = b0.limit(5) // fully-duplicate replay payload
+    // torn state + an UNSCOPED marker for the batch: a direct call with
+    // no lineage must not trust it — repair runs, orphans heal
+    tear(Seq(90001L, 90002L))
+    fs.create(new Path(s"$dir/commits/1"), true).close()
+    val s0 = sketchCount
+    AnnStream.processBatch(dup, dir, 1L)
+    assert(sketchCount == s0 + 2,
+      "an unscoped marker must not elide the orphan repair")
+    // torn again; lineage A has no A-1 marker yet (the unscoped one
+    // does not count) — repair runs and then commits A-1
+    tear(Seq(90003L))
+    AnnStream.processBatch(dup, dir, 1L, lineage = "A")
+    assert(sketchCount == s0 + 3,
+      "a marker from outside this lineage must not elide the repair")
+    assert(fs.exists(new Path(s"$dir/commits/A-1")))
+    // same-lineage marker present: the replay is certified, repair is
+    // elided (the optimization this scoping buys) — new orphans wait
+    // for the batch that actually wrote them to replay
+    tear(Seq(90004L))
+    AnnStream.processBatch(dup, dir, 1L, lineage = "A")
+    assert(sketchCount == s0 + 3,
+      "a same-lineage marker should elide the repair on a certified replay")
+    // a different lineage replaying the same batchId repairs again
+    AnnStream.processBatch(dup, dir, 1L, lineage = "B")
+    assert(sketchCount == s0 + 4,
+      "lineage B must not ride on lineage A's marker")
+  }
+
   test("a cross-lineage marker must not defer the drift re-check on a " +
        "fully-duplicate batch") {
     import spark.implicits._

@@ -144,6 +144,29 @@ class CurationSpec extends SparkSpec {
       viaRank = Some(true))) == inline)
   }
 
+  test("writeOnce keys on the backing files: an in-place overwrite of the " +
+       "source path is a cache miss, an identical re-read is a hit") {
+    import spark.implicits._
+    import graft.operators.DsirIndex
+    val src = java.nio.file.Files.createTempDirectory("graft-bo-src").toString
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    def ix() = DsirIndex.writeOnce(
+      spark.read.parquet(src), $"doc_id", $"text")
+    val d1 = ix()
+    assert(ix() == d1, "identical source must memo-hit")
+    // overwrite the SAME path with different content: the semantic
+    // hash of the plan is unchanged, but the part files are new — the
+    // stale index must not be served (ADVICE r18)
+    Seq((1L, "eta theta iota"), (3L, "kappa lambda mu"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+    val d2 = ix()
+    assert(d2 != d1, "overwritten source served a stale index")
+    val ids = spark.read.parquet(s"$d2/features")
+      .select($"id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
+
   test("t24 intra-doc dedup strips repeated chunks, keeps first occurrence, preserves order") {
     import spark.implicits._
     // doc 0: chunk A repeated 3x around chunk B -> keep first A + B, in order;

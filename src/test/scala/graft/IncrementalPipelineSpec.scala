@@ -257,6 +257,52 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(rows(day1) == rows(mono))
   }
 
+  test("DSIR sidecar: day-N select == inline over the monolithic post-exact " +
+       "corpus; torn feature partitions are invisible; a day retry " +
+       "overwrites itself") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, DsirIndex}
+    val docs = docsAll
+    val mx = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val (c1, c2) = (mx * 3 / 5, mx * 4 / 5)
+    val budget = budgetOf(docs)
+    val dir = tmpDir("incpipe-dsir").toString
+    IncrementalPipeline.bootstrap(dir, docs.filter($"doc_id" <= c1),
+      bench, Params(budget), dsirBuckets = Some(4096))
+    IncrementalPipeline.runIncremental(dir,
+      docs.filter($"doc_id" > c1 && $"doc_id" <= c2), bench)
+    // the features describe the pipeline's own survivor corpus:
+    // gate + exact-dedup over the union (the same s2/d2 set the dedup
+    // index holds) — the inline dsirSelect over that corpus is the
+    // monolithic twin
+    def postExact(d: DataFrame) = Dedup.exactFirst(
+        d.filter(CorpusPipeline.gopherGate(col("text"))),
+        Seq(md5(col("text"))), Seq(col("doc_id").asc))
+      .select(col("doc_id"), col("text"))
+    val mono1 = postExact(docs.filter($"doc_id" <= c2))
+    def viaPipe = rows(IncrementalPipeline.dsirSelect(spark, dir,
+      mono1.filter(bench).select($"doc_id"), budget = 50))
+    val day1Sel = viaPipe
+    assert(day1Sel == rows(Curation.dsirSelect(mono1, $"doc_id", $"text",
+      bench, budget = 50)),
+      "pipeline DSIR select must equal the inline monolithic form")
+    // a TORN day (features written, meta never committed — here ver 3
+    // with garbage content): invisible to selects
+    DsirIndex.appendVersioned(s"$dir/dsir",
+      docs.filter($"doc_id" <= 20), $"doc_id", $"text", ver = 3)
+    assert(viaPipe == day1Sel, "uncommitted feature partitions must not leak")
+    // the day-2 retry commits ver 3 for real — its append OVERWRITES
+    // the torn partition (idempotent), and the select now equals the
+    // inline form over everything
+    IncrementalPipeline.runIncremental(dir, docs.filter($"doc_id" > c2), bench)
+    val mono2 = postExact(docs)
+    assert(rows(IncrementalPipeline.dsirSelect(spark, dir,
+        mono2.filter(bench).select($"doc_id"), budget = 50))
+      == rows(Curation.dsirSelect(mono2, $"doc_id", $"text", bench,
+        budget = 50)),
+      "after the retried day commits, the select must cover the union")
+  }
+
   test("refuses deltas at or below the committed horizon; torn version dirs are ignored") {
     import spark.implicits._
     val docs = docsAll

@@ -171,6 +171,63 @@ class MaintainSpec extends SparkSpec {
       "the prune must be live again after the resync")
   }
 
+  test("index small-file maintenance: appends accrete files, maintain " +
+       "compacts past the threshold, selections are row-identical") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.operators.{Curation, DsirIndex}
+    val dir = Files.createTempDirectory("graft-dsir-maint").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+    val base = docs.filter($"doc_id" % 4 === 0)
+    DsirIndex.write(dir, base, $"doc_id", $"text")
+    // 3 day-appends, each landing its own file-set
+    (1 to 3).foreach(d =>
+      DsirIndex.append(dir, docs.filter($"doc_id" % 4 === d),
+        $"doc_id", $"text"))
+    def nFiles = spark.read.parquet(s"$dir/features").inputFiles.length
+    val fragmented = nFiles
+    assert(fragmented >= 4, s"appends should fragment the table: $fragmented")
+    val targets = docs.filter($"source" === "src1").select($"doc_id")
+    def sel = Curation.dsirSelectIndexed(spark, dir, targets, budget = 50)
+      .collect().map(_.toSeq).toSet
+    val before = sel
+    // below threshold: listing-only no-op
+    assert(!DsirIndex.maintain(spark, dir, maxFiles = fragmented))
+    assert(nFiles == fragmented)
+    // past threshold: rewrite shrinks the file count, rows exact
+    assert(DsirIndex.maintain(spark, dir, maxFiles = 1))
+    assert(nFiles < fragmented, s"maintain must shrink the file count")
+    assert(sel == before, "maintenance must be row-preserving")
+    // idempotent: the compacted table is below the threshold
+    assert(!DsirIndex.maintain(spark, dir, maxFiles = nFiles))
+  }
+
+  test("sketch-index maintenance compacts every appended table and " +
+       "searches stay row-identical") {
+    implicit val s = spark
+    import s.implicits._
+    import graft.operators.AnnIndex
+    val dir = Files.createTempDirectory("graft-sk-maint").toString
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select($"vec_id", $"embedding")
+    AnnIndex.writeSketch(dir, e.filter($"vec_id" < 200))
+    (0 until 3).foreach(d => AnnIndex.appendSketchVectors(dir,
+      e.filter($"vec_id" >= 200 + d * 100 && $"vec_id" < 300 + d * 100)))
+    def files(t: String) = spark.read.parquet(s"$dir/$t").inputFiles.length
+    val (v0, s0) = (files("vectors"), files("sketches"))
+    assert(v0 > 4 && s0 > 4, s"appends should fragment: vectors=$v0 sketches=$s0")
+    val q = e.filter($"vec_id" < 5)
+    def search = AnnIndex.searchSketch(spark, dir, q, k = 5, m = 50)
+      .collect().map(_.toSeq).toSet
+    val before = search
+    assert(AnnIndex.maintainSketch(spark, dir, maxFiles = 4))
+    assert(files("vectors") <= 4 || files("vectors") < v0)
+    assert(files("sketches") < s0)
+    assert(search == before, "sketch maintenance must be row-preserving")
+    assert(!AnnIndex.maintainSketch(spark, dir, maxFiles = math.max(4,
+      math.max(files("vectors"), files("sketches")))))
+  }
+
   test("appendStatsManifest dup-guard catches a scheme-less spelling of a known path") {
     implicit val s = spark
     import s.implicits._

@@ -62,9 +62,11 @@ class QueriesSpec extends SparkSpec {
     //   s04/s05: nprobe ranking against 16 broadcast centroids
     //   t19: one-row corpus-total broadcast onto the vocab table (the
     //        same global-threshold shape as q27/q37)
-    //   t25/t26: one-row occurrence-totals broadcast onto the 4096-row
-    //        bucket-counts table (the t19 shape — both sides bounded;
-    //        t26 is the same weigh stage over the persisted features)
+    //   t25/t26/t27: one-row occurrence-totals broadcast onto the
+    //        4096-row bucket-counts table (the t19 shape — both sides
+    //        bounded; t26 is the same weigh stage over the persisted
+    //        features, t27 the same weigh stage with the PrefixSum
+    //        rank cut below it)
     //   s06/s07: the sketch PASS is definitionally scan x broadcast
     //        queries (every corpus row gets a sketch score — that is
     //        the operator's contract; the expensive exact re-rank
@@ -72,6 +74,7 @@ class QueriesSpec extends SparkSpec {
     val allow = Set("q27_important_parts", "q37_global_sales_opportunity",
       "s01_knn_bruteforce", "s04_knn_ivf", "s05_knn_ivf_indexed",
       "t19_unigram_logprob", "t25_dsir_select", "t26_dsir_indexed",
+      "t27_dsir_rankcut",
       "s06_knn_sketch_rerank", "s07_knn_sketch_indexed")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString

@@ -15,6 +15,7 @@ Usage: python3 tools/run_ab.py <revA> <revB> <labelA> <labelB> <out.json> [reps]
 
 Dev tooling only; the engine never depends on this.
 """
+import glob
 import json
 import os
 import statistics
@@ -47,12 +48,18 @@ def run_bench(classes_dir, cwd):
     """One full Bench run (warm + reset regimes) from `classes_dir`,
     with BENCH_LOCAL.json landing in `cwd`. Returns the parsed full
     JSON."""
-    scala_lib = subprocess.run(
-        ["bash", "-c",
-         "ls $HOME/.cache/coursier/v1/https/repo1.maven.org/maven2/org/"
-         "scala-lang/scala-library/2.13.*/scala-library-*.jar 2>/dev/null"
-         " || ls /opt/spark/jars/scala-library*.jar | head -1"],
-        capture_output=True, text=True).stdout.split()[0]
+    # the build compiles against /opt/spark/jars (unmanaged classpath),
+    # so that scala-library IS the build's — prefer it over whatever
+    # versions the coursier cache happens to hold, and fail with the
+    # missing path named rather than an IndexError on an empty ls
+    candidates = sorted(glob.glob("/opt/spark/jars/scala-library*.jar")) or \
+        sorted(glob.glob(os.path.expanduser(
+            "~/.cache/coursier/v1/https/repo1.maven.org/maven2/org/"
+            "scala-lang/scala-library/2.13.*/scala-library-*.jar")))
+    if not candidates:
+        sys.exit("run_ab: no scala-library jar under /opt/spark/jars or the "
+                 "coursier cache — cannot assemble the Bench classpath")
+    scala_lib = candidates[-1]
     add_opens = []
     for p in ("java.lang java.lang.invoke java.lang.reflect java.io java.net "
               "java.nio java.util java.util.concurrent "
