@@ -424,7 +424,15 @@ object Curation {
     * distributed rank (value 1, inclusive = exact 1-based rank in the
     * strict total order) filtered in place — same rows either way.
     */
-  private def dsirCut(w: DataFrame, budget: Int, viaRank: Boolean): DataFrame =
+  private def dsirCut(w0: DataFrame, budget: Int, viaRank: Boolean): DataFrame = {
+    // The rank path reads the weights TWICE — phase 1/2's narrow
+    // quantile+offsets pass and phase 3's windowed pass — and each read
+    // re-runs the per-doc weights aggregation (measured 0.4-0.5 s per
+    // pass at sf0.1, two of t27's ~21 warm jobs). Pin the weights frame
+    // (3 narrow columns, doc-sized — the same byte class as the narrow
+    // projection runningTotal itself persists) so the aggregation runs
+    // once; the TakeOrdered path reads once and needs no pin.
+    val w = if (viaRank) Caches.track(w0) else w0
     if (!viaRank) w.orderBy(col("weight").desc, col("id").asc).limit(budget)
     else PrefixSum.runningTotal(w,
       groupCol = lit(0),
@@ -436,4 +444,5 @@ object Curation {
       nullsLast = true,
       outCol = "_rk")
       .filter(col("_rk") <= budget).drop("_rk")
+  }
 }

@@ -241,10 +241,32 @@ object Dedup {
     *                          hash-identical (SkewLineageSpec pins the
     *                          boundary); the knob exists for memory-tight
     *                          executors and for tests.
+    * @param driverQuotientEdges quotient-edge ceiling below which step 3
+    *                          runs as a driver-side union-find over the
+    *                          CONTRACTION RESIDUE instead of the
+    *                          distributed label loop. The quotient after
+    *                          the basin fold is bounded by this cap
+    *                          before any collect happens (one count over
+    *                          already-checkpointed blocks decides), so
+    *                          driver memory is capped at ~16 B × cap
+    *                          (16 MB of longs at the 1M default) no
+    *                          matter the corpus — the same
+    *                          capped-driver-path pattern as
+    *                          [[Similarity.SeedSampleCap]]. Labels are
+    *                          identical either way (the loop converges
+    *                          to the component-min label; union-by-min
+    *                          computes exactly that — spec-pinned across
+    *                          the boundary), but the loop costs
+    *                          O(log diameter) rounds × several driver
+    *                          round-trips each (measured: ~3 s of
+    *                          per-job planning gaps on a 4017-edge d11
+    *                          graph), while the driver path is two jobs
+    *                          flat. 0 disables (tests pin the loop).
     */
   def clusters(pairs: DataFrame, aCol: Column, bCol: Column,
                maxRounds: Int = 50,
-               broadcastVertices: Long = 2000000L): DataFrame = {
+               broadcastVertices: Long = 2000000L,
+               driverQuotientEdges: Long = 1000000L): DataFrame = {
     // Every round's frames are localCheckpointed, and Dataset.unpersist
     // does NOT free localCheckpoint blocks (they are plain persisted
     // RDDs, invisible to the cacheManager) — so without explicit
@@ -283,8 +305,24 @@ object Dedup {
     // broadcast would be the thing that breaks. One extra driver
     // action, paid once, independent of rounds.
     val nVertices = basins.count()
-    val basinsSide =
-      if (nVertices <= broadcastVertices) broadcast(basins) else basins
+    val small = nVertices <= broadcastVertices
+    val basinsSide = if (small) broadcast(basins) else basins
+    // Every frame the iteration joins against is VERTEX-sized (labels,
+    // neighbor minima) — but they are localCheckpointed LogicalRDDs,
+    // whose size statistic is the default "unknown = huge", so Catalyst
+    // plans every per-round join as a SortMergeJoin with two shuffles
+    // (measured: the d11 gate plan carried 2 SMJ + 5 Exchange over
+    // <= 2000-row frames, and clusters() owned ~4s of d11's 5.2s solo
+    // wall). The driver KNOWS the vertex count — the same count that
+    // gates the basin broadcast — so below the threshold every
+    // vertex-sized join side is broadcast: each round's job becomes a
+    // scan over the (already tiny) quotient edges instead of a stack of
+    // shuffle+sort stages, and the composed output frame is hinted too,
+    // so callers' re-attach joins (semDedup's corpus join, the
+    // pipeline's rep annotation) build from the vertex-sized side
+    // rather than shuffling the corpus. Above the threshold the plan
+    // is byte-identical to before (SkewLineageSpec pins the boundary).
+    def vside(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // Phase 2: cross-basin quotient edges (both orientations survive
     // symmetrically, so the loop's neighbor aggregation stays valid)
     var edgesQ = lcp(edges
@@ -293,10 +331,7 @@ object Dedup {
       .filter(col("_ms") =!= col("_md"))
       .select(col("_ms").as("src"), col("_md").as("dst"))
       .distinct())
-    var labels = lcp(edgesQ.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v")))
-    var changed = 1L
-    var rounds = 0
+    var labels: DataFrame = null
     // The quotient loop runs under a catch-all so the ERROR path also
     // retires tracked blocks: a non-convergence throw (or a failed
     // round job) propagates to a caller who may well catch and keep
@@ -305,13 +340,67 @@ object Dedup {
     // downstream reads ANY tracked block once clusters() throws, so
     // everything retires.
     try {
+    // Step-3 route: the quotient is CONTRACTION RESIDUE — for near-dup
+    // graphs (dense shallow clusters) it is tiny or empty, yet the
+    // distributed loop prices each round as several driver round-trips
+    // (plan/codegen gaps dominate the tiny jobs: measured 34 jobs /
+    // ~3 s of gap on a 4017-edge gate graph). One count over the
+    // already-checkpointed quotient decides: at or below the cap (and
+    // long-keyed — the generic column types keep the loop), collect it
+    // and run union-by-min with path compression driver-side, two jobs
+    // flat; above the cap, the unchanged distributed loop.
+    val longKeys = edgesQ.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val nQuotient =
+      if (small && longKeys && driverQuotientEdges > 0) edgesQ.count() else -1L
+    if (nQuotient >= 0 && nQuotient <= driverQuotientEdges) {
+      val es = edgesQ.collect()
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      var i = 0
+      while (i < es.length) {
+        val a = es(i).getLong(0); val b = es(i).getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+        i += 1
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val v = it.next()
+        rows.add(org.apache.spark.sql.Row(v, find(v)))
+      }
+      // vertex-sized LocalRelation: Catalyst knows its size, so the
+      // compose join below broadcasts it without a hint (hinted anyway
+      // via vside for symmetry with the loop path)
+      labels = pairs.sparkSession.createDataFrame(rows, schema)
+    } else {
+    labels = lcp(edgesQ.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v")))
+    var changed = 1L
+    var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edgesQ
-        .join(labels.select(col("v").as("dst"), col("label")), "dst")
+        .join(vside(labels.select(col("v").as("dst"), col("label"))), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
       // min over self + neighbor labels...
       val hopped = labels.select(col("v"), col("label").as("_old"))
-        .join(neighborMin.select(col("src").as("v"), col("nmin")), Seq("v"), "left")
+        .join(vside(neighborMin.select(col("src").as("v"), col("nmin"))),
+          Seq("v"), "left")
         .select(col("v"), least(col("_old"),
           coalesce(col("nmin"), col("_old"))).as("_hop"), col("_old"))
       // ...then POINTER JUMP: label := label(label(v)). Plain min
@@ -330,7 +419,7 @@ object Dedup {
       // 100x corpus that halves the driver round-trips of the slowest
       // dedup query.
       val staged = lcp(hopped
-        .join(labels.select(col("v").as("_hop"), col("label").as("_jump")),
+        .join(vside(labels.select(col("v").as("_hop"), col("label").as("_jump"))),
           Seq("_hop"), "left")
         .select(col("v"), least(col("_hop"),
           coalesce(col("_jump"), col("_hop"))).as("label"), col("_old")))
@@ -345,8 +434,8 @@ object Dedup {
       // extra driver action. Skipped once converged (the loop exits).
       if (changed > 0) {
         edgesQ = lcp(edgesQ
-          .join(labels.select(col("v").as("src"), col("label").as("_ls")), "src")
-          .join(labels.select(col("v").as("dst"), col("label").as("_ld")), "dst")
+          .join(vside(labels.select(col("v").as("src"), col("label").as("_ls"))), "src")
+          .join(vside(labels.select(col("v").as("dst"), col("label").as("_ld"))), "dst")
           .filter(col("_ls") =!= col("_ld"))
           .select(col("_ls").as("src"), col("_ld").as("dst"))
           .distinct())
@@ -359,6 +448,7 @@ object Dedup {
         s"($changed labels still moving) — raise maxRounds; a component " +
         "this deep in a NEAR-DUP graph usually means the pair threshold " +
         "is admitting everything")
+    } // end distributed-loop route
     } catch { case t: Throwable =>
       trackedRdds.foreach(r => scala.util.Try(r.unpersist(false)))
       throw t
@@ -372,11 +462,13 @@ object Dedup {
       .map(_.id).toSet
     trackedRdds.foreach(r => if (!keep.contains(r.id)) r.unpersist(false))
     // Phase 4: compose basin and quotient labels — identity for basins
-    // that never crossed an edge (whole component in one basin)
-    basins
-      .join(labels.select(col("v").as("m"), col("label")), Seq("m"), "left")
+    // that never crossed an edge (whole component in one basin). The
+    // result is vertex-sized; below the threshold it carries the
+    // broadcast hint so a caller's re-attach join builds from it.
+    vside(basins
+      .join(vside(labels.select(col("v").as("m"), col("label"))), Seq("m"), "left")
       .select(col("v").as("doc_id"),
-        coalesce(col("label"), col("m")).as("cluster_rep"))
+        coalesce(col("label"), col("m")).as("cluster_rep")))
   }
 
   /** Benchmark decontamination — the training-data pass every LLM

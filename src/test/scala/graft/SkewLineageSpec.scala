@@ -205,8 +205,11 @@ class SkewLineageSpec extends SparkSpec {
     // per round, per ADVICE r7.
     assert(jobs.get() <= 20, s"too many driver round-trips: ${jobs.get()} jobs")
     // non-convergence must THROW, not return wrong labels silently
+    // (driverQuotientEdges = 0 pins the distributed loop — the driver
+    // union-find path always converges, so maxRounds is loop-only)
     val ex = intercept[IllegalStateException] {
-      Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 2).collect()
+      Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 2,
+        driverQuotientEdges = 0L).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
   }
@@ -222,15 +225,23 @@ class SkewLineageSpec extends SparkSpec {
     val pairs = ((0L until 100L).sliding(2).map(s => (s(0), s(1))).toSeq ++
       Seq((200L, 201L), (201L, 202L), (200L, 202L), (300L, 999L)))
       .toDF("doc_a", "doc_b")
-    val viaBroadcast = Dedup.clusters(pairs, $"doc_a", $"doc_b")
+    // three routes, one answer: the default (driver union-find over the
+    // quotient residue), the broadcast distributed loop (driver path
+    // disabled), and the shuffle distributed loop (both thresholds off)
+    val viaDriver = Dedup.clusters(pairs, $"doc_a", $"doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = Dedup.clusters(pairs, $"doc_a", $"doc_b",
+        driverQuotientEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaShuffle = Dedup.clusters(pairs, $"doc_a", $"doc_b",
         broadcastVertices = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaShuffle == viaBroadcast,
-      "shuffle-side basin plan diverged from the broadcast plan")
-    assert(viaBroadcast.size == 105 &&
-      viaBroadcast.count(_._2 == 0L) == 100 && viaBroadcast(999L) == 300L)
+    assert(viaBroadcast == viaDriver,
+      "broadcast-loop labels diverged from the driver union-find")
+    assert(viaShuffle == viaDriver,
+      "shuffle-side basin plan diverged from the driver union-find")
+    assert(viaDriver.size == 105 &&
+      viaDriver.count(_._2 == 0L) == 100 && viaDriver(999L) == 300L)
   }
 
   test("dedup clusters: intermediate checkpoint blocks are retired at exit") {
@@ -270,8 +281,11 @@ class SkewLineageSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("doc_a", "doc_b")
+    // driverQuotientEdges = 0 pins the distributed loop (the driver
+    // union-find always converges, so the error path is loop-only)
     intercept[IllegalStateException] {
-      Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 1)
+      Dedup.clusters(chain, $"doc_a", $"doc_b", maxRounds = 1,
+        driverQuotientEdges = 0L)
     }
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty,
