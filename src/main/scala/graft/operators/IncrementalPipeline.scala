@@ -127,7 +127,8 @@ object IncrementalPipeline {
         .select(col("doc_id"), col("text")))
     val pairs = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
       p.shingleN, p.k, p.bands, p.minSim)
-    val reps = Dedup.clusters(pairs, col("doc_a"), col("doc_b"))
+    val reps = sect("bs_cc_drop")(
+      Dedup.clusters(pairs, col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("cluster_rep").as("rep"))
     // counts at minHits=1: the state keeps EVERY non-bench doc's hit
     // count so day-N retro contamination can ADD new-key hits to it
@@ -149,29 +150,46 @@ object IncrementalPipeline {
     val repsSplit = p.split.map { cfg =>
       val pairs3 = Dedup.jaccardPairs(s2, col("doc_id"), col("text"),
         p.shingleN, p.k, p.bands, cfg.minSim)
-      Dedup.clusters(pairs3, col("doc_a"), col("doc_b"))
+      sect("bs_cc_split")(Dedup.clusters(pairs3, col("doc_a"), col("doc_b")))
         .select(col("doc_id"), col("cluster_rep").as("rep"))
     }
     val keyed = Dedup.shingleKeys(
       Dedup.shingleTable(s2, col("doc_id"), col("text"), p.shingleN))
     val blocklist = keyed.filter(benchPred).select("_k").distinct()
-    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val maxId = sect("bs_maxid")(
+      docs.agg(max(col("doc_id"))).collect()(0).getLong(0))
     // every write below reads only the docs input (through the cached
     // post-exact s2), so the index tables, the inverted keys, and the
     // six version tables fan out as ONE concurrent batch; the metas
     // land strictly after (version meta = the commit point)
     val ixB = DedupIndex.frames(s2, col("doc_id"), col("text"),
       DedupIndex.Meta(p.shingleN, p.k, p.bands))
-    runAll(Seq(
+    // ONE spine action before the fan-out (the runIncremental lesson
+    // applied to bootstrap): the survivors and packed writes both read
+    // the surv cache, and without a spine the two concurrent write
+    // jobs race to BUILD it — convoying on block locks over the cold
+    // redact+tokenize chain (measured: bs_state_writes 2.6 s -> ~1 s
+    // with the spine at sf0.1). One count() materializes it in
+    // dependency order; every fan-out job below then reads caches.
+    sect("bs_spine")(surv.count())
+    // Index tables, inverted keys, DSIR sidecar, and the six version
+    // tables are ALL independent writes reading only cached frames —
+    // one concurrent batch instead of two sequential ones (wall = the
+    // slowest write, not the sum of the two batches' slowest). The
+    // metas land strictly after: DedupIndex meta after its tables,
+    // version meta (the commit point) last of all, so a crash anywhere
+    // in the batch leaves a torn, invisible state exactly as before.
+    sect("bs_writes")(runAll(Seq(
       () => ixB.hashes.write.mode("overwrite").parquet(s"$dir/index/hashes"),
       () => ixB.bands.write.mode("overwrite").parquet(s"$dir/index/bands"),
       () => ixB.shingles.write.mode("overwrite").parquet(s"$dir/index/shingles"),
-      () => writeKeys(dir, keyed, "overwrite")) ++
+      () => writeKeys(dir, keyed, "overwrite"),
+      () => writeTables(dir, 1, reps, repsSplit, counts, blocklist,
+        surv, packed)) ++
       dsirBuckets.map(b => () => DsirIndex.writeVersioned(s"$dir/dsir",
-        s2, col("doc_id"), col("text"), b, ver = 1)).toSeq)
+        s2, col("doc_id"), col("text"), b, ver = 1)).toSeq))
     DedupIndex.writeMeta(spark, s"$dir/index", ixB.meta)
-    writeTables(dir, 1, reps, repsSplit, counts, blocklist, surv, packed)
-    commitMeta(spark, dir, 1, maxId, p)
+    sect("bs_commit")(commitMeta(spark, dir, 1, maxId, p))
     // the returned output re-roots on the committed v1 state (the same
     // device as runIncremental's return): the caller's action re-reads
     // the narrow packed table instead of recomputing the pack chain
@@ -717,8 +735,8 @@ object IncrementalPipeline {
                           contam: DataFrame, blocklist: DataFrame,
                           survivors: DataFrame, packed: DataFrame): Unit = {
     val v = s"$dir/v$ver"
-    def w(df: DataFrame, name: String): Unit =
-      df.coalesce(StateWriteTasks).write.mode("overwrite").parquet(s"$v/$name")
+    def w(df: DataFrame, name: String): Unit = sect(s"  w_$name")(
+      df.coalesce(StateWriteTasks).write.mode("overwrite").parquet(s"$v/$name"))
     runAll(Seq(
       () => w(reps, "reps"),
       () => repsSplit.foreach(w(_, "reps_split")),

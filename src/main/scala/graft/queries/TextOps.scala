@@ -688,12 +688,16 @@ object TextOps extends QuerySet {
         // native WordShingles: the declarative shingles(tokens(..))
         // chain is interpreted per shingle and dominated the 100x wall
         // (32.6 of 41 s attributed to shingle construction alone)
-        val sh = Tables.load(s, d, "documents")
+        // pinned: three consumers (the per-source count and BOTH sides
+        // of the overlap self-join) would otherwise each re-run the
+        // explode+md5+distinct corpus pass — the same single-pass
+        // discipline as the dedup family's shingle memo
+        val sh = graft.operators.Caches.track(Tables.load(s, d, "documents")
           .select($"source",
             explode(graft.expressions.NativeFns.word_shingles($"text", 3)).as("g"))
           .select($"source",
             conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("sh"))
-          .distinct()
+          .distinct())
         val cnt = sh.groupBy($"source").agg(count(lit(1)).as("n"))
         sh.toDF("src_a", "sh").join(sh.toDF("src_b", "sh"), "sh")
           .filter($"src_a" < $"src_b")
